@@ -1,0 +1,117 @@
+"""The analyzer — the semantic keystone shared by index build and query.
+
+Reproduces the shape of bleve v0.8.1's ``en`` analyzer chain (selected by the
+reference at /root/reference/internal/doclib/bleve_glue.go:44-45,59):
+
+    unicode word tokenizer -> possessive strip -> lowercase
+        -> English (snowball) stop set -> Porter stemmer
+
+It is implemented from public knowledge of that chain (Lucene/snowball stop
+list, Porter 1980 stemmer, UAX#29-style word segmentation approximated by a
+regex), NOT translated from Go.  The same function runs at index time and at
+query time (reference parity: query-side analysis at
+/root/reference/internal/doclib/search_pdfs.go:163-174).
+
+Design notes for scale:
+- ``analyze_series`` is the vectorized entry point used inside pandas UDFs /
+  ``mapInPandas``; per-token work is memoized (``lru_cache`` on the stemmer,
+  dict cache on full token normalization) so throughput is dominated by the
+  regex scan, not Python-level stemming.
+- Token *positions* are ungapped indexes into the post-filter token stream
+  (deliberate, documented deviation from Lucene position increments; both
+  query and document sides use the same convention so phrase alignment is
+  consistent).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from pysearch.porter import stem
+
+# Snowball English stop list (public: snowball.tartarus.org stop.txt — the
+# list bleve v0.8.1 embeds for its stop_en filter).  Curly-apostrophe
+# variants are added because our tokenizer keeps U+2019 inside tokens.
+_STOP_BASE = """
+i me my myself we our ours ourselves you your yours yourself yourselves
+he him his himself she her hers herself it its itself
+they them their theirs themselves what which who whom this that these those
+am is are was were be been being have has had having do does did doing
+would should could ought
+i'm you're he's she's it's we're they're i've you've we've they've
+i'd you'd he'd she'd we'd they'd i'll you'll he'll she'll we'll they'll
+isn't aren't wasn't weren't hasn't haven't hadn't doesn't don't didn't
+won't wouldn't shan't shouldn't can't cannot couldn't mustn't
+let's that's who's what's here's there's when's where's why's how's
+a an the and but if or because as until while
+of at by for with about against between into through during before after
+above below to from up down in out on off over under
+again further then once here there when where why how
+all any both each few more most other some such
+no nor not only own same so than too very
+""".split()
+
+STOPWORDS = frozenset(_STOP_BASE) | frozenset(
+    w.replace("'", "’") for w in _STOP_BASE if "'" in w
+)
+
+# Word = runs of \w (letters, digits, underscore — underscore joins words in
+# UAX#29 via ExtendNumLet) optionally joined by internal apostrophes.
+_TOKEN_RE = re.compile(r"\w+(?:['’ʼ]\w+)*")
+
+_APOSTROPHES = ("'s", "'S", "’s", "’S", "ʼs", "ʼS")
+
+
+def _strip_possessive(tok: str) -> str:
+    if len(tok) > 2 and tok[-2:] in _APOSTROPHES:
+        return tok[:-2]
+    return tok
+
+
+# token -> analyzed term or None (stopword). Unbounded dict is fine: unique
+# token count is bounded by vocabulary, and each executor process holds one.
+_NORM_CACHE: dict = {}
+
+
+def _norm(tok: str):
+    hit = _NORM_CACHE.get(tok)
+    if hit is not None:
+        return hit if hit != "" else None
+    low = _strip_possessive(tok).lower()
+    if low in STOPWORDS:
+        _NORM_CACHE[tok] = ""
+        return None
+    out = stem(low)
+    _NORM_CACHE[tok] = out
+    return out
+
+
+def analyze(text: str) -> List[str]:
+    """Text -> analyzed terms, in order (ungapped positions = list index)."""
+    out = []
+    for tok in _TOKEN_RE.findall(text):
+        t = _norm(tok)
+        if t is not None:
+            out.append(t)
+    return out
+
+
+def analyze_with_offsets(text: str) -> List[Tuple[str, int, int]]:
+    """Text -> [(term, char_start, char_end)] for surviving tokens.
+
+    Used on the (tiny) top-k hit set at query time for phrase-span
+    construction (reference span semantics:
+    /root/reference/internal/doclib/search_pdfs.go:55-60,512-516).
+    """
+    out = []
+    for m in _TOKEN_RE.finditer(text):
+        t = _norm(m.group(0))
+        if t is not None:
+            out.append((t, m.start(), m.end()))
+    return out
+
+
+def analyze_series(texts) -> "object":
+    """Vectorized batch entry point: pd.Series[str] -> pd.Series[list[str]]."""
+    return texts.map(analyze)

@@ -1,0 +1,126 @@
+"""Posting-block codec: delta-gap + varint (LEB128) packing, numpy-vectorized.
+
+The reference delegates posting-list compression to bleve's scorch engine
+(RoaringBitmap posting lists, /root/reference/go.mod:4) and uses flate for
+its sidecar store (/root/reference/internal/utils/data.go:38-90).  Our
+engine's mandated layout (BASELINE.json north_rule) is delta-gap + varint
+block compression with per-block max-score metadata; this module is that
+codec.  Blocks hold three parallel integer arrays per run of postings:
+
+    doc_ids (sorted, delta-gapped), tfs, doc_lens
+
+Encoding/decoding is fully vectorized (no per-element Python loops: the
+LEB128 byte expansion loops over the ≤10 *byte positions*, not over values),
+so it runs at memory bandwidth inside Arrow UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # postings per block
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized over byte positions."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    # max 10 groups for 64-bit
+    nbytes = np.ones(v.shape, dtype=np.int64)  # at least 1 byte (value 0)
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # byte offsets of each value's first byte
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    shifted = v.copy()
+    remaining = nbytes.copy()
+    pos = 0  # byte-position round
+    while (remaining > 0).any():
+        active = remaining > 0
+        idx = starts[active] + pos
+        byte = (shifted[active] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (remaining[active] > 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        shifted[active] >>= np.uint64(7)
+        remaining[active] -= 1
+        pos += 1
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode `count` LEB128 values from buf -> uint64 array. Vectorized."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (raw & 0x80) == 0
+    # index of the first byte of each value = 0 and positions after each last
+    ends = np.flatnonzero(is_last)
+    if ends.size < count:
+        raise ValueError(f"varint buffer truncated: {ends.size} < {count}")
+    ends = ends[:count]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    out = np.zeros(count, dtype=np.uint64)
+    nbytes = ends - starts + 1
+    maxb = int(nbytes.max())
+    for b in range(maxb):
+        active = nbytes > b
+        idx = starts[active] + b
+        out[active] |= (raw[idx] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * b)
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Sorted int64 ids -> gaps (first value kept absolute)."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    out = np.empty_like(a)
+    if a.size:
+        out[0] = a[0]
+        np.subtract(a[1:], a[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.int64))
+
+
+def pack_run(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
+    """Split one term's sorted posting run into packed blocks.
+
+    Yields (block_id, n, doc_ids_bin, tfs_bin, dls_bin, min_doc_id,
+    max_doc_id, max_tf, min_dl) tuples.  max_tf/min_dl give a lossless
+    BM25 upper bound for the block:
+        ub = idf * (k1+1) * max_tf / (max_tf + K(min_dl))
+    since tf-normalization is increasing in tf and decreasing in dl.
+    """
+    n = doc_ids.size
+    for b, start in enumerate(range(0, n, BLOCK_SIZE)):
+        sl = slice(start, min(start + BLOCK_SIZE, n))
+        ids = doc_ids[sl]
+        t = tfs[sl]
+        d = dls[sl]
+        yield (
+            b,
+            int(ids.size),
+            varint_encode(delta_encode(ids).astype(np.uint64)),
+            varint_encode(t.astype(np.uint64)),
+            varint_encode(d.astype(np.uint64)),
+            int(ids[0]),
+            int(ids[-1]),
+            int(t.max()),
+            int(d.min()),
+        )
+
+
+def unpack_block(n: int, doc_ids_bin: bytes, tfs_bin: bytes, dls_bin: bytes):
+    """Inverse of pack_run for one block -> (doc_ids, tfs, dls) int64/float."""
+    ids = delta_decode(varint_decode(doc_ids_bin, n).astype(np.int64))
+    tfs = varint_decode(tfs_bin, n).astype(np.int64)
+    dls = varint_decode(dls_bin, n).astype(np.int64)
+    return ids, tfs, dls

@@ -1,0 +1,54 @@
+"""SparkSession factory with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+
+
+def _ensure_pythonpath() -> None:
+    """Make the pysearch package importable in executor python workers.
+
+    Local-mode workers are forked with the driver's environment; on a real
+    cluster the same is achieved with ``spark-submit --py-files pysearch.zip``
+    (see cli.py). Setting PYTHONPATH before the JVM starts covers both the
+    driver-embedded and forked-worker paths in this sandbox.
+    """
+    import sys
+
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if pkg_parent not in sys.path:
+        sys.path.insert(0, pkg_parent)
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+
+
+def build_spark(master: str | None = None, app_name: str = "pysearch",
+                shuffle_partitions: int | None = None, extra: dict | None = None):
+    from pyspark.sql import SparkSession
+
+    _ensure_pythonpath()
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("PYSEARCH_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
