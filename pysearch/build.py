@@ -1,0 +1,452 @@
+"""SPIMI-style distributed inverted-index build.
+
+Dataflow (reference build pipeline traced in SURVEY.md §3.1 — document-
+parallel extract feeding a *serial* index writer,
+/root/reference/internal/doclib/index_pdfs.go:69-95 — redesigned so no serial
+stage exists):
+
+  stage "docs":
+    webtext -> extract/validate text -> non-empty filter (P1) -> url dedupe
+    (P3) -> content-hash dedupe (P4, done for real; the reference's is dead
+    code, bleve_pdf.go:395-409) -> deterministic doc_id assignment (global
+    url-rank per case, computed with range partitioning + per-partition
+    offsets, NOT a single-reducer window) -> doc-range segments
+    (segment_id = (doc_id-1) // segment_size) -> docs/doc_map tables.
+
+  stage "postings":
+    docs -> groupBy(case, segment).applyInPandas(block builder): vectorized
+    analyze -> per-term sorted (doc_id, tf, dl) runs -> delta+varint packed
+    blocks with per-block max-score metadata.  Because a segment holds a
+    bounded doc range, posting construction NEVER shuffles by term — Zipfian
+    head-term skew cannot concentrate on one reducer (the skew-handling the
+    reference does by big-file-first scheduling, path_utils.go:54-102, is
+    structural here).  Blocks land in term-hash bucket partitions for query
+    partition pruning.
+
+  stage "finalize":
+    term_stats (df/cf) via explicit two-phase salted aggregation over block
+    metadata; corpus_stats (N, avgdl); manifest marked complete.
+
+Every stage commits atomically and records per-partition lineage + metrics;
+a resumed build skips completed segments (north_rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+import zlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pysearch import codec
+from pysearch.analyze import analyze
+from pysearch.lineage import IndexLayout
+from pysearch.version import INDEX_FORMAT_VERSION
+
+DEFAULT_SEGMENT_SIZE = 4096
+DEFAULT_N_BUCKETS = 64
+SALT_N = 16
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Python-side term -> bucket hash (md5-based so the query planner can
+    compute identical buckets driver-side without a Spark job)."""
+    return int.from_bytes(hashlib.md5(term.encode("utf-8")).digest()[:4], "big") % n_buckets
+
+
+# --------------------------------------------------------------------------
+# stage "docs"
+# --------------------------------------------------------------------------
+
+def _assign_doc_ids(spark, df, n_partitions: int):
+    """Deterministic per-case doc_id = rank of url (1-based).
+
+    Range-partition by (case_id, url), sort within partitions, persist to pin
+    the layout, then compute per-(partition, case) counts and assign
+    doc_id = case_offset + local ordinal inside mapInPandas.  Equivalent to
+    ``row_number() over (partition by case_id order by url)`` but without a
+    single-reducer window; deterministic across parallelism levels because
+    the id is the global url rank regardless of partition boundaries.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    sorted_df = (
+        df.repartitionByRange(n_partitions, "case_id", "url")
+        .sortWithinPartitions("case_id", "url")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = (
+        sorted_df.groupBy("_pid", "case_id").count().collect()
+    )
+    # case -> list of (pid, count) sorted by pid; offsets are cumulative
+    per_case: dict = {}
+    for r in counts:
+        per_case.setdefault(r["case_id"], []).append((r["_pid"], r["count"]))
+    offsets: dict = {}
+    for case, lst in per_case.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            offsets[(pid, case)] = acc
+            acc += cnt
+
+    boffsets = spark.sparkContext.broadcast(offsets)
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema += ", doc_id long"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one mapInPandas partition == one sorted _pid partition; batches
+        # arrive in order, rows sorted by (case_id, url)
+        local_counts: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            ids = np.empty(len(pdf), dtype=np.int64)
+            # per-case running ordinal within this partition
+            for case, idx in pdf.groupby("case_id", sort=False).groups.items():
+                start = local_counts.get(case, 0)
+                k = len(idx)
+                base = boffsets.value[(pid, case)]
+                ids[pdf.index.get_indexer(idx)] = base + start + 1 + np.arange(k)
+                local_counts[case] = start + k
+            out = pdf.drop(columns=["_pid"]).copy()
+            out["doc_id"] = ids
+            yield out
+
+    assigned = sorted_df.mapInPandas(assign, schema=out_schema)
+    return assigned, sorted_df
+
+
+def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
+                     n_partitions: int | None = None) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t0 = time.time()
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+
+    df = webtext_df
+    if "case_id" not in df.columns:
+        df = df.withColumn("case_id", F.lit("0"))
+    # S4 text extraction: derive text from html when the text column is
+    # missing/null (per-row invariant: byte-identical to provided text —
+    # validated in tests on the fixture corpus)
+    if "text" not in df.columns or "html" in df.columns:
+        from pyspark.sql import types as T
+
+        from pysearch.corpus import extract_text_series
+
+        @F.pandas_udf(T.StringType())
+        def extract_udf(htmls: pd.Series) -> pd.Series:
+            return extract_text_series(htmls)
+
+        if "text" not in df.columns:
+            df = df.withColumn("text", extract_udf("html"))
+        else:
+            df = df.withColumn(
+                "text",
+                F.when(F.col("text").isNotNull(), F.col("text")).otherwise(
+                    F.when(F.col("html").isNotNull(), extract_udf("html"))
+                ),
+            )
+    df = df.filter(F.col("text").isNotNull())
+    df = df.withColumn(
+        "content_hash",
+        F.when(F.col("html").isNotNull(), F.sha2(F.col("html"), 256)).otherwise(
+            F.sha2(F.encode(F.col("text"), "utf-8"), 256)
+        ),
+    )
+    # P1 empty filter + P3 url dedupe
+    df = df.filter(F.length(F.col("text")) > 0).dropDuplicates(["case_id", "url"])
+    # P4 content dedupe for real: keep first url per (case, content_hash)
+    w_rank = F.row_number().over(
+        Window.partitionBy("case_id", "content_hash").orderBy("url")
+    )
+    df = df.withColumn("_dup", w_rank).filter(F.col("_dup") == 1).drop("_dup")
+
+    df = df.select("case_id", "url", "content_hash", "text")
+    assigned, pinned = _assign_doc_ids(spark, df, n_partitions)
+
+    # doc_len via the analyzer (vectorized, arrow-batched)
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def doc_len_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(analyze(t)))
+
+    docs = (
+        assigned.withColumn("segment_id", (F.col("doc_id") - 1) / segment_size)
+        .withColumn("segment_id", F.floor("segment_id").cast("long"))
+        .withColumn("doc_len", doc_len_udf("text"))
+        .select("case_id", "doc_id", "segment_id", "url", "content_hash", "text", "doc_len")
+    )
+
+    staging = layout.staging_dir("docs")
+    docs.write.mode("overwrite").partitionBy("case_id").parquet(staging)
+    layout.commit_batch(staging, layout.docs, 0)
+    pinned.unpersist()
+
+    docs_back = layout.read_commits(spark, layout.docs)
+    n = docs_back.count()
+    layout.append_lineage(spark, [{
+        "stage": "docs", "partition_key": "all", "status": "done",
+        "n_rows": n, "wall_sec": time.time() - t0,
+    }])
+    layout.mark_stage("docs", n_docs=n, segment_size=segment_size)
+
+
+# --------------------------------------------------------------------------
+# stage "postings"
+# --------------------------------------------------------------------------
+
+def _make_block_builder(n_buckets: int):
+    def build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        case_id = str(key[0])
+        segment_id = int(key[1])
+        # vectorized analyze over the segment's docs
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        texts = pdf["text"].to_numpy()[order]
+
+        term_docs: dict = {}
+        dls = np.empty(doc_ids.size, dtype=np.int64)
+        for j in range(doc_ids.size):
+            toks = analyze(texts[j])
+            dls[j] = len(toks)
+            counts: dict = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                term_docs.setdefault(t, []).append((j, c))
+
+        rows: List[tuple] = []
+        for term in sorted(term_docs):
+            pairs = term_docs[term]
+            idx = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+            tfs = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
+            ids = doc_ids[idx]
+            dl = dls[idx]
+            tb = term_bucket(term, n_buckets)
+            for (b, cnt, ib, tfb, dlb, mn, mx, mtf, mdl) in codec.pack_run(ids, tfs, dl):
+                crc = zlib.crc32(ib) ^ zlib.crc32(tfb) ^ zlib.crc32(dlb)
+                rows.append((
+                    case_id, term, tb, segment_id, b, cnt, ib, tfb, dlb,
+                    mn, mx, mtf, mdl, int(tfs[b * codec.BLOCK_SIZE:(b + 1) * codec.BLOCK_SIZE].sum()),
+                    crc,
+                ))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "case_id", "term", "term_bucket", "segment_id", "block_id", "n",
+                "doc_ids_bin", "tfs_bin", "dls_bin", "min_doc_id", "max_doc_id",
+                "max_tf", "min_dl", "sum_tf", "crc32",
+            ],
+        )
+
+    return build_blocks
+
+
+def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
+                         resume: bool = False,
+                         max_segments: int | None = None) -> None:
+    """Build posting blocks for all (or up to ``max_segments``) segments not
+    yet recorded as done in lineage.  ``max_segments`` bounds one batch —
+    the incremental/ops hook that also simulates a crash mid-stage for the
+    resume tests.  The stage is marked complete only when nothing remains."""
+    from pyspark.sql import functions as F
+
+    from pysearch.schema import POSTING_BLOCKS
+
+    t0 = time.time()
+    docs = layout.read_commits(spark, layout.docs).withColumn(
+        "case_id", F.col("case_id").cast("string")
+    )
+
+    done: set = layout.done_partitions(spark, "postings") if resume else set()
+    if done:
+        done_df = spark.createDataFrame(
+            [(k.split("|", 1)[0], int(k.split("|", 1)[1])) for k in done],
+            schema="case_id string, segment_id long",
+        )
+        docs = docs.join(F.broadcast(done_df), ["case_id", "segment_id"], "left_anti")
+
+    complete_after_batch = True
+    if max_segments is not None:
+        remaining = [
+            (r["case_id"], r["segment_id"])
+            for r in docs.select("case_id", "segment_id").distinct().collect()
+        ]
+        if len(remaining) > max_segments:
+            chosen = sorted(remaining)[:max_segments]
+            chosen_df = spark.createDataFrame(
+                chosen, schema="case_id string, segment_id long"
+            )
+            docs = docs.join(F.broadcast(chosen_df), ["case_id", "segment_id"], "left_semi")
+            complete_after_batch = False
+    if docs.isEmpty():
+        layout.mark_stage("postings", n_buckets=n_buckets)
+        return
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in POSTING_BLOCKS.fields
+    )
+
+    blocks = (
+        docs.select("case_id", "segment_id", "doc_id", "text")
+        .groupBy("case_id", "segment_id")
+        .applyInPandas(_make_block_builder(n_buckets), schema=out_schema)
+    )
+
+    batch = layout.next_batch(layout.postings)
+    staging = layout.staging_dir("postings")
+    (
+        blocks
+        .repartition("term_bucket")
+        .sortWithinPartitions("case_id", "term", "segment_id", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(staging)
+    )
+    layout.commit_batch(staging, layout.postings, batch)
+
+    # lineage + metrics per (case, segment) from the committed batch
+    written = spark.read.parquet(os.path.join(layout.postings, f"commit-{batch:05d}"))
+    seg_metrics = (
+        written.groupBy("case_id", "segment_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.sum(F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("dls_bin")).alias("bytes"),
+        )
+        .collect()
+    )
+    layout.append_lineage(spark, [
+        {
+            "stage": "postings",
+            "partition_key": f"{r.case_id}|{r.segment_id}",
+            "batch": batch,
+            "status": "done",
+            "n_rows": r.n_blocks,
+            "n_postings": r.n_postings,
+            "bytes": r.bytes,
+            "wall_sec": time.time() - t0,
+        }
+        for r in seg_metrics
+    ])
+    if complete_after_batch:
+        layout.mark_stage("postings", n_buckets=n_buckets)
+
+
+# --------------------------------------------------------------------------
+# stage "finalize"
+# --------------------------------------------------------------------------
+
+def salted_sum(df, keys: List[str], sums: dict, salt_col, salt_n: int = SALT_N):
+    """Explicit two-phase salted aggregation (north_rule skew handling):
+    partial agg on (keys + salt) then final agg on keys.  Spark's partial
+    aggregation does this implicitly; the explicit form guarantees the
+    pattern survives plan changes and documents the technique."""
+    from pyspark.sql import functions as F
+
+    partial = df.withColumn("_salt", salt_col % salt_n).groupBy(*keys, "_salt").agg(
+        *[F.sum(c).alias(a) for c, a in sums.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(a).alias(a) for a in sums.values()]
+    )
+
+
+def build_finalize_stage(spark, layout: IndexLayout) -> None:
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    blocks = layout.read_commits(spark, layout.postings).withColumn(
+        "case_id", F.col("case_id").cast("string")
+    ).withColumn("term_bucket", F.col("term_bucket").cast("int"))
+    docs = layout.read_commits(spark, layout.docs).withColumn(
+        "case_id", F.col("case_id").cast("string")
+    )
+
+    term_stats = salted_sum(
+        blocks.select("case_id", "term", "term_bucket", "n", "sum_tf", "segment_id"),
+        ["case_id", "term", "term_bucket"],
+        {"n": "df", "sum_tf": "cf"},
+        salt_col=F.col("segment_id"),
+    ).select("case_id", "term", "term_bucket", F.col("df").cast("long"), F.col("cf").cast("long"))
+
+    staging = layout.staging_dir("term_stats")
+    term_stats.repartition("term_bucket").write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(staging)
+    layout.commit_batch(staging, layout.term_stats, 0)
+
+    corpus_stats = docs.groupBy("case_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_len").cast("long").alias("sum_dl"),
+        (F.sum("doc_len") / F.count("*")).alias("avgdl"),
+    )
+    staging = layout.staging_dir("corpus_stats")
+    corpus_stats.coalesce(1).write.mode("overwrite").parquet(staging)
+    layout.commit_batch(staging, layout.corpus_stats, 0)
+
+    doc_map = docs.select("case_id", "doc_id", "url", "content_hash")
+    staging = layout.staging_dir("doc_map")
+    doc_map.write.mode("overwrite").partitionBy("case_id").parquet(staging)
+    layout.commit_batch(staging, layout.doc_map, 0)
+
+    layout.append_lineage(spark, [{
+        "stage": "finalize", "partition_key": "all", "status": "done",
+        "wall_sec": time.time() - t0,
+    }])
+    layout.mark_stage("finalize")
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def build_index(spark, webtext_df, index_dir: str, *,
+                segment_size: int = DEFAULT_SEGMENT_SIZE,
+                n_buckets: int = DEFAULT_N_BUCKETS,
+                resume: bool = False,
+                n_partitions: int | None = None) -> IndexLayout:
+    """Build (or resume) the full index at ``index_dir``.
+
+    Resume semantics: stage-level markers in the manifest; the postings stage
+    additionally resumes at (case, segment) granularity from lineage rows, so
+    a build killed mid-postings redoes only missing segments.
+    """
+    layout = IndexLayout(index_dir)
+    m = layout.read_manifest()
+    if m and not resume:
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        m = {}
+    if not m:
+        layout.write_manifest({
+            "format_version": INDEX_FORMAT_VERSION,
+            "segment_size": segment_size,
+            "n_buckets": n_buckets,
+        })
+    else:
+        if m.get("format_version") != INDEX_FORMAT_VERSION:
+            raise RuntimeError("index format version mismatch; rebuild required")
+        segment_size = m.get("segment_size", segment_size)
+        n_buckets = m.get("n_buckets", n_buckets)
+    layout.gc_staging()
+
+    if not layout.stage_done("docs"):
+        build_docs_stage(spark, webtext_df, layout, segment_size, n_partitions)
+    if not layout.stage_done("postings"):
+        build_postings_stage(spark, layout, n_buckets, resume=resume)
+    if not layout.stage_done("finalize"):
+        build_finalize_stage(spark, layout)
+    return layout

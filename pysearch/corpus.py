@@ -166,9 +166,13 @@ def extract_text_one(html: bytes) -> str:
 
 
 def extract_text_series(htmls: pd.Series) -> pd.Series:
-    """Vectorized extract_text for pandas UDF use."""
-    s = htmls.map(lambda b: b.decode("utf-8"))
-    body = s.str.slice(len(_PRE), -len(_POST))
+    """Vectorized extract_text for pandas UDF use; null-safe (None in ->
+    None out, rows that are not webtext-wrapped html -> None)."""
+    s = htmls.map(lambda b: b.decode("utf-8") if b is not None else None)
+    ok = s.map(
+        lambda t: t is not None and t.startswith(_PRE) and t.endswith(_POST)
+    )
+    body = s.where(ok).str.slice(len(_PRE), -len(_POST))
     return (
         body.str.replace("&gt;", ">", regex=False)
         .str.replace("&lt;", "<", regex=False)

@@ -1,0 +1,161 @@
+"""Index manifest, batch commits, and per-partition lineage/metrics.
+
+The reference's durability story is a periodically-flushed JSON catalog plus
+CRC-checked sidecar files (/root/reference/internal/doclib/file_desc.go:15-35,
+doc_positions.go:138-169,222-226).  Ours is checkpointed, resumable builds
+(north_rule): every build stage commits atomically (write to a temp dir,
+``os.rename`` into place — the local-parquet stand-in for an Iceberg snapshot
+commit), and the postings stage records one lineage row per (case, segment)
+so a resumed build constructs only the missing segments.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import shutil
+import uuid
+
+
+def _utcnow():
+    return _dt.datetime.now(_dt.timezone.utc)
+
+
+class IndexLayout:
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_path = os.path.join(root, "manifest.json")
+        self.docs = os.path.join(root, "docs")
+        self.doc_map = os.path.join(root, "doc_map")
+        self.postings = os.path.join(root, "postings")
+        self.term_stats = os.path.join(root, "term_stats")
+        self.corpus_stats = os.path.join(root, "corpus_stats")
+        self.lineage = os.path.join(root, "lineage")
+
+    # -- manifest ---------------------------------------------------------
+    def read_manifest(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def write_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True, default=str)
+        os.replace(tmp, self.manifest_path)
+
+    def mark_stage(self, stage: str, **info) -> None:
+        m = self.read_manifest()
+        stages = m.setdefault("stages", {})
+        stages[stage] = {"done": True, "ts": _utcnow().isoformat(), **info}
+        self.write_manifest(m)
+
+    def stage_done(self, stage: str) -> bool:
+        return bool(self.read_manifest().get("stages", {}).get(stage, {}).get("done"))
+
+    # -- atomic batch commits --------------------------------------------
+    def staging_dir(self, table: str) -> str:
+        return os.path.join(self.root, f"_tmp_{table}_{uuid.uuid4().hex}")
+
+    def commit_batch(self, staging: str, table_dir: str, batch: int) -> str:
+        """Atomically move a written staging dir to <table>/commit-<n>.
+
+        Plain (non key=value) names so Spark partition discovery under each
+        commit root sees only the table's real partition columns."""
+        os.makedirs(table_dir, exist_ok=True)
+        final = os.path.join(table_dir, f"commit-{batch:05d}")
+        if os.path.exists(final):
+            raise RuntimeError(f"commit dir already exists: {final}")
+        os.rename(staging, final)
+        return final
+
+    def next_batch(self, table_dir: str) -> int:
+        if not os.path.isdir(table_dir):
+            return 0
+        existing = [
+            int(d.split("-", 1)[1])
+            for d in os.listdir(table_dir)
+            if d.startswith("commit-")
+        ]
+        return max(existing) + 1 if existing else 0
+
+    def list_commits(self, table_dir: str) -> list[str]:
+        if not os.path.isdir(table_dir):
+            return []
+        return sorted(
+            os.path.join(table_dir, d)
+            for d in os.listdir(table_dir)
+            if d.startswith("commit-")
+        )
+
+    def read_commits(self, spark, table_dir: str, schema=None):
+        """Read a table as the union of its committed batches.
+
+        Each commit dir is read as its own single-root parquet tree (so
+        partition discovery inside a commit — e.g. term_bucket=K — stays
+        consistent), then unioned by name; Spark cannot partition-discover
+        across multiple commit roots in one read."""
+        dirs = self.list_commits(table_dir)
+        if not dirs:
+            if schema is not None:
+                return spark.createDataFrame([], schema=schema)
+            raise FileNotFoundError(f"no commits under {table_dir}")
+        out = None
+        for d in dirs:
+            part = spark.read.parquet(d)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def gc_staging(self) -> None:
+        if not os.path.isdir(self.root):
+            return
+        for d in os.listdir(self.root):
+            if d.startswith("_tmp_"):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+    # -- lineage ----------------------------------------------------------
+    def append_lineage(self, spark, rows: list[dict]) -> None:
+        """Append lineage rows as an atomic batch."""
+        import pandas as pd
+        from pysearch.schema import LINEAGE
+
+        if not rows:
+            return
+        now = _utcnow()
+        pdf = pd.DataFrame([
+            {
+                "stage": r["stage"],
+                "partition_key": r["partition_key"],
+                "batch": int(r.get("batch", 0)),
+                "status": r.get("status", "done"),
+                "n_rows": r.get("n_rows"),
+                "n_postings": r.get("n_postings"),
+                "bytes": r.get("bytes"),
+                "wall_sec": r.get("wall_sec"),
+                "ts": now,
+            }
+            for r in rows
+        ])
+        staging = self.staging_dir("lineage")
+        spark.createDataFrame(pdf, schema=LINEAGE).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        self.commit_batch(staging, self.lineage, self.next_batch(self.lineage))
+
+    def read_lineage(self, spark):
+        from pysearch.schema import LINEAGE
+
+        return self.read_commits(spark, self.lineage, schema=LINEAGE)
+
+    def done_partitions(self, spark, stage: str) -> set:
+        df = self.read_lineage(spark)
+        rows = (
+            df.filter((df.stage == stage) & (df.status == "done"))
+            .select("partition_key")
+            .distinct()
+            .collect()
+        )
+        return {r.partition_key for r in rows}

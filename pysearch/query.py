@@ -1,0 +1,287 @@
+"""Top-k query engine over the built index.
+
+Query lifecycle (Spark-first redesign of the reference's
+/root/reference/internal/doclib/search_pdfs.go:114-277 path, SURVEY.md §3.2):
+
+  query string -> analyze() (same chain as indexing)
+    -> read postings with (case_id, term_bucket, term) filters
+       [parquet partition pruning on term_bucket + row-group pruning on term]
+    -> optional lossless segment-level block-max pruning (WAND-style):
+       phase 1 scores the highest-upper-bound segments to establish the
+       running kth score θ; phase 2 scores only segments whose summed
+       per-term upper bound exceeds θ
+    -> groupBy(segment).applyInPandas: decode blocks, BM25, local top-k
+       (all postings of a doc live in one segment, so local sums are final)
+    -> global orderBy(score desc, doc_id asc).limit(k)
+    -> back-join docs (broadcast the tiny hit set) -> phrase-span alignment
+       + Best filter + line numbers.
+
+Unlike the reference (which re-opens index + catalog per query,
+search_pdfs.go:124-134 — SURVEY §7.5 quirk), a Searcher caches corpus/term
+stats and reuses the postings DataFrame across queries.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from pysearch import score as sc
+from pysearch.analyze import analyze, analyze_with_offsets
+from pysearch.build import term_bucket
+from pysearch.lineage import IndexLayout
+
+DEFAULT_MAX_RESULTS = 10  # reference: index_search.go:55-56
+PRUNE_FIRST_SEGMENTS = 8  # segments scored in phase 1 to establish θ
+
+
+class Searcher:
+    def __init__(self, spark, index_dir: str):
+        self.spark = spark
+        self.layout = IndexLayout(index_dir)
+        m = self.layout.read_manifest()
+        if not m.get("stages", {}).get("finalize", {}).get("done"):
+            raise RuntimeError(f"index at {index_dir} is not complete")
+        self.n_buckets = int(m["n_buckets"])
+        from pyspark.sql import functions as F
+
+        def _norm(df):
+            # partition columns (case_id, term_bucket) may come back typed
+            # by directory-name inference; pin them to the schema types
+            out = df
+            if "case_id" in df.columns:
+                out = out.withColumn("case_id", F.col("case_id").cast("string"))
+            if "term_bucket" in df.columns:
+                out = out.withColumn("term_bucket", F.col("term_bucket").cast("int"))
+            return out
+
+        self.postings = _norm(
+            self.layout.read_commits(spark, self.layout.postings)
+        )
+        self.docs = _norm(
+            self.layout.read_commits(spark, self.layout.docs)
+        )
+        self._corpus: Dict[str, tuple] = {
+            str(r["case_id"]): (int(r["n_docs"]), float(r["avgdl"]))
+            for r in self.layout.read_commits(self.spark, self.layout.corpus_stats).collect()
+        }
+        self._term_stats = _norm(
+            self.layout.read_commits(spark, self.layout.term_stats)
+        )
+
+    # ------------------------------------------------------------------
+    def _analyze_query(self, query: str):
+        terms = analyze(query)
+        return terms, Counter(terms)
+
+    def _term_dfs(self, case_id: str, terms: List[str]) -> Dict[str, int]:
+        from pyspark.sql import functions as F
+
+        if not terms:
+            return {}
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        rows = (
+            self._term_stats.filter(
+                (F.col("case_id") == case_id)
+                & F.col("term_bucket").isin(buckets)
+                & F.col("term").isin(list(set(terms)))
+            )
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    # ------------------------------------------------------------------
+    def search_ids(self, query: str, k: int = DEFAULT_MAX_RESULTS,
+                   case_id: str = "0", prune: bool = True) -> pd.DataFrame:
+        """Top-k (doc_id, score), deterministic. k<0 -> reference default
+        (index_search.go:96-97)."""
+        from pyspark.sql import functions as F
+
+        if k is None or k < 0:
+            k = DEFAULT_MAX_RESULTS
+        terms, qtf = self._analyze_query(query)
+        if case_id not in self._corpus:
+            return pd.DataFrame(columns=["doc_id", "score"])
+        n_docs, avgdl = self._corpus[case_id]
+        dfs = self._term_dfs(case_id, terms)
+        live = [t for t in set(terms) if t in dfs]
+        if not live:
+            return pd.DataFrame(columns=["doc_id", "score"])
+        idfs = {t: sc.idf(n_docs, dfs[t]) for t in live}
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in live})
+
+        blocks = self.postings.filter(
+            (F.col("case_id") == case_id)
+            & F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(live)
+        )
+
+        if prune:
+            blocks = self._prune_blocks(blocks, idfs, qtf, avgdl, k)
+
+        pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k)
+        pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="stable").head(k).reset_index(drop=True)
+        return pdf
+
+    def _score_blocks(self, blocks_df, idfs, qtf, avgdl, k) -> pd.DataFrame:
+        """Distributed segment-local scoring -> union of local top-ks."""
+        out_schema = "doc_id long, score double"
+
+        def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = list(
+                zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"], pdf["tfs_bin"],
+                    pdf["dls_bin"])
+            )
+            ids, scores = sc.score_segment_blocks(rows, idfs, qtf, avgdl, k)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        sdf = (
+            blocks_df.select("segment_id", "term", "n", "doc_ids_bin",
+                             "tfs_bin", "dls_bin")
+            .groupBy("segment_id")
+            .applyInPandas(score_one, schema=out_schema)
+        )
+        from pyspark.sql import functions as F
+
+        return (
+            sdf.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .toPandas()
+        )
+
+    def _segment_upper_bounds(self, blocks_df, idfs, qtf, avgdl):
+        """Per-segment summed BM25 upper bound, computed in Spark from block
+        *metadata* only (the packed binary columns are never read — column
+        pruning keeps this a metadata scan)."""
+        from pyspark.sql import functions as F
+
+        from pysearch import B, K1
+
+        widf = F.create_map(
+            *[x for t, v in idfs.items()
+              for x in (F.lit(t), F.lit(v * qtf.get(t, 1)))]
+        )
+        per_term = blocks_df.groupBy("segment_id", "term").agg(
+            F.max("max_tf").alias("mtf"), F.min("min_dl").alias("mdl")
+        )
+        ub = (
+            widf[F.col("term")]
+            * (F.col("mtf") * (K1 + 1.0))
+            / (F.col("mtf") + K1 * (1.0 - B + B * F.col("mdl") / avgdl))
+        )
+        return per_term.withColumn("ub", ub).groupBy("segment_id").agg(
+            F.sum("ub").alias("seg_ub")
+        )
+
+    def _prune_blocks(self, blocks_df, idfs, qtf, avgdl, k):
+        """Lossless WAND-style segment pruning, fully distributed.
+
+        Phase 1 exactly scores the PRUNE_FIRST_SEGMENTS segments with the
+        highest upper bounds to establish θ = running kth score; phase 2
+        keeps only segments whose upper bound exceeds θ (their true scores
+        cannot otherwise reach the top-k).  Only O(PRUNE_FIRST_SEGMENTS + k)
+        rows ever reach the driver."""
+        from pyspark.sql import functions as F
+
+        seg_ub = self._segment_upper_bounds(blocks_df, idfs, qtf, avgdl)
+        n_segs = seg_ub.count()
+        if n_segs <= PRUNE_FIRST_SEGMENTS:
+            return blocks_df
+        phase1 = [
+            r["segment_id"]
+            for r in seg_ub.orderBy(F.col("seg_ub").desc(), F.col("segment_id"))
+            .limit(PRUNE_FIRST_SEGMENTS)
+            .collect()
+        ]
+        p1 = self._score_blocks(
+            blocks_df.filter(F.col("segment_id").isin(phase1)), idfs, qtf, avgdl, k
+        )
+        if len(p1) < k:
+            return blocks_df  # too few hits to establish θ; score everything
+        theta = float(p1["score"].iloc[k - 1])
+        survivors = seg_ub.filter(
+            (F.col("seg_ub") > theta) | F.col("segment_id").isin(phase1)
+        ).select("segment_id")
+        return blocks_df.join(F.broadcast(survivors), "segment_id", "left_semi")
+
+    # ------------------------------------------------------------------
+    def search(self, query: str, k: int = DEFAULT_MAX_RESULTS,
+               case_id: str = "0", prune: bool = True,
+               best_filter: bool = True):
+        """Full search: top-k + phrase spans + Best filter + line numbers.
+
+        Returns a Spark DataFrame with MATCHES schema (SURVEY §1.1 match-set
+        mapping of PdfMatchSet, search_pdfs.go:29-60).
+        """
+        from pyspark.sql import functions as F
+
+        from pysearch.schema import MATCHES
+
+        hits = self.search_ids(query, k, case_id, prune)
+        spark = self.spark
+        if hits.empty:
+            return spark.createDataFrame([], schema=MATCHES)
+        qterms = analyze(query)
+
+        hits_df = spark.createDataFrame(hits, schema="doc_id long, score double")
+        docs = self.docs.filter(F.col("case_id") == case_id).select(
+            "case_id", "doc_id", "url", "text"
+        )
+        joined = docs.join(F.broadcast(hits_df), "doc_id")
+
+        def build_matches(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for r in pdf.itertuples(index=False):
+                toks = analyze_with_offsets(r.text)
+                doc_terms = [t for t, _, _ in toks]
+                offsets = [(s, e) for _, s, e in toks]
+                spans = sc.align_phrase(doc_terms, offsets, qterms)
+                line_nums, lines = [], []
+                for (cs, _ce, _s) in spans:
+                    ln, line = sc.line_lookup(r.text, cs)
+                    line_nums.append(ln)
+                    lines.append(line)
+                out.append({
+                    "case_id": r.case_id,
+                    "doc_id": r.doc_id,
+                    "url": r.url,
+                    "score": float(r.score),
+                    "spans": [
+                        {"start": int(s), "end": int(e), "score": float(sco)}
+                        for (s, e, sco) in spans
+                    ],
+                    "line_nums": line_nums,
+                    "lines": lines,
+                })
+            return pd.DataFrame(out, columns=[
+                "case_id", "doc_id", "url", "score", "spans", "line_nums", "lines",
+            ])
+
+        matches = joined.mapInPandas(
+            lambda it: (build_matches(pdf) for pdf in it), schema=MATCHES
+        )
+
+        if best_filter:
+            # reference Best(): keep only matches whose best span score equals
+            # the global maximum span score (search_pdfs.go:63-102)
+            from pyspark.sql.window import Window
+
+            matches = matches.withColumn(
+                "best_span", F.array_max(F.col("spans.score"))
+            )
+            w = Window.partitionBy(F.lit(1))
+            matches = (
+                matches.withColumn("gmax", F.max("best_span").over(w))
+                .filter(
+                    F.col("best_span").isNotNull()
+                    & (F.col("best_span") >= F.col("gmax"))
+                )
+                .drop("best_span", "gmax")
+            )
+        return matches.orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -1,0 +1,157 @@
+"""BM25 scoring, segment-local top-k, and phrase-span alignment.
+
+Ranking semantics (SURVEY.md §2.10): OR-of-terms match query scored with
+BM25 (k1=1.2, b=0.75 — the graft target's scorer; the reference's bleve
+v0.8.1 used TF-IDF and modern bleve defaults to BM25), then the reference's
+two-stage result shaping: per-hit phrase alignment
+(/root/reference/internal/doclib/search_pdfs.go:382-484, span construction
+:512-516) and the global Best filter that keeps only max-phrase-score spans
+(:63-102, applied at index_search.go:110).
+
+Determinism (rank identity across parallelism/pruning/resume):
+- per-(term, doc) scores are float64 and summed in ascending term order;
+- ties broken by doc_id ascending everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from pysearch import K1, B
+from pysearch import codec
+
+
+def idf(n_docs: int, df: int) -> float:
+    """Lucene/modern-bleve BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    math.log, not np.log — they may differ by 1 ulp and rank identity
+    demands bit-equal scores against the brute oracle."""
+    import math
+
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25(tf, dl, idf_val: float, avgdl: float):
+    """Vectorized BM25 term score for arrays of (tf, dl)."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+    return idf_val * (tf * (K1 + 1.0)) / denom
+
+
+def block_upper_bound(max_tf: int, min_dl: int, idf_val: float, avgdl: float) -> float:
+    """Lossless per-block BM25 upper bound: tf-normalization is increasing
+    in tf and decreasing in dl, so (max_tf, min_dl) bounds every posting."""
+    return float(bm25(np.array([max_tf]), np.array([min_dl]), idf_val, avgdl)[0])
+
+
+def score_segment_blocks(
+    block_rows: Sequence[tuple],
+    idfs: Dict[str, float],
+    qtf: Dict[str, int],
+    avgdl: float,
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Score one segment's posting blocks; return its local top-k.
+
+    ``block_rows``: (term, n, doc_ids_bin, tfs_bin, dls_bin) tuples, any
+    order.  All postings of a doc live in exactly one segment (doc-range
+    partitioning), so the local sum is the doc's complete score and the
+    global answer is the top-k of the union of segment top-ks.
+    """
+    per_term: dict = {}
+    for term, n, ib, tb, db in block_rows:
+        per_term.setdefault(term, []).append((n, ib, tb, db))
+
+    acc: dict = {}
+    ids_all: List[np.ndarray] = []
+    scores_all: List[np.ndarray] = []
+    for term in sorted(per_term):  # deterministic sum order
+        ids_parts, tf_parts, dl_parts = [], [], []
+        for n, ib, tb, db in per_term[term]:
+            i, t, d = codec.unpack_block(n, ib, tb, db)
+            ids_parts.append(i)
+            tf_parts.append(t)
+            dl_parts.append(d)
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        s = bm25(tfs, dls, idfs[term], avgdl) * qtf.get(term, 1)
+        ids_all.append(ids)
+        scores_all.append(s)
+
+    if not ids_all:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    ids = np.concatenate(ids_all)
+    scores = np.concatenate(scores_all)
+    # sum per doc_id: sort by doc_id (stable keeps term-order within doc)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    scores = scores[order]
+    uniq, start = np.unique(ids, return_index=True)
+    sums = np.add.reduceat(scores, start)
+    # local top-k by (score desc, doc_id asc); a full lexsort is cheap at
+    # segment granularity (uniq.size <= segment_size) and keeps tie-breaks
+    # exact even when many docs share the kth score
+    o = np.lexsort((uniq, -sums))[:k]
+    return uniq[o], sums[o]
+
+
+def align_phrase(
+    doc_terms: List[str],
+    offsets: List[Tuple[int, int]],
+    query_terms: List[str],
+) -> List[Tuple[int, int, float]]:
+    """Reference bestPhrases semantics (search_pdfs.go:382-484): for every
+    candidate alignment start, the phrase score is the number of query terms
+    found at their expected consecutive positions; only max-score phrases
+    survive.  Returns [(char_start, char_end, score)] spans."""
+    if not query_terms or not doc_terms:
+        return []
+    positions: dict = {}
+    for p, t in enumerate(doc_terms):
+        positions.setdefault(t, []).append(p)
+
+    cand_starts = set()
+    for i, qt in enumerate(query_terms):
+        for p in positions.get(qt, ()):  # noqa: B905
+            cand_starts.add(p - i)
+
+    if not cand_starts:
+        return []
+    n = len(doc_terms)
+    best: List[Tuple[int, int, int]] = []  # (score, first_pos, last_pos)
+    for s0 in cand_starts:
+        aligned = [
+            s0 + i
+            for i, qt in enumerate(query_terms)
+            if 0 <= s0 + i < n and doc_terms[s0 + i] == qt
+        ]
+        if aligned:
+            best.append((len(aligned), aligned[0], aligned[-1]))
+    if not best:
+        return []
+    max_score = max(b[0] for b in best)
+    spans = []
+    seen = set()
+    for score, first, last in sorted(best, key=lambda b: (b[1], b[2])):
+        if score != max_score:
+            continue
+        key = (first, last)
+        if key in seen:
+            continue
+        seen.add(key)
+        spans.append((offsets[first][0], offsets[last][1], float(score)))
+    return spans
+
+
+def line_lookup(text: str, char_start: int) -> Tuple[int, str]:
+    """1-based line number + line text for a char offset (reference:
+    search_pdfs.go:547-584, binary search over line endings)."""
+    lines = text.split("\n")
+    ends = np.cumsum([len(l) + 1 for l in lines])
+    ln = int(np.searchsorted(ends, char_start, side="right"))
+    ln = min(ln, len(lines) - 1)
+    return ln + 1, lines[ln]

@@ -46,6 +46,8 @@ def build_spark(master: str | None = None, app_name: str = "pysearch",
         .config("spark.driver.memory", os.environ.get("PYSEARCH_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # partition dirs like case_id=6 must read back as strings, not ints
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
