@@ -1,0 +1,83 @@
+"""Scaling-efficiency evidence: the same index build at local[8] vs local[32]
+on the identical input (the in-sandbox stand-in for N vs 4N executors per the
+driver instruction), reported to BENCH/BASELINE.md.
+
+    python BENCH/run_scaling.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+)
+
+
+# 1M docs x ~400B gives enough per-core work that the fixed local-mode
+# overhead (~10s of JVM scheduling) doesn't mask the scaling signal
+BENCH_DOCS = os.environ.get("PYSEARCH_BENCH_DOCS", "1000000")
+
+
+def run(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
+               PYSEARCH_BENCH_DOCS=BENCH_DOCS)
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:] + "\n")
+        raise RuntimeError(f"bench.py (cpus={cpus}) produced no JSON line")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    thr_lo = r_lo["index_docs_per_sec"]
+    thr_hi = r_hi["index_docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    md = f"""# BENCH/BASELINE — measured results
+
+Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()} on local[{lo}] vs local[{hi}]
+(single-node stand-in for N vs 4N executors), sf dir `{SF_DIR}`,
+bench corpus = {r_lo['bench_corpus_docs']} docs (FIXTURES.md §5 case-7 generator, docLen=400).
+
+| metric | local[{lo}] | local[{hi}] |
+|---|---|---|
+| index build (s) | {r_lo['queries']['index_build']} | {r_hi['queries']['index_build']} |
+| indexing throughput (docs/sec) | {thr_lo} | {thr_hi} |
+| query p95 (s, warm, k=10) | {r_lo['query_p95_sec']} | {r_hi['query_p95_sec']} |
+
+**Scaling efficiency** ({lo} -> {hi} cores): eff = (thr_{hi}/thr_{lo}) / {hi // lo}
+= ({thr_hi} / {thr_lo}) / {hi // lo} = **{eff:.3f}** (target >= 0.8 per BASELINE.json;
+see ANALYSIS below if under).
+
+Rank identity across parallelism levels is enforced by the pytest goldens
+(tests/test_engine.py::test_rank_identity_goldens) and the doc_id
+partition-invariance test.
+
+Raw JSON:
+
+```json
+{json.dumps(r_lo)}
+{json.dumps(r_hi)}
+```
+"""
+    out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out, "w") as f:
+        f.write(md)
+    print(md)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

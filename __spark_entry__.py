@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship path: a real pysearch index build + BM25 search
+over the sf0.001 documents table.  ``queries``/``oracle_sql`` expose the
+operator registry in ``pysearch.ops`` (fulltext, dedup, ANN, text-analysis,
+relational families) for the driver's DuckDB cross-check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents with the
+    real engine, then run a BM25 top-10 search with phrase spans."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+    from pysearch.session import _ensure_pythonpath
+
+    _ensure_pythonpath()
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    webtext = docs.select(
+        F.format_string("doc://docs/%06d", F.col("doc_id")).alias("url"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    index_dir = "/tmp/pysearch_flagship_index"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_index(spark, webtext, index_dir, segment_size=128)
+    searcher = Searcher(spark, index_dir)
+    return searcher.search("spark join fast", k=10, case_id="0", best_filter=False)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator family member (see pysearch.ops)."""
+    from pysearch.ops import OPS
+    from pysearch.session import _ensure_pythonpath
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _ensure_pythonpath()
+    return {name: fn for name, (fn, _sql) in OPS.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents, aligned column names/values."""
+    from pysearch.ops import OPS
+
+    return {name: sql for name, (_fn, sql) in OPS.items() if sql is not None}

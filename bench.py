@@ -1,0 +1,138 @@
+"""Benchmark driver — prints ONE JSON line per the graft contract.
+
+Headline numbers:
+- ``index_build``: full SPIMI index build over the FIXTURES.md §5 bench
+  corpus (doMatch case-7 arithmetic scaled to the sf level, docLen=400)
+  -> docs/sec.
+- ``q_*``: warm query latencies over the engine (the case-7 phrase plus a
+  mix of rare/common terms) and the headline ops queries (BM25-in-SQL,
+  minhash pairs, ann top-k, relational aggregates) at the sf dir.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32).
+
+Scaling evidence (local[8] vs local[32]) is produced by
+``python BENCH/run_scaling.py`` which shells out to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# bench corpus size by sf level (FIXTURES.md §5: case-7 generator, docLen=400)
+BENCH_DOCS = {"0.001": 1000, "0.01": 5000, "0.1": 50000}
+ENGINE_QUERIES = [
+    "a cornucopia of",
+    "cornucopia",
+    "software stack",
+    "pdf full text search",
+    "customer problems",
+    "library ecosystem",
+    "indexing and search",
+    "unexpected ways",
+]
+OPS_QUERIES = [
+    "t1_bm25_top10",
+    "a2_term_df_top50",
+    "dd_minhash_pairs",
+    "dd_simhash",
+    "ann_cosine_top5",
+    "tx_quality",
+    "rel_q1_pricing",
+    "rel_nation_revenue",
+]
+
+
+def sf_label(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def main() -> None:
+    from pysearch.session import build_spark
+
+    t_all = time.time()
+    spark = build_spark(master=f"local[{CPUS}]", app_name="pysearch-bench",
+                        shuffle_partitions=CPUS)
+    timings: dict = {}
+    sf = sf_label(SF_DIR)
+
+    # ---- index build throughput over the bench corpus ------------------
+    from pysearch import corpus
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+
+    n_docs = int(os.environ.get("PYSEARCH_BENCH_DOCS", 0)) or BENCH_DOCS.get(sf, 5000)
+    bench_case = [(7, "a cornucopia of", n_docs, 400)]
+    # the input is "an Iceberg table of web pages": materialize the corpus
+    # to parquet first (not timed), then time the build from storage
+    corpus_dir = f"/tmp/pysearch_bench_corpus_{n_docs}"
+    if not os.path.isdir(corpus_dir):
+        corpus.webtext_df(spark, cases=bench_case,
+                          partitions=max(CPUS * 2, 16)).write.mode(
+            "overwrite").parquet(corpus_dir + ".tmp")
+        os.rename(corpus_dir + ".tmp", corpus_dir)
+    wt = spark.read.parquet(corpus_dir)
+    index_dir = f"/tmp/pysearch_bench_index_{CPUS}"
+    # warmup build (tiny, untimed): JIT/classloading/python-worker spin-up
+    # otherwise lands in the first timed build
+    warm = corpus.webtext_df(spark, cases=[(1, "be the person who", 500, 200)])
+    shutil.rmtree(index_dir + "_warm", ignore_errors=True)
+    build_index(spark, warm, index_dir + "_warm", segment_size=128)
+    shutil.rmtree(index_dir + "_warm", ignore_errors=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, wt, index_dir, segment_size=512, n_partitions=CPUS * 2)
+    dt_build = time.time() - t0
+    timings["index_build"] = round(dt_build, 3)
+    docs_per_sec = n_docs / dt_build
+
+    # ---- engine query latencies (warm) ----------------------------------
+    searcher = Searcher(spark, index_dir)
+    searcher.search_ids("cornucopia", k=10, case_id="7")  # warm caches
+    q_times = []
+    for i, q in enumerate(ENGINE_QUERIES):
+        t0 = time.time()
+        searcher.search_ids(q, k=10, case_id="7")
+        dt = time.time() - t0
+        q_times.append(dt)
+        timings[f"q_engine_{i}"] = round(dt, 3)
+    q_times.sort()
+    p95 = q_times[min(len(q_times) - 1, int(round(0.95 * len(q_times))) )]
+
+    # ---- ops queries over the sf tables ---------------------------------
+    from pysearch.ops import OPS
+
+    for name in OPS_QUERIES:
+        fn, _ = OPS[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        timings[f"q_{name}"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    out = {
+        "metric": "total_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "bench_corpus_docs": n_docs,
+        "index_docs_per_sec": round(docs_per_sec, 2),
+        "query_p95_sec": round(p95, 3),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

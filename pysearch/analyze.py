@@ -115,3 +115,48 @@ def analyze_with_offsets(text: str) -> List[Tuple[str, int, int]]:
 def analyze_series(texts) -> "object":
     """Vectorized batch entry point: pd.Series[str] -> pd.Series[list[str]]."""
     return texts.map(analyze)
+
+
+def analyze_batch(texts):
+    """Batch-analyze many documents with per-UNIQUE-token normalization.
+
+    Returns (uniq_terms: object ndarray, codes: int64 ndarray, doc_idx:
+    int64 ndarray, dls: int64 ndarray) where ``uniq_terms[codes[i]]`` is the
+    i-th surviving token (document order), ``doc_idx[i]`` its 0-based doc,
+    and ``dls`` the per-doc surviving-token counts.  The expensive Python
+    normalization (possessive/stop/stem) runs once per unique raw token —
+    ~vocabulary-sized, not corpus-sized — which is what makes the posting
+    builder scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(texts)
+    raw_lists = [_TOKEN_RE.findall(t) for t in texts]
+    raw_lens = np.fromiter((len(x) for x in raw_lists), dtype=np.int64, count=n)
+    if int(raw_lens.sum()) == 0:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64), np.zeros(n, dtype=np.int64))
+    flat = np.empty(int(raw_lens.sum()), dtype=object)
+    pos = 0
+    for lst in raw_lists:
+        flat[pos:pos + len(lst)] = lst
+        pos += len(lst)
+    raw_codes, uniq_raw = pd.factorize(flat)
+    mapped = np.array([_norm(u) or "" for u in uniq_raw], dtype=object)
+    final_codes_of_raw, uniq_terms = pd.factorize(mapped)
+    # stopwords map to "" — find its final code (if present) to drop below
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+    codes = final_codes_of_raw[raw_codes]
+    keep = mapped[raw_codes] != ""
+    codes = codes[keep].astype(np.int64)
+    doc_idx = doc_idx[keep]
+    dls = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    # re-factorize kept codes so uniq_terms has no "" entry holes
+    if (uniq_terms == "").any():
+        # build compact remap: old final code -> new dense code
+        keep_term = uniq_terms != ""
+        new_of_old = np.cumsum(keep_term) - 1
+        codes = new_of_old[codes]
+        uniq_terms = uniq_terms[keep_term]
+    return np.asarray(uniq_terms, dtype=object), codes, doc_idx, dls

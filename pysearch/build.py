@@ -43,13 +43,17 @@ import numpy as np
 import pandas as pd
 
 from pysearch import codec
-from pysearch.analyze import analyze
+from pysearch.analyze import analyze_batch
 from pysearch.lineage import IndexLayout
 from pysearch.version import INDEX_FORMAT_VERSION
 
 DEFAULT_SEGMENT_SIZE = 4096
 DEFAULT_N_BUCKETS = 64
 SALT_N = 16
+
+from pysearch.schema import POSTING_BLOCKS as _POSTING_BLOCKS_SCHEMA  # noqa: E402
+
+_BLOCK_FIELDS = _POSTING_BLOCKS_SCHEMA.fields
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
@@ -64,6 +68,11 @@ def term_bucket(term: str, n_buckets: int) -> int:
 
 def _assign_doc_ids(spark, df, n_partitions: int):
     """Deterministic per-case doc_id = rank of url (1-based).
+
+    Meant to run on a text-free projection (case_id, url[, content_hash]) so
+    the shuffles here never carry document bodies; the caller joins the
+    resulting id map back to the full rows (AQE turns that into a broadcast
+    join when the map is small).
 
     Range-partition by (case_id, url), sort within partitions, persist to pin
     the layout, then compute per-(partition, case) counts and assign
@@ -120,7 +129,7 @@ def _assign_doc_ids(spark, df, n_partitions: int):
             yield out
 
     assigned = sorted_df.mapInPandas(assign, schema=out_schema)
-    return assigned, sorted_df
+    return assigned, sorted_df, counts
 
 
 def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
@@ -137,7 +146,7 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     # S4 text extraction: derive text from html when the text column is
     # missing/null (per-row invariant: byte-identical to provided text —
     # validated in tests on the fixture corpus)
-    if "text" not in df.columns or "html" in df.columns:
+    if "text" not in df.columns:
         from pyspark.sql import types as T
 
         from pysearch.corpus import extract_text_series
@@ -146,54 +155,65 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         def extract_udf(htmls: pd.Series) -> pd.Series:
             return extract_text_series(htmls)
 
-        if "text" not in df.columns:
-            df = df.withColumn("text", extract_udf("html"))
-        else:
-            df = df.withColumn(
-                "text",
-                F.when(F.col("text").isNotNull(), F.col("text")).otherwise(
-                    F.when(F.col("html").isNotNull(), extract_udf("html"))
-                ),
-            )
+        df = df.withColumn("text", extract_udf("html"))
+    elif "html" in df.columns:
+        from pyspark.sql import types as T
+
+        from pysearch.corpus import extract_text_series
+
+        @F.pandas_udf(T.StringType())
+        def extract_udf(htmls: pd.Series) -> pd.Series:
+            return extract_text_series(htmls)
+
+        # run the extraction UDF only on the rows that need it (a blanket
+        # when/otherwise would push every row through the Python worker)
+        with_text = df.filter(F.col("text").isNotNull())
+        need = df.filter(F.col("text").isNull() & F.col("html").isNotNull())
+        df = with_text.unionByName(need.withColumn("text", extract_udf("html")))
     df = df.filter(F.col("text").isNotNull())
-    df = df.withColumn(
-        "content_hash",
-        F.when(F.col("html").isNotNull(), F.sha2(F.col("html"), 256)).otherwise(
-            F.sha2(F.encode(F.col("text"), "utf-8"), 256)
-        ),
+    text_hash = F.sha2(F.encode(F.col("text"), "utf-8"), 256)
+    if "html" in df.columns:
+        content_hash = F.when(
+            F.col("html").isNotNull(), F.sha2(F.col("html"), 256)
+        ).otherwise(text_hash)
+    else:
+        content_hash = text_hash
+    # P1 empty filter
+    df = df.withColumn("content_hash", content_hash).filter(
+        F.length(F.col("text")) > 0
+    ).select("case_id", "url", "content_hash", "text")
+
+    # P3 url dedupe + P4 content dedupe (done for real; the reference's is
+    # dead code, bleve_pdf.go:395-409) AND doc_id assignment, all computed on
+    # a text-free projection: no shuffle in this stage ever carries document
+    # bodies.  The resulting id map (winners only) joins back to the full
+    # rows below — dedupe and id assignment in one inner join, which AQE
+    # executes as a broadcast join when the map is small.
+    proj = df.select("case_id", "url", "content_hash")
+    w_url = Window.partitionBy("case_id", "url").orderBy("content_hash")
+    w_hash = Window.partitionBy("case_id", "content_hash").orderBy("url")
+    winners = (
+        proj.withColumn("_r", F.row_number().over(w_url)).filter("_r = 1")
+        .withColumn("_r2", F.row_number().over(w_hash)).filter("_r2 = 1")
+        .select("case_id", "url", "content_hash")
     )
-    # P1 empty filter + P3 url dedupe
-    df = df.filter(F.length(F.col("text")) > 0).dropDuplicates(["case_id", "url"])
-    # P4 content dedupe for real: keep first url per (case, content_hash)
-    w_rank = F.row_number().over(
-        Window.partitionBy("case_id", "content_hash").orderBy("url")
-    )
-    df = df.withColumn("_dup", w_rank).filter(F.col("_dup") == 1).drop("_dup")
+    id_map, pinned, counts = _assign_doc_ids(spark, winners, n_partitions)
+    assigned = df.join(id_map, ["case_id", "url", "content_hash"], "inner")
 
-    df = df.select("case_id", "url", "content_hash", "text")
-    assigned, pinned = _assign_doc_ids(spark, df, n_partitions)
-
-    # doc_len via the analyzer (vectorized, arrow-batched)
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.LongType())
-    def doc_len_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: len(analyze(t)))
-
+    # doc_len is NOT computed here: the postings stage tokenizes anyway and
+    # sum(tf) over a doc's terms == its analyzed length, so corpus_stats
+    # derives avgdl from block metadata (finalize) — one analyzer pass total
     docs = (
         assigned.withColumn("segment_id", (F.col("doc_id") - 1) / segment_size)
         .withColumn("segment_id", F.floor("segment_id").cast("long"))
-        .withColumn("doc_len", doc_len_udf("text"))
-        .select("case_id", "doc_id", "segment_id", "url", "content_hash", "text", "doc_len")
+        .select("case_id", "doc_id", "segment_id", "url", "content_hash", "text")
     )
 
     staging = layout.staging_dir("docs")
     docs.write.mode("overwrite").partitionBy("case_id").parquet(staging)
     layout.commit_batch(staging, layout.docs, 0)
+    n = sum(r["count"] for r in counts)  # already collected for the offsets
     pinned.unpersist()
-
-    docs_back = layout.read_commits(spark, layout.docs)
-    n = docs_back.count()
     layout.append_lineage(spark, [{
         "stage": "docs", "partition_key": "all", "status": "done",
         "n_rows": n, "wall_sec": time.time() - t0,
@@ -209,46 +229,46 @@ def _make_block_builder(n_buckets: int):
     def build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         case_id = str(key[0])
         segment_id = int(key[1])
-        # vectorized analyze over the segment's docs
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         order = np.argsort(doc_ids, kind="stable")
         doc_ids = doc_ids[order]
         texts = pdf["text"].to_numpy()[order]
+        n_docs = doc_ids.size
 
-        term_docs: dict = {}
-        dls = np.empty(doc_ids.size, dtype=np.int64)
-        for j in range(doc_ids.size):
-            toks = analyze(texts[j])
-            dls[j] = len(toks)
-            counts: dict = {}
-            for t in toks:
-                counts[t] = counts.get(t, 0) + 1
-            for t, c in counts.items():
-                term_docs.setdefault(t, []).append((j, c))
+        # tokenize: Python cost is per UNIQUE raw token, everything else numpy
+        uniq_terms, codes, d_of_tok, dls = analyze_batch(list(texts))
+        if codes.size == 0:
+            return pd.DataFrame(columns=[f.name for f in _BLOCK_FIELDS])
+
+        # (term, doc) -> tf via sorted composite keys: term groups come out
+        # contiguous with doc runs already sorted, the layout pack_run wants
+        keys = codes * n_docs + d_of_tok
+        uniq_keys, tfs_all = np.unique(keys, return_counts=True)
+        term_code = uniq_keys // n_docs
+        d_idx = (uniq_keys % n_docs).astype(np.int64)
+        # contiguous term group boundaries
+        group_starts = np.flatnonzero(
+            np.diff(term_code, prepend=term_code[0] - 1)
+        )
+        group_ends = np.append(group_starts[1:], uniq_keys.size)
 
         rows: List[tuple] = []
-        for term in sorted(term_docs):
-            pairs = term_docs[term]
-            idx = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
-            tfs = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
-            ids = doc_ids[idx]
-            dl = dls[idx]
+        for gs, ge in zip(group_starts, group_ends):
+            term = str(uniq_terms[term_code[gs]])
+            sl = slice(gs, ge)
+            ids = doc_ids[d_idx[sl]]
+            tfs = tfs_all[sl].astype(np.int64)
+            dl = dls[d_idx[sl]]
             tb = term_bucket(term, n_buckets)
             for (b, cnt, ib, tfb, dlb, mn, mx, mtf, mdl) in codec.pack_run(ids, tfs, dl):
                 crc = zlib.crc32(ib) ^ zlib.crc32(tfb) ^ zlib.crc32(dlb)
                 rows.append((
                     case_id, term, tb, segment_id, b, cnt, ib, tfb, dlb,
-                    mn, mx, mtf, mdl, int(tfs[b * codec.BLOCK_SIZE:(b + 1) * codec.BLOCK_SIZE].sum()),
+                    mn, mx, mtf, mdl,
+                    int(tfs[b * codec.BLOCK_SIZE:(b + 1) * codec.BLOCK_SIZE].sum()),
                     crc,
                 ))
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "case_id", "term", "term_bucket", "segment_id", "block_id", "n",
-                "doc_ids_bin", "tfs_bin", "dls_bin", "min_doc_id", "max_doc_id",
-                "max_tf", "min_dl", "sum_tf", "crc32",
-            ],
-        )
+        return pd.DataFrame(rows, columns=[f.name for f in _BLOCK_FIELDS])
 
     return build_blocks
 
@@ -290,7 +310,7 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
             )
             docs = docs.join(F.broadcast(chosen_df), ["case_id", "segment_id"], "left_semi")
             complete_after_batch = False
-    if docs.isEmpty():
+    if done and docs.isEmpty():  # only a resumed build can have nothing left
         layout.mark_stage("postings", n_buckets=n_buckets)
         return
 
@@ -387,10 +407,17 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
     ).parquet(staging)
     layout.commit_batch(staging, layout.term_stats, 0)
 
-    corpus_stats = docs.groupBy("case_id").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("doc_len").cast("long").alias("sum_dl"),
-        (F.sum("doc_len") / F.count("*")).alias("avgdl"),
+    # avgdl from block metadata: sum(tf) over a doc's postings == its
+    # analyzed token count, so sum(sum_tf) over blocks == sum(doc_len),
+    # exactly (integer arithmetic) — saves a second analyzer pass over text
+    n_per_case = docs.groupBy("case_id").agg(F.count("*").cast("long").alias("n_docs"))
+    dl_per_case = blocks.groupBy("case_id").agg(
+        F.sum("sum_tf").cast("long").alias("sum_dl")
+    )
+    corpus_stats = (
+        n_per_case.join(dl_per_case, "case_id", "left")
+        .fillna({"sum_dl": 0})
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
     )
     staging = layout.staging_dir("corpus_stats")
     corpus_stats.coalesce(1).write.mode("overwrite").parquet(staging)

@@ -1,0 +1,100 @@
+"""spark-submit entry points: index / search / bench.
+
+On a real cluster:
+
+    zip -r pysearch.zip pysearch
+    spark-submit --py-files pysearch.zip -m pysearch.cli index \\
+        --input s3://bucket/webtext --output s3://bucket/index
+
+(north_rule: the whole pipeline runs via spark-submit --py-files on
+multi-executor clusters.)  Locally the session factory pins PYTHONPATH so the
+same commands work without the zip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zipfile
+
+
+def make_pyfiles_zip(out_path: str = "pysearch.zip") -> str:
+    """Package the library for spark-submit --py-files."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    return out_path
+
+
+def cmd_index(args) -> None:
+    from pysearch.build import build_index
+    from pysearch.session import build_spark
+
+    spark = build_spark(master=args.master, app_name="pysearch-index")
+    df = spark.read.parquet(args.input)
+    build_index(
+        spark, df, args.output,
+        segment_size=args.segment_size, n_buckets=args.buckets,
+        resume=args.resume,
+    )
+    print(f"index built at {args.output}")
+    spark.stop()
+
+
+def cmd_search(args) -> None:
+    from pysearch.query import Searcher
+    from pysearch.session import build_spark
+
+    spark = build_spark(master=args.master, app_name="pysearch-search")
+    s = Searcher(spark, args.index)
+    result = s.search(args.query, k=args.k, case_id=args.case_id,
+                      prune=not args.no_prune)
+    result.show(args.k, truncate=80)
+    spark.stop()
+
+
+def cmd_package(args) -> None:
+    print(make_pyfiles_zip(args.output))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="pysearch")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build an index from webtext parquet")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--output", required=True)
+    pi.add_argument("--segment-size", type=int, default=4096)
+    pi.add_argument("--buckets", type=int, default=64)
+    pi.add_argument("--resume", action="store_true")
+    pi.add_argument("--master", default=None)
+    pi.set_defaults(fn=cmd_index)
+
+    ps = sub.add_parser("search", help="top-k search over a built index")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--query", required=True)
+    ps.add_argument("-k", type=int, default=10)
+    ps.add_argument("--case-id", default="0")
+    ps.add_argument("--no-prune", action="store_true")
+    ps.add_argument("--master", default=None)
+    ps.set_defaults(fn=cmd_search)
+
+    pb = sub.add_parser("bench", help="run the benchmark (one JSON line)")
+    pb.set_defaults(fn=lambda a: __import__("bench").main())
+
+    pz = sub.add_parser("package", help="write pysearch.zip for --py-files")
+    pz.add_argument("--output", default="pysearch.zip")
+    pz.set_defaults(fn=cmd_package)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,37 @@ import numpy as np
 BLOCK_SIZE = 128  # postings per block
 
 
+def varint_encode_with_offsets(values: np.ndarray):
+    """LEB128-encode a uint64 array; also return the byte offset of each
+    value (length n+1) so callers can slice the buffer into sub-runs without
+    re-encoding (pack_run encodes each term run once and slices blocks)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    starts = offsets[:-1]
+    shifted = v.copy()
+    remaining = nbytes.copy()
+    pos = 0
+    while (remaining > 0).any():
+        active = remaining > 0
+        idx = starts[active] + pos
+        byte = (shifted[active] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (remaining[active] > 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        shifted[active] >>= np.uint64(7)
+        remaining[active] -= 1
+        pos += 1
+    return out.tobytes(), offsets
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array. Vectorized over byte positions."""
     v = np.asarray(values, dtype=np.uint64)
@@ -98,21 +129,30 @@ def pack_run(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray):
     BM25 upper bound for the block:
         ub = idf * (k1+1) * max_tf / (max_tf + K(min_dl))
     since tf-normalization is increasing in tf and decreasing in dl.
+
+    The whole run is varint-encoded once (three buffers) and blocks are
+    byte slices: each block's first doc id is stored absolute (the gap at
+    block starts is replaced pre-encoding) so blocks stay independently
+    decodable.
     """
     n = doc_ids.size
+    gaps = delta_encode(doc_ids)
+    gaps[::BLOCK_SIZE] = doc_ids[::BLOCK_SIZE]  # block-local absolute base
+    id_buf, id_off = varint_encode_with_offsets(gaps.astype(np.uint64))
+    tf_buf, tf_off = varint_encode_with_offsets(np.asarray(tfs, dtype=np.uint64))
+    dl_buf, dl_off = varint_encode_with_offsets(np.asarray(dls, dtype=np.uint64))
     for b, start in enumerate(range(0, n, BLOCK_SIZE)):
-        sl = slice(start, min(start + BLOCK_SIZE, n))
-        ids = doc_ids[sl]
-        t = tfs[sl]
-        d = dls[sl]
+        end = min(start + BLOCK_SIZE, n)
+        t = tfs[start:end]
+        d = dls[start:end]
         yield (
             b,
-            int(ids.size),
-            varint_encode(delta_encode(ids).astype(np.uint64)),
-            varint_encode(t.astype(np.uint64)),
-            varint_encode(d.astype(np.uint64)),
-            int(ids[0]),
-            int(ids[-1]),
+            int(end - start),
+            id_buf[id_off[start]:id_off[end]],
+            tf_buf[tf_off[start]:tf_off[end]],
+            dl_buf[dl_off[start]:dl_off[end]],
+            int(doc_ids[start]),
+            int(doc_ids[end - 1]),
             int(t.max()),
             int(d.min()),
         )

@@ -1,0 +1,735 @@
+"""Operator registry for the driver contract (__spark_entry__).
+
+Each op is registered as ``name -> (spark_builder, oracle_sql)`` where the
+builder is ``(spark, sf_dir) -> DataFrame`` (idiomatic DataFrame API) and
+``oracle_sql`` is the equivalent ANSI/DuckDB SQL over the same parquet tables
+(views: region nation customer supplier part orders lineitem events documents
+embeddings).  Column names and value semantics are aligned on both sides so
+the driver's order-insensitive value-hash comparison passes.
+
+Names key back to SURVEY.md §2's operator inventory (a2 = aggregations row 2,
+t1 = top-k, p4 = dedup, j1 = query-term join, ...) plus the training-data
+pipeline families: dd_* dedup, ann_* similarity search, tx_* text analysis,
+rel_* relational coverage.
+
+Portability notes (both engines must produce bit-identical values):
+- tokens = split(text, ' ') with empty strings dropped;
+- portable 32-bit term hash = first 8 hex chars of md5, parsed base-16
+  (Spark ``conv(...,16,10)`` == DuckDB ``('0x'||...)::bigint``);
+- floats rounded via round(x, 4) after identical-op-order arithmetic;
+- cosine = explicit dot/(norm*norm) with sequential accumulation, not an
+  engine-specific builtin with unknown summation order.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+OPS: Dict[str, Tuple[Callable, Optional[str]]] = {}
+
+
+def op(name: str, sql: Optional[str]):
+    def deco(fn):
+        OPS[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def _t(spark, sf_dir: str, name: str):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(spark, sf_dir):
+    """(doc_id, term) exploded token table — the shared scan for text ops."""
+    from pyspark.sql import functions as F
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("term"),
+    )
+
+
+_TOK_CTE = (
+    "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),"
+    " x -> x <> '')) AS term FROM documents)"
+)
+
+# portable md5-based 32-bit hash (see module docstring)
+_HEX_SPARK = "cast(conv(substr(md5({x}), 1, 8), 16, 10) as bigint)"
+_HEX_DUCK = "(('0x' || substr(md5({x}), 1, 8))::bigint)"
+
+
+# ---------------------------------------------------------------------------
+# fulltext family (SURVEY §2 inventory)
+# ---------------------------------------------------------------------------
+
+@op("a1_corpus_stats", f"""
+{_TOK_CTE}, dl AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id)
+SELECT count(*) AS n_docs, sum(n_tok) AS total_tokens,
+       round(avg(n_tok), 4) AS avgdl_r
+FROM dl
+""")
+def a1_corpus_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avgdl_r"),
+        )
+    )
+
+
+@op("a2_term_df_top50", f"""
+{_TOK_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM tok
+GROUP BY term ORDER BY df DESC, term LIMIT 50
+""")
+def a2_term_df_top50(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "term").limit(50)
+    )
+
+
+@op("a2_term_cf_top50", f"""
+{_TOK_CTE}
+SELECT term, count(*) AS cf FROM tok
+GROUP BY term ORDER BY cf DESC, term LIMIT 50
+""")
+def a2_term_cf_top50(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("term").agg(F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), "term").limit(50)
+    )
+
+
+_BM25_TERMS = ("spark", "join", "fast")
+
+@op("t1_bm25_top10", f"""
+{_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES {",".join(f"('{t}')" for t in _BM25_TERMS)}),
+dfq AS (SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN q ON tf.term = q.term GROUP BY tf.term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN dfq ON tf.term = dfq.term
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score_r FROM sc ORDER BY s DESC, doc_id LIMIT 10
+""")
+def t1_bm25_top10(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) OR-of-terms top-10 — the engine's scoring
+    semantics expressed as a pure Catalyst plan (broadcast term join +
+    two hash aggs), SQL-checkable against DuckDB."""
+    from pyspark.sql import functions as F
+
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    st = dl.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
+    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    dfq = tf.join(F.broadcast(q), "term").groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    sc = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .withColumn(
+            "contrib",
+            F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        sc.orderBy(F.desc("s"), "doc_id").limit(10)
+        .select("doc_id", F.round("s", 4).alias("score_r"))
+    )
+
+
+@op("j1_term_doc_join", f"""
+{_TOK_CTE},
+q(term) AS (VALUES ('spark'),('vector'),('stream'))
+SELECT doc_id, count(DISTINCT tok.term) AS n_terms, count(*) AS tf_sum
+FROM tok JOIN q ON tok.term = q.term
+GROUP BY doc_id ORDER BY doc_id
+""")
+def j1_term_doc_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    q = spark.createDataFrame([("spark",), ("vector",), ("stream",)], "term string")
+    return (
+        _tokens(spark, sf_dir)
+        .join(F.broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_terms"), F.count("*").alias("tf_sum"))
+        .orderBy("doc_id")
+    )
+
+
+@op("p1_nonempty_truncate", """
+SELECT doc_id, n_chars, substr(text, 1, 40) AS head40
+FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id
+""")
+def p1_nonempty_truncate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "n_chars", F.substring("text", 1, 40).alias("head40"))
+        .orderBy("doc_id")
+    )
+
+
+@op("p4_dedup_exact", """
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) ORDER BY content_hash
+""")
+def p4_dedup_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.encode("text", "utf-8")).alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("content_hash")
+    )
+
+
+@op("p5_best_per_source", """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         max(n_chars) OVER (PARTITION BY source) AS mx
+  FROM documents) WHERE n_chars = mx ORDER BY source, doc_id
+""")
+def p5_best_per_source(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source")
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("mx", F.max("n_chars").over(w))
+        .filter(F.col("n_chars") == F.col("mx"))
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
+@op("t2_sort_limit", """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+""")
+def t2_sort_limit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(20)
+    )
+
+
+@op("j4_set_ops", f"""
+{_TOK_CTE}
+SELECT term FROM (
+  SELECT DISTINCT term FROM tok JOIN documents USING (doc_id) WHERE source = 'src1'
+  INTERSECT
+  SELECT DISTINCT term FROM tok JOIN documents USING (doc_id) WHERE source = 'src2'
+) ORDER BY term
+""")
+def j4_set_ops(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = _tokens(spark, sf_dir).join(docs.select("doc_id", "source"), "doc_id")
+    a = tok.filter("source = 'src1'").select("term").distinct()
+    b = tok.filter("source = 'src2'").select("term").distinct()
+    return a.intersect(b).orderBy("term")
+
+
+@op("f8_fingerprint", """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id
+""")
+def f8_fingerprint(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.encode(F.lower(F.trim("text")), "utf-8")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+@op("f11_json_props", """
+SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def f11_json_props(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+_N_MINHASH = 8
+
+@op("dd_minhash_sigs", f"""
+{_TOK_CTE},
+terms AS (SELECT DISTINCT doc_id, term FROM tok),
+h AS (SELECT doc_id, t.hash_id,
+             {_HEX_DUCK.format(x="t.hash_id::VARCHAR || '|' || term")} AS hv
+      FROM terms, range({_N_MINHASH}) AS t(hash_id))
+SELECT doc_id, hash_id, min(hv) AS min_hash FROM h
+GROUP BY doc_id, hash_id ORDER BY doc_id, hash_id
+""")
+def dd_minhash_sigs(spark, sf_dir):
+    """MinHash signatures: portable md5-derived hash family; the LSH
+    band-bucket join in dd_minhash_pairs consumes these."""
+    from pyspark.sql import functions as F
+
+    terms = _tokens(spark, sf_dir).distinct()
+    h = terms.withColumn(
+        "hash_id", F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1)))
+    ).withColumn(
+        "hv",
+        F.expr(_HEX_SPARK.format(x="concat(cast(hash_id as string), '|', term)")),
+    )
+    return (
+        h.groupBy("doc_id", "hash_id").agg(F.min("hv").alias("min_hash"))
+        .orderBy("doc_id", "hash_id")
+    )
+
+
+@op("dd_minhash_pairs", f"""
+{_TOK_CTE},
+terms AS (SELECT DISTINCT doc_id, term FROM tok),
+h AS (SELECT doc_id, t.hash_id,
+             {_HEX_DUCK.format(x="t.hash_id::VARCHAR || '|' || term")} AS hv
+      FROM terms, range({_N_MINHASH}) AS t(hash_id)),
+sig AS (SELECT doc_id, hash_id, min(hv) AS min_hash FROM h GROUP BY doc_id, hash_id),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_match
+  FROM sig a JOIN sig b ON a.hash_id = b.hash_id AND a.min_hash = b.min_hash
+       AND a.doc_id < b.doc_id
+  WHERE a.doc_id < 60 AND b.doc_id < 60
+  GROUP BY a.doc_id, b.doc_id)
+SELECT a, b, round(n_match / {_N_MINHASH}.0, 4) AS sim_est
+FROM pairs WHERE n_match >= 4 ORDER BY a, b
+""")
+def dd_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: band join on (hash_id, min_hash) buckets
+    (band size 1), estimated Jaccard = matching-signature fraction."""
+    from pyspark.sql import functions as F
+
+    sig = dd_minhash_sigs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hash_id") == F.col("b.hash_id"))
+            & (F.col("a.min_hash") == F.col("b.min_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_match"))
+    )
+    return (
+        pairs.filter(F.col("n_match") >= 4)
+        .select("a", "b", F.round(F.col("n_match") / float(_N_MINHASH), 4).alias("sim_est"))
+        .orderBy("a", "b")
+    )
+
+
+@op("dd_bigram_jaccard", f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents WHERE doc_id < 40),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
+  FROM toks WHERE len(l) >= 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT a, b, round(i / (sa.n + sb.n - i)::DOUBLE, 4) AS jac_r
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE i / (sa.n + sb.n - i)::DOUBLE >= 0.05 ORDER BY a, b
+""")
+def dd_bigram_jaccard(spark, sf_dir):
+    """n-gram (word bigram) Jaccard near-dup pairs over a bounded doc slice."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("l")
+    ).filter(F.size("l") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    inter = (
+        a.join(b, (F.col("ga.g") == F.col("gb.g")) & (F.col("ga.doc_id") < F.col("gb.doc_id")))
+        .groupBy(F.col("ga.doc_id").alias("a"), F.col("gb.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jac", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")).cast("double"))
+    )
+    return (
+        j.filter(F.col("jac") >= 0.05)
+        .select("a", "b", F.round("jac", 4).alias("jac_r"))
+        .orderBy("a", "b")
+    )
+
+
+@op("dd_simhash", f"""
+{_TOK_CTE},
+terms AS (SELECT DISTINCT doc_id, term FROM tok),
+th AS (SELECT doc_id, {_HEX_DUCK.format(x="term")} AS hv FROM terms),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, range(32) AS b(bit) GROUP BY doc_id, b.bit)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+""")
+def dd_simhash(spark, sf_dir):
+    """32-bit SimHash per doc over distinct terms (portable md5 bit source)."""
+    from pyspark.sql import functions as F
+
+    terms = _tokens(spark, sf_dir).distinct()
+    th = terms.select("doc_id", F.expr(_HEX_SPARK.format(x="term")).alias("hv"))
+    bits = (
+        th.withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(31))))
+        .withColumn(
+            "v",
+            F.when(F.expr("(hv >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    )
+    return (
+        bits.withColumn(
+            "bv", F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
+        )
+        .groupBy("doc_id").agg(F.sum("bv").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_COS_DUCK = """
+list_dot_product(qa.v, nb.v)
+ / (sqrt(list_dot_product(qa.v, qa.v)) * sqrt(list_dot_product(nb.v, nb.v)))
+"""
+
+@op("ann_cosine_top5", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qa AS (SELECT * FROM e WHERE vec_id < 10),
+nb AS (SELECT * FROM e WHERE vec_id >= 10),
+cs AS (SELECT qa.vec_id AS q, nb.vec_id AS nn, {_COS_DUCK} AS cos FROM qa, nb),
+rk AS (SELECT q, nn, cos, row_number() OVER (PARTITION BY q ORDER BY cos DESC, nn) AS rnk FROM cs)
+SELECT q, nn, round(cos, 4) AS cos_r, rnk FROM rk WHERE rnk <= 5 ORDER BY q, rnk
+""")
+def ann_cosine_top5(spark, sf_dir):
+    """Brute-force cosine top-k (the exact ANN baseline): explicit
+    sequential dot products so both engines accumulate in the same order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    qa = e.filter("vec_id < 10").select(F.col("vec_id").alias("q"), F.col("v").alias("qv"))
+    nb = e.filter("vec_id >= 10").select(F.col("vec_id").alias("nn"), F.col("v").alias("nv"))
+    cs = qa.crossJoin(nb).withColumn(
+        "cos",
+        F.expr(
+            f"{dot.format(a='qv', b='nv')} / "
+            f"(sqrt({dot.format(a='qv', b='qv')}) * sqrt({dot.format(a='nv', b='nv')}))"
+        ),
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cos"), "nn")
+    return (
+        cs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q", "nn", F.round("cos", 4).alias("cos_r"), "rnk")
+        .orderBy("q", "rnk")
+    )
+
+
+@op("ann_lsh_bucket_pairs", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 120),
+sig AS (
+  SELECT vec_id,
+         (CASE WHEN v[1] - v[33] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN v[9] - v[41] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN v[17] - v[49] > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM e),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, a.bucket
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT a, b, bucket FROM pairs ORDER BY a, b
+""")
+def ann_lsh_bucket_pairs(spark, sf_dir):
+    """LSH-style bucketing (fixed sparse hyperplanes = coordinate
+    differences) -> candidate pairs; the scale path for ann search."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    sig = e.select(
+        "vec_id",
+        (
+            F.when(F.expr("v[0] - v[32]") > 0, 4).otherwise(0)
+            + F.when(F.expr("v[8] - v[40]") > 0, 2).otherwise(0)
+            + F.when(F.expr("v[16] - v[48]") > 0, 1).otherwise(0)
+        ).alias("bucket"),
+    )
+    a = sig.alias("sa")
+    b = sig.alias("sb")
+    return (
+        a.join(b, (F.col("sa.bucket") == F.col("sb.bucket"))
+               & (F.col("sa.vec_id") < F.col("sb.vec_id")))
+        .select(F.col("sa.vec_id").alias("a"), F.col("sb.vec_id").alias("b"),
+                F.col("sa.bucket").alias("bucket"))
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+
+_STOPS_SQL = "('the'),('a'),('of'),('and'),('in'),('to'),('is'),('on'),('for'),('with')"
+
+@op("tx_langid_en", f"""
+{_TOK_CTE},
+s(term) AS (VALUES {_STOPS_SQL}),
+agg AS (
+  SELECT tok.doc_id,
+         count(*) AS n_tok,
+         sum(CASE WHEN s.term IS NOT NULL THEN 1 ELSE 0 END) AS n_stop
+  FROM tok LEFT JOIN s ON tok.term = s.term GROUP BY tok.doc_id)
+SELECT doc_id, round(n_stop / n_tok::DOUBLE, 4) AS en_score_r,
+       CASE WHEN n_stop / n_tok::DOUBLE >= 0.03 THEN 'en' ELSE 'unk' END AS lang_guess
+FROM agg ORDER BY doc_id
+""")
+def tx_langid_en(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit ratio -> en score + guess."""
+    from pyspark.sql import functions as F
+
+    stops = [s.strip("(')") for s in _STOPS_SQL.split("),(")]
+    tok = _tokens(spark, sf_dir)
+    agg = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0)).alias("n_stop"),
+    )
+    score = F.col("n_stop") / F.col("n_tok").cast("double")
+    return agg.select(
+        "doc_id",
+        F.round(score, 4).alias("en_score_r"),
+        F.when(score >= 0.03, "en").otherwise("unk").alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+@op("tx_quality", f"""
+{_TOK_CTE},
+agg AS (
+  SELECT doc_id, count(*) AS n_tok, count(DISTINCT term) AS n_uniq,
+         sum(length(term)) AS chars
+  FROM tok GROUP BY doc_id)
+SELECT d.doc_id, d.n_chars, agg.n_tok,
+       round(agg.chars / agg.n_tok::DOUBLE, 4) AS avg_tok_len_r,
+       round(agg.n_uniq / agg.n_tok::DOUBLE, 4) AS uniq_ratio_r
+FROM documents d JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id
+""")
+def tx_quality(spark, sf_dir):
+    """Quality-scoring features: length, token count, mean token length,
+    type/token ratio."""
+    from pyspark.sql import functions as F
+
+    agg = _tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("term").alias("n_uniq"),
+        F.sum(F.length("term")).alias("chars"),
+    )
+    return (
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        .join(agg, "doc_id")
+        .select(
+            "doc_id", "n_chars", "n_tok",
+            F.round(F.col("chars") / F.col("n_tok").cast("double"), 4).alias("avg_tok_len_r"),
+            F.round(F.col("n_uniq") / F.col("n_tok").cast("double"), 4).alias("uniq_ratio_r"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@op("tx_token_counts", f"""
+WITH ws AS (SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
+        len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re
+    FROM documents)
+SELECT count(*) AS n_docs, sum(n_ws) AS ws_tokens, sum(n_re) AS re_tokens FROM ws
+""")
+def tx_token_counts(spark, sf_dir):
+    """Token counting two ways: whitespace split vs regex word extraction."""
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.expr("size(filter(split(text, ' '), x -> x != ''))").alias("n_ws"),
+            F.expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").alias("n_re"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_re").alias("re_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (scan/filter/join/agg/window/sort on the star schema)
+# ---------------------------------------------------------------------------
+
+@op("rel_q1_pricing", """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS n
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""")
+def rel_q1_pricing(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@op("rel_nation_revenue", """
+SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY revenue DESC, nation
+""")
+def rel_nation_revenue(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@op("rel_top_order_per_cust", """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk = 1 AND o_custkey < 100 ORDER BY o_custkey
+""")
+def rel_top_order_per_cust(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") == 1) & (F.col("o_custkey") < 100))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+@op("rel_event_hourly", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_s, event_type,
+       count(*) AS n, round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def rel_event_hourly(spark, sf_dir):
+    """Tumbling event-time window aggregation (batch form of the streaming
+    windowed agg in pysearch.streaming)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour_s"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .orderBy("hour_s", "event_type")
+    )

@@ -190,15 +190,16 @@ class Searcher:
         from pyspark.sql import functions as F
 
         seg_ub = self._segment_upper_bounds(blocks_df, idfs, qtf, avgdl)
-        n_segs = seg_ub.count()
-        if n_segs <= PRUNE_FIRST_SEGMENTS:
-            return blocks_df
-        phase1 = [
-            r["segment_id"]
-            for r in seg_ub.orderBy(F.col("seg_ub").desc(), F.col("segment_id"))
-            .limit(PRUNE_FIRST_SEGMENTS)
+        # one job: top (P+1) upper-bound segments; if <= P exist, pruning
+        # cannot help — score everything in a single pass
+        top = (
+            seg_ub.orderBy(F.col("seg_ub").desc(), F.col("segment_id"))
+            .limit(PRUNE_FIRST_SEGMENTS + 1)
             .collect()
-        ]
+        )
+        if len(top) <= PRUNE_FIRST_SEGMENTS:
+            return blocks_df
+        phase1 = [r["segment_id"] for r in top[:PRUNE_FIRST_SEGMENTS]]
         p1 = self._score_blocks(
             blocks_df.filter(F.col("segment_id").isin(phase1)), idfs, qtf, avgdl, k
         )

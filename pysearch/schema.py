@@ -33,7 +33,6 @@ DOCS = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("content_hash", T.StringType(), False),
     T.StructField("text", T.StringType(), False),
-    T.StructField("doc_len", T.LongType(), False),
 ])
 
 POSTING_BLOCKS = T.StructType([

@@ -134,8 +134,8 @@ def test_doc_id_assignment_partition_invariant(spark):
 
     df = corpus.webtext_df(spark, cases=[(3, "be the person who", 50, 100)])
     df = df.select("case_id", "url", "text")
-    a1, p1 = _assign_doc_ids(spark, df, 2)
-    a2, p2 = _assign_doc_ids(spark, df, 11)
+    a1, p1, _c1 = _assign_doc_ids(spark, df, 2)
+    a2, p2, _c2 = _assign_doc_ids(spark, df, 11)
     m1 = {r["url"]: r["doc_id"] for r in a1.collect()}
     m2 = {r["url"]: r["doc_id"] for r in a2.collect()}
     p1.unpersist()

@@ -1,0 +1,112 @@
+"""Streaming micro-index (watch-terms) and multimodal plumbing tests."""
+
+import os
+import shutil
+
+import pytest
+
+from pysearch import corpus
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    df = corpus.webtext_df(spark, cases=[(6, "in the realm of", 100, 200)])
+    df.write.mode("overwrite").parquet(d)
+    return d, df.schema
+
+
+def test_watch_terms_stream(spark, stream_src):
+    from pysearch.streaming import watch_terms_stream
+
+    d, schema = stream_src
+    stream = spark.readStream.schema(schema).parquet(d)
+    matches = watch_terms_stream(stream, ["in the realm of"])
+    q = (
+        matches.writeStream.format("memory").queryName("wt_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT url, term FROM wt_out").collect()
+    got = sorted(int(r.url.rsplit("/", 1)[1]) for r in rows)
+    want = [i for i in range(1, 101) if i % 3 != 2]
+    assert got == want
+    assert {r.term for r in rows} == {"realm"}
+
+
+def test_windowed_term_counts(spark, stream_src):
+    from pysearch.streaming import windowed_term_counts
+
+    d, schema = stream_src
+    stream = spark.readStream.schema(schema).parquet(d)
+    agg = windowed_term_counts(stream, ["in the realm of"], window="1 minute")
+    q = (
+        agg.writeStream.format("memory").queryName("wc_out")
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM wc_out ORDER BY window_start").collect()
+    assert sum(r.n_docs for r in rows) == 67  # docs 1..100 with i%3 != 2
+    assert all(r.term == "realm" for r in rows)
+    # warc_ts = epoch + i sec -> docs span 100s -> 2 one-minute windows
+    assert len(rows) == 2
+
+
+def test_foreach_batch_matcher(spark, stream_src, tmp_path):
+    from pysearch.streaming import foreach_batch_matcher
+
+    d, schema = stream_src
+    out = str(tmp_path / "matches")
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_matcher(["realm"], out))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out).count()
+    assert got == 67
+
+
+def test_multimodal_features(spark):
+    from pysearch.multimodal import FEATURE_DIM, extract_features, frame_sample
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "media_id": [1, 2, 3],
+        "kind": ["image", "audio", "video"],
+        "payload": [b"\x00\x01" * 600, b"xyz" * 400, bytes(range(256)) * 20],
+        "meta": [{"src": "a"}, {"src": "b"}, {"src": "c"}],
+    })
+    df = spark.createDataFrame(
+        pdf, schema="media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    feats = extract_features(df, fake=True).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert len(r.features) == FEATURE_DIM
+        assert 64 <= r.width < 256 and 1 <= r.channels <= 4
+        assert abs(sum(r.features) - 1.0) < 1e-5
+    # determinism
+    feats2 = extract_features(df, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+    frames = frame_sample(df, every_n_bytes=512, max_frames=4).collect()
+    assert {r.media_id for r in frames} == {1, 2, 3}
+    assert all(len(r.frame) <= 512 for r in frames)
+
+
+def test_multimodal_real_decode_gated():
+    from pysearch.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"abc", "image", fake=False)
