@@ -17,6 +17,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make pysearch importable in THIS session's python workers.
+
+    The driver owns the SparkSession (PYTHONPATH was fixed too late for its
+    workers), so ship the package with addPyFile — the supported way to add
+    code to a running session, and exactly what spark-submit --py-files does.
+    """
+    import tempfile
+
+    from pysearch.cli import make_pyfiles_zip
+
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"pysearch_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        make_pyfiles_zip(zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this session
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the inverted index over sf0.001 documents with the
     real engine, then run a BM25 top-10 search with phrase spans."""
@@ -29,6 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from pysearch.session import _ensure_pythonpath
 
     _ensure_pythonpath()
+    _ship_package(spark)
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     webtext = docs.select(

@@ -61,8 +61,13 @@ def main() -> None:
     from pysearch.session import build_spark
 
     t_all = time.time()
+    # PYSEARCH_TASK_CPUS=2 charges each task for its Python worker too —
+    # used by the scaling harness so local[N] really consumes ~N cores;
+    # default 1 maximizes absolute throughput for the headline bench
+    task_cpus = int(os.environ.get("PYSEARCH_TASK_CPUS", "1"))
     spark = build_spark(master=f"local[{CPUS}]", app_name="pysearch-bench",
-                        shuffle_partitions=CPUS)
+                        shuffle_partitions=max(8, CPUS // task_cpus),
+                        extra={"spark.task.cpus": str(task_cpus)})
     timings: dict = {}
     sf = sf_label(SF_DIR)
 

@@ -86,12 +86,17 @@ def _assign_doc_ids(spark, df, n_partitions: int):
 
     sorted_df = (
         df.repartitionByRange(n_partitions, "case_id", "url")
-        .sortWithinPartitions("case_id", "url")
+        .sortWithinPartitions("case_id", "url", "content_hash")
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # distinct urls per partition: duplicate urls are adjacent (range
+    # partitioning keys them together) and are dropped locally in assign(),
+    # so offsets must count distinct urls, not rows
     counts = (
-        sorted_df.groupBy("_pid", "case_id").count().collect()
+        sorted_df.groupBy("_pid", "case_id")
+        .agg(F.countDistinct("url").alias("count"))
+        .collect()
     )
     # case -> list of (pid, count) sorted by pid; offsets are cumulative
     per_case: dict = {}
@@ -110,12 +115,22 @@ def _assign_doc_ids(spark, df, n_partitions: int):
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one mapInPandas partition == one sorted _pid partition; batches
-        # arrive in order, rows sorted by (case_id, url)
+        # arrive in order, rows sorted by (case_id, url, content_hash).
+        # P3 url dedupe happens here for free: duplicate urls are adjacent,
+        # keep the first (= min content_hash, deterministic).
         local_counts: dict = {}
+        last_key = [None]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["_pid"].iloc[0])
+            keys = pdf["case_id"].astype(str) + "\x00" + pdf["url"]
+            first = keys.ne(keys.shift()).to_numpy()
+            first[0] = keys.iloc[0] != last_key[0]
+            last_key[0] = keys.iloc[-1]
+            pdf = pdf[first]
+            if len(pdf) == 0:
+                continue
             ids = np.empty(len(pdf), dtype=np.int64)
             # per-case running ordinal within this partition
             for case, idx in pdf.groupby("case_id", sort=False).groups.items():
@@ -178,10 +193,14 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         ).otherwise(text_hash)
     else:
         content_hash = text_hash
-    # P1 empty filter
+    # P1 empty filter; exact-duplicate input rows (same url AND content)
+    # collapse here — rows equal on (case,url,hash) are identical by the
+    # content-hash contract, so dropDuplicates is value-deterministic
     df = df.withColumn("content_hash", content_hash).filter(
         F.length(F.col("text")) > 0
-    ).select("case_id", "url", "content_hash", "text")
+    ).select("case_id", "url", "content_hash", "text").dropDuplicates(
+        ["case_id", "url", "content_hash"]
+    )
 
     # P3 url dedupe + P4 content dedupe (done for real; the reference's is
     # dead code, bleve_pdf.go:395-409) AND doc_id assignment, all computed on
@@ -190,12 +209,15 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     # rows below — dedupe and id assignment in one inner join, which AQE
     # executes as a broadcast join when the map is small.
     proj = df.select("case_id", "url", "content_hash")
-    w_url = Window.partitionBy("case_id", "url").orderBy("content_hash")
+    # content dedupe: one window shuffle of the projection; url dedupe costs
+    # nothing extra — it happens inside the assignment pass where duplicate
+    # urls land adjacent (see _assign_doc_ids)
     w_hash = Window.partitionBy("case_id", "content_hash").orderBy("url")
     winners = (
-        proj.withColumn("_r", F.row_number().over(w_url)).filter("_r = 1")
-        .withColumn("_r2", F.row_number().over(w_hash)).filter("_r2 = 1")
+        proj.withColumn("_r", F.row_number().over(w_hash)).filter("_r = 1")
         .select("case_id", "url", "content_hash")
+        .persist()  # sampling + range shuffle below would otherwise re-run
+        # the full input scan + hashing chain once each
     )
     id_map, pinned, counts = _assign_doc_ids(spark, winners, n_partitions)
     assigned = df.join(id_map, ["case_id", "url", "content_hash"], "inner")
@@ -214,6 +236,7 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     layout.commit_batch(staging, layout.docs, 0)
     n = sum(r["count"] for r in counts)  # already collected for the offsets
     pinned.unpersist()
+    winners.unpersist()
     layout.append_lineage(spark, [{
         "stage": "docs", "partition_key": "all", "status": "done",
         "n_rows": n, "wall_sec": time.time() - t0,
@@ -401,12 +424,6 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
         salt_col=F.col("segment_id"),
     ).select("case_id", "term", "term_bucket", F.col("df").cast("long"), F.col("cf").cast("long"))
 
-    staging = layout.staging_dir("term_stats")
-    term_stats.repartition("term_bucket").write.mode("overwrite").partitionBy(
-        "term_bucket"
-    ).parquet(staging)
-    layout.commit_batch(staging, layout.term_stats, 0)
-
     # avgdl from block metadata: sum(tf) over a doc's postings == its
     # analyzed token count, so sum(sum_tf) over blocks == sum(doc_len),
     # exactly (integer arithmetic) — saves a second analyzer pass over text
@@ -419,14 +436,34 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
         .fillna({"sum_dl": 0})
         .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
     )
-    staging = layout.staging_dir("corpus_stats")
-    corpus_stats.coalesce(1).write.mode("overwrite").parquet(staging)
-    layout.commit_batch(staging, layout.corpus_stats, 0)
-
     doc_map = docs.select("case_id", "doc_id", "url", "content_hash")
-    staging = layout.staging_dir("doc_map")
-    doc_map.write.mode("overwrite").partitionBy("case_id").parquet(staging)
-    layout.commit_batch(staging, layout.doc_map, 0)
+
+    # the three table writes are independent — submit them as concurrent
+    # Spark jobs (thread-safe by design) so their stage latencies overlap
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_term_stats():
+        staging = layout.staging_dir("term_stats")
+        term_stats.repartition("term_bucket").write.mode("overwrite").partitionBy(
+            "term_bucket"
+        ).parquet(staging)
+        layout.commit_batch(staging, layout.term_stats, 0)
+
+    def _write_corpus_stats():
+        staging = layout.staging_dir("corpus_stats")
+        corpus_stats.coalesce(1).write.mode("overwrite").parquet(staging)
+        layout.commit_batch(staging, layout.corpus_stats, 0)
+
+    def _write_doc_map():
+        staging = layout.staging_dir("doc_map")
+        doc_map.write.mode("overwrite").partitionBy("case_id").parquet(staging)
+        layout.commit_batch(staging, layout.doc_map, 0)
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futures = [ex.submit(f) for f in
+                   (_write_term_stats, _write_corpus_stats, _write_doc_map)]
+        for fut in futures:
+            fut.result()
 
     layout.append_lineage(spark, [{
         "stage": "finalize", "partition_key": "all", "status": "done",

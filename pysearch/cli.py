@@ -85,8 +85,14 @@ def main(argv=None) -> None:
     ps.add_argument("--master", default=None)
     ps.set_defaults(fn=cmd_search)
 
+    def _run_bench(_args):
+        import runpy
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        runpy.run_path(os.path.join(repo_root, "bench.py"), run_name="__main__")
+
     pb = sub.add_parser("bench", help="run the benchmark (one JSON line)")
-    pb.set_defaults(fn=lambda a: __import__("bench").main())
+    pb.set_defaults(fn=_run_bench)
 
     pz = sub.add_parser("package", help="write pysearch.zip for --py-files")
     pz.add_argument("--output", default="pysearch.zip")

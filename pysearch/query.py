@@ -37,31 +37,41 @@ from pysearch.lineage import IndexLayout
 
 DEFAULT_MAX_RESULTS = 10  # reference: index_search.go:55-56
 PRUNE_FIRST_SEGMENTS = 8  # segments scored in phase 1 to establish θ
+PRUNE_MIN_POSTINGS = 100_000  # below this, one-pass scoring beats pruning
 
 
 class Searcher:
-    def __init__(self, spark, index_dir: str):
+    def __init__(self, spark, index_dir: str, cache_postings: bool = False):
+        """``cache_postings=True`` persists the postings table in executor
+        memory for repeated-query workloads (right on a warm serving
+        cluster; leave off for one-shot jobs or indexes larger than cluster
+        memory — partition pruning into parquet is lost under a cache)."""
         self.spark = spark
         self.layout = IndexLayout(index_dir)
         m = self.layout.read_manifest()
         if not m.get("stages", {}).get("finalize", {}).get("done"):
             raise RuntimeError(f"index at {index_dir} is not complete")
         self.n_buckets = int(m["n_buckets"])
+        self._df_cache: Dict[tuple, int] = {}
+        self.prune_min_postings = PRUNE_MIN_POSTINGS  # tests set 0 to force
         from pyspark.sql import functions as F
 
         def _norm(df):
-            # partition columns (case_id, term_bucket) may come back typed
-            # by directory-name inference; pin them to the schema types
+            # case_id may come back typed by directory-name inference; pin
+            # it to string (a string->string cast is elided by Catalyst, so
+            # partition pruning on case_id survives).  term_bucket is left
+            # at its discovered type — casting a partition column defeats
+            # partition pruning; filters adapt via _bucket_lit instead.
             out = df
             if "case_id" in df.columns:
                 out = out.withColumn("case_id", F.col("case_id").cast("string"))
-            if "term_bucket" in df.columns:
-                out = out.withColumn("term_bucket", F.col("term_bucket").cast("int"))
             return out
 
         self.postings = _norm(
             self.layout.read_commits(spark, self.layout.postings)
         )
+        if cache_postings:
+            self.postings = self.postings.persist()
         self.docs = _norm(
             self.layout.read_commits(spark, self.layout.docs)
         )
@@ -72,6 +82,11 @@ class Searcher:
         self._term_stats = _norm(
             self.layout.read_commits(spark, self.layout.term_stats)
         )
+        # partition-column literal type for bucket pruning filters
+        self._bucket_is_str = dict(self.postings.dtypes).get("term_bucket") == "string"
+
+    def _bucket_lit(self, buckets):
+        return [str(b) for b in buckets] if self._bucket_is_str else list(buckets)
 
     # ------------------------------------------------------------------
     def _analyze_query(self, query: str):
@@ -83,17 +98,28 @@ class Searcher:
 
         if not terms:
             return {}
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        rows = (
-            self._term_stats.filter(
-                (F.col("case_id") == case_id)
-                & F.col("term_bucket").isin(buckets)
-                & F.col("term").isin(list(set(terms)))
+        missing = [
+            t for t in set(terms) if (case_id, t) not in self._df_cache
+        ]
+        if missing:
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+            rows = (
+                self._term_stats.filter(
+                    (F.col("case_id") == case_id)
+                    & F.col("term_bucket").isin(self._bucket_lit(buckets))
+                    & F.col("term").isin(missing)
+                )
+                .select("term", "df")
+                .collect()
             )
-            .select("term", "df")
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:  # cache absent terms as df=0 too
+                self._df_cache[(case_id, t)] = found.get(t, 0)
+        return {
+            t: self._df_cache[(case_id, t)]
+            for t in set(terms)
+            if self._df_cache[(case_id, t)] > 0
+        }
 
     # ------------------------------------------------------------------
     def search_ids(self, query: str, k: int = DEFAULT_MAX_RESULTS,
@@ -117,11 +143,13 @@ class Searcher:
 
         blocks = self.postings.filter(
             (F.col("case_id") == case_id)
-            & F.col("term_bucket").isin(buckets)
+            & F.col("term_bucket").isin(self._bucket_lit(buckets))
             & F.col("term").isin(live)
         )
 
-        if prune:
+        # pruning pays for itself only when there is real volume to skip;
+        # df is already known, so gate on total candidate postings
+        if prune and sum(dfs[t] for t in live) > self.prune_min_postings:
             blocks = self._prune_blocks(blocks, idfs, qtf, avgdl, k)
 
         pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k)
@@ -130,10 +158,23 @@ class Searcher:
         return pdf
 
     def _score_blocks(self, blocks_df, idfs, qtf, avgdl, k) -> pd.DataFrame:
-        """Distributed segment-local scoring -> union of local top-ks."""
+        """Distributed segment-local scoring -> union of local top-ks.
+
+        Block payloads are CRC-checked before decode (reference parity:
+        per-blob CRC32 verification at doc_positions.go:222-226)."""
         out_schema = "doc_id long, score double"
 
         def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            import zlib
+
+            for ib, tb, db, crc in zip(pdf["doc_ids_bin"], pdf["tfs_bin"],
+                                       pdf["dls_bin"], pdf["crc32"]):
+                got = zlib.crc32(ib) ^ zlib.crc32(tb) ^ zlib.crc32(db)
+                if got != crc:
+                    raise IOError(
+                        f"posting block CRC mismatch in segment {key[0]}: "
+                        f"{got} != {crc}"
+                    )
             rows = list(
                 zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"], pdf["tfs_bin"],
                     pdf["dls_bin"])
@@ -143,7 +184,7 @@ class Searcher:
 
         sdf = (
             blocks_df.select("segment_id", "term", "n", "doc_ids_bin",
-                             "tfs_bin", "dls_bin")
+                             "tfs_bin", "dls_bin", "crc32")
             .groupBy("segment_id")
             .applyInPandas(score_one, schema=out_schema)
         )
@@ -214,11 +255,12 @@ class Searcher:
     # ------------------------------------------------------------------
     def search(self, query: str, k: int = DEFAULT_MAX_RESULTS,
                case_id: str = "0", prune: bool = True,
-               best_filter: bool = True):
+               best_filter: bool = True, max_spans: int = 100):
         """Full search: top-k + phrase spans + Best filter + line numbers.
 
         Returns a Spark DataFrame with MATCHES schema (SURVEY §1.1 match-set
-        mapping of PdfMatchSet, search_pdfs.go:29-60).
+        mapping of PdfMatchSet, search_pdfs.go:29-60).  ``max_spans`` caps
+        spans per match (reference P6 caps: modify_pdf.go:74-96).
         """
         from pyspark.sql import functions as F
 
@@ -242,7 +284,7 @@ class Searcher:
                 toks = analyze_with_offsets(r.text)
                 doc_terms = [t for t, _, _ in toks]
                 offsets = [(s, e) for _, s, e in toks]
-                spans = sc.align_phrase(doc_terms, offsets, qterms)
+                spans = sc.align_phrase(doc_terms, offsets, qterms)[:max_spans]
                 line_nums, lines = [], []
                 for (cs, _ce, _s) in spans:
                     ln, line = sc.line_lookup(r.text, cs)

@@ -15,3 +15,18 @@ def spark():
                         shuffle_partitions=int(n))
     yield spark
     spark.stop()
+
+
+@pytest.fixture(scope="session")
+def index(spark):
+    """Full 8-case doMatch index, built once per test session."""
+    import shutil
+
+    from pysearch import corpus
+    from pysearch.build import build_index
+
+    index_dir = "/tmp/pysearch_test_index"
+    df = corpus.webtext_df(spark, cases=corpus.CASES)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_index(spark, df, index_dir, segment_size=256)
+    return index_dir

@@ -26,14 +26,6 @@ CASES = corpus.CASES
 
 
 @pytest.fixture(scope="session")
-def index(spark):
-    df = corpus.webtext_df(spark, cases=CASES)
-    shutil.rmtree(INDEX_DIR, ignore_errors=True)
-    build_index(spark, df, INDEX_DIR, segment_size=256)
-    return INDEX_DIR
-
-
-@pytest.fixture(scope="session")
 def searcher(spark, index):
     return Searcher(spark, index)
 
@@ -50,13 +42,19 @@ def test_recall_oracle_all_cases(searcher):
 @pytest.mark.parametrize("prune", [True, False])
 def test_rank_identity_goldens(searcher, prune):
     """Pinned golden top-10: same doc_ids AND bit-equal float64 scores,
-    with and without WAND pruning."""
-    for case_id, term, _n, _l in CASES:
-        with open(os.path.join(GOLDEN_DIR, f"case_{case_id}_top10.json")) as f:
-            golden = json.load(f)
-        hits = searcher.search_ids(term, k=10, case_id=str(case_id), prune=prune)
-        got = [[int(d), float(s)] for d, s in zip(hits["doc_id"], hits["score"])]
-        assert got == golden["top"], f"case {case_id} prune={prune}"
+    with and without WAND pruning (pruning forced on regardless of the
+    posting-volume heuristic so the lossless property is really exercised)."""
+    old = searcher.prune_min_postings
+    searcher.prune_min_postings = 0
+    try:
+        for case_id, term, _n, _l in CASES:
+            with open(os.path.join(GOLDEN_DIR, f"case_{case_id}_top10.json")) as f:
+                golden = json.load(f)
+            hits = searcher.search_ids(term, k=10, case_id=str(case_id), prune=prune)
+            got = [[int(d), float(s)] for d, s in zip(hits["doc_id"], hits["score"])]
+            assert got == golden["top"], f"case {case_id} prune={prune}"
+    finally:
+        searcher.prune_min_postings = old
 
 
 def test_default_k_and_negative_k(searcher):
@@ -132,8 +130,10 @@ def test_doc_id_assignment_partition_invariant(spark):
     """doc_id = per-case url rank, identical across partition counts."""
     from pysearch.build import _assign_doc_ids
 
+    from pyspark.sql import functions as F
+
     df = corpus.webtext_df(spark, cases=[(3, "be the person who", 50, 100)])
-    df = df.select("case_id", "url", "text")
+    df = df.select("case_id", "url", F.sha2("html", 256).alias("content_hash"))
     a1, p1, _c1 = _assign_doc_ids(spark, df, 2)
     a2, p2, _c2 = _assign_doc_ids(spark, df, 11)
     m1 = {r["url"]: r["doc_id"] for r in a1.collect()}
@@ -171,6 +171,7 @@ def test_exact_duplicate_docs_deduped(spark):
     dup = dict(rows[0])
     dup["url"] = "doc://1/9999"  # same content, different url
     rows.append(dup)
+    rows.append(dict(rows[1]))  # exact duplicate row (same url AND content)
     pdf = pd.DataFrame(rows)
     df = spark.createDataFrame(pdf)
     build_index(spark, df, d, segment_size=64)
