@@ -65,9 +65,17 @@ def main() -> None:
     # used by the scaling harness so local[N] really consumes ~N cores;
     # default 1 maximizes absolute throughput for the headline bench
     task_cpus = int(os.environ.get("PYSEARCH_TASK_CPUS", "1"))
-    spark = build_spark(master=f"local[{CPUS}]", app_name="pysearch-bench",
-                        shuffle_partitions=max(8, CPUS // task_cpus),
-                        extra={"spark.task.cpus": str(task_cpus)})
+    slots = max(2, CPUS // task_cpus)
+    spark = build_spark(
+        master=f"local[{CPUS}]", app_name="pysearch-bench",
+        # 3 waves per stage smooths stragglers; smaller AQE advisory stops
+        # coalescing below the slot count on mid-size shuffles
+        shuffle_partitions=3 * slots,
+        extra={
+            "spark.task.cpus": str(task_cpus),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        },
+    )
     timings: dict = {}
     sf = sf_label(SF_DIR)
 

@@ -117,6 +117,62 @@ def analyze_series(texts) -> "object":
     return texts.map(analyze)
 
 
+# ---------------------------------------------------------------------------
+# "simple" analyzer: whitespace split, no normalization.  SQL-expressible
+# (split(text, ' ') in both Spark and DuckDB), which lets the full engine be
+# value-checked against an independent SQL BM25 oracle.
+# ---------------------------------------------------------------------------
+
+def simple_analyze(text: str) -> List[str]:
+    return [t for t in text.split(" ") if t != ""]
+
+
+def simple_analyze_with_offsets(text: str) -> List[Tuple[str, int, int]]:
+    out = []
+    pos = 0
+    for part in text.split(" "):
+        if part != "":
+            out.append((part, pos, pos + len(part)))
+        pos += len(part) + 1
+    return out
+
+
+def simple_analyze_batch(texts):
+    import numpy as np
+
+    n = len(texts)
+    lists = [simple_analyze(t) for t in texts]
+    dls = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n)
+    if int(dls.sum()) == 0:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64), np.zeros(n, dtype=np.int64))
+    import itertools
+
+    import pandas as pd
+
+    flat = np.array(list(itertools.chain.from_iterable(lists)), dtype=object)
+    codes, uniq = pd.factorize(flat)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), dls)
+    return np.asarray(uniq, dtype=object), codes.astype(np.int64), doc_idx, dls
+
+
+# name -> (analyze, analyze_with_offsets, analyze_batch); the name is stored
+# in the index manifest so query-time analysis always matches build-time
+ANALYZERS = {
+    "en": (analyze, analyze_with_offsets, None),  # batch fn set below
+    "simple": (simple_analyze, simple_analyze_with_offsets, simple_analyze_batch),
+}
+
+
+def get_analyzer(name: str):
+    if name not in ANALYZERS:
+        raise ValueError(f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}")
+    a, o, b = ANALYZERS[name]
+    if b is None:
+        b = analyze_batch
+    return a, o, b
+
+
 def analyze_batch(texts):
     """Batch-analyze many documents with per-UNIQUE-token normalization.
 

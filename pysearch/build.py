@@ -43,7 +43,6 @@ import numpy as np
 import pandas as pd
 
 from pysearch import codec
-from pysearch.analyze import analyze_batch
 from pysearch.lineage import IndexLayout
 from pysearch.version import INDEX_FORMAT_VERSION
 
@@ -193,14 +192,10 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         ).otherwise(text_hash)
     else:
         content_hash = text_hash
-    # P1 empty filter; exact-duplicate input rows (same url AND content)
-    # collapse here — rows equal on (case,url,hash) are identical by the
-    # content-hash contract, so dropDuplicates is value-deterministic
+    # P1 empty filter
     df = df.withColumn("content_hash", content_hash).filter(
         F.length(F.col("text")) > 0
-    ).select("case_id", "url", "content_hash", "text").dropDuplicates(
-        ["case_id", "url", "content_hash"]
-    )
+    ).select("case_id", "url", "content_hash", "text")
 
     # P3 url dedupe + P4 content dedupe (done for real; the reference's is
     # dead code, bleve_pdf.go:395-409) AND doc_id assignment, all computed on
@@ -208,7 +203,10 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     # bodies.  The resulting id map (winners only) joins back to the full
     # rows below — dedupe and id assignment in one inner join, which AQE
     # executes as a broadcast join when the map is small.
-    proj = df.select("case_id", "url", "content_hash")
+    # the projection is read twice (winners window + dup-key check) and
+    # feeds the range sampler — cache it so the full input scan + hashing
+    # runs exactly once
+    proj = df.select("case_id", "url", "content_hash").persist()
     # content dedupe: one window shuffle of the projection; url dedupe costs
     # nothing extra — it happens inside the assignment pass where duplicate
     # urls land adjacent (see _assign_doc_ids)
@@ -216,19 +214,42 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     winners = (
         proj.withColumn("_r", F.row_number().over(w_hash)).filter("_r = 1")
         .select("case_id", "url", "content_hash")
-        .persist()  # sampling + range shuffle below would otherwise re-run
-        # the full input scan + hashing chain once each
     )
     id_map, pinned, counts = _assign_doc_ids(spark, winners, n_partitions)
+
+    # exact-duplicate input rows (same url AND content) would multiply
+    # through the id join.  Detect them on the projection (text-free) and
+    # only if any exist, dedupe just those keys — the common no-dup path
+    # never shuffles document bodies for this.  Rows equal on
+    # (case,url,hash) are identical by the content-hash contract, so the
+    # dropDuplicates is value-deterministic.
+    dup_keys = (
+        proj.groupBy("case_id", "url", "content_hash")
+        .count().filter(F.col("count") > 1)
+        .select("case_id", "url", "content_hash")
+    )
+    dups = dup_keys.limit(1).collect()
+    if dups:
+        clean = df.join(F.broadcast(dup_keys), ["case_id", "url", "content_hash"], "left_anti")
+        fixed = df.join(F.broadcast(dup_keys), ["case_id", "url", "content_hash"], "left_semi")
+        df = clean.unionByName(
+            fixed.dropDuplicates(["case_id", "url", "content_hash"])
+        )
+
     assigned = df.join(id_map, ["case_id", "url", "content_hash"], "inner")
 
     # doc_len is NOT computed here: the postings stage tokenizes anyway and
     # sum(tf) over a doc's terms == its analyzed length, so corpus_stats
-    # derives avgdl from block metadata (finalize) — one analyzer pass total
+    # derives avgdl from block metadata (finalize) — one analyzer pass total.
+    # Repartition by (case, segment) BEFORE caching: the postings stage
+    # groups by exactly these keys, so it reads the cache with NO exchange
+    # and never re-reads document bodies from disk.
     docs = (
         assigned.withColumn("segment_id", (F.col("doc_id") - 1) / segment_size)
         .withColumn("segment_id", F.floor("segment_id").cast("long"))
         .select("case_id", "doc_id", "segment_id", "url", "content_hash", "text")
+        .repartition("case_id", "segment_id")
+        .persist()
     )
 
     staging = layout.staging_dir("docs")
@@ -236,19 +257,24 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     layout.commit_batch(staging, layout.docs, 0)
     n = sum(r["count"] for r in counts)  # already collected for the offsets
     pinned.unpersist()
-    winners.unpersist()
+    proj.unpersist()
     layout.append_lineage(spark, [{
         "stage": "docs", "partition_key": "all", "status": "done",
         "n_rows": n, "wall_sec": time.time() - t0,
     }])
     layout.mark_stage("docs", n_docs=n, segment_size=segment_size)
+    return docs  # cached; caller passes it to the postings stage and unpersists
 
 
 # --------------------------------------------------------------------------
 # stage "postings"
 # --------------------------------------------------------------------------
 
-def _make_block_builder(n_buckets: int):
+def _make_block_builder(n_buckets: int, analyzer: str = "en"):
+    from pysearch.analyze import get_analyzer
+
+    _, _, batch_fn = get_analyzer(analyzer)
+
     def build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         case_id = str(key[0])
         segment_id = int(key[1])
@@ -259,7 +285,7 @@ def _make_block_builder(n_buckets: int):
         n_docs = doc_ids.size
 
         # tokenize: Python cost is per UNIQUE raw token, everything else numpy
-        uniq_terms, codes, d_of_tok, dls = analyze_batch(list(texts))
+        uniq_terms, codes, d_of_tok, dls = batch_fn(list(texts))
         if codes.size == 0:
             return pd.DataFrame(columns=[f.name for f in _BLOCK_FIELDS])
 
@@ -298,7 +324,8 @@ def _make_block_builder(n_buckets: int):
 
 def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
                          resume: bool = False,
-                         max_segments: int | None = None) -> None:
+                         max_segments: int | None = None,
+                         docs_df=None, analyzer: str = "en") -> None:
     """Build posting blocks for all (or up to ``max_segments``) segments not
     yet recorded as done in lineage.  ``max_segments`` bounds one batch —
     the incremental/ops hook that also simulates a crash mid-stage for the
@@ -308,9 +335,15 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
     from pysearch.schema import POSTING_BLOCKS
 
     t0 = time.time()
-    docs = layout.read_commits(spark, layout.docs).withColumn(
-        "case_id", F.col("case_id").cast("string")
-    )
+    if docs_df is not None:
+        # fresh build: the docs stage hands over its cached DataFrame,
+        # already hash-partitioned by (case_id, segment_id) — the groupBy
+        # below runs with no exchange and no disk re-read
+        docs = docs_df
+    else:
+        docs = layout.read_commits(spark, layout.docs).withColumn(
+            "case_id", F.col("case_id").cast("string")
+        )
 
     done: set = layout.done_partitions(spark, "postings") if resume else set()
     if done:
@@ -344,7 +377,7 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
     blocks = (
         docs.select("case_id", "segment_id", "doc_id", "text")
         .groupBy("case_id", "segment_id")
-        .applyInPandas(_make_block_builder(n_buckets), schema=out_schema)
+        .applyInPandas(_make_block_builder(n_buckets, analyzer), schema=out_schema)
     )
 
     batch = layout.next_batch(layout.postings)
@@ -480,7 +513,8 @@ def build_index(spark, webtext_df, index_dir: str, *,
                 segment_size: int = DEFAULT_SEGMENT_SIZE,
                 n_buckets: int = DEFAULT_N_BUCKETS,
                 resume: bool = False,
-                n_partitions: int | None = None) -> IndexLayout:
+                n_partitions: int | None = None,
+                analyzer: str = "en") -> IndexLayout:
     """Build (or resume) the full index at ``index_dir``.
 
     Resume semantics: stage-level markers in the manifest; the postings stage
@@ -499,6 +533,7 @@ def build_index(spark, webtext_df, index_dir: str, *,
             "format_version": INDEX_FORMAT_VERSION,
             "segment_size": segment_size,
             "n_buckets": n_buckets,
+            "analyzer": analyzer,
         })
     else:
         if m.get("format_version") != INDEX_FORMAT_VERSION:
@@ -507,10 +542,16 @@ def build_index(spark, webtext_df, index_dir: str, *,
         n_buckets = m.get("n_buckets", n_buckets)
     layout.gc_staging()
 
+    docs_df = None
     if not layout.stage_done("docs"):
-        build_docs_stage(spark, webtext_df, layout, segment_size, n_partitions)
+        docs_df = build_docs_stage(spark, webtext_df, layout, segment_size,
+                                   n_partitions)
     if not layout.stage_done("postings"):
-        build_postings_stage(spark, layout, n_buckets, resume=resume)
+        build_postings_stage(spark, layout, n_buckets, resume=resume,
+                             docs_df=docs_df,
+                             analyzer=layout.read_manifest().get("analyzer", "en"))
+    if docs_df is not None:
+        docs_df.unpersist()
     if not layout.stage_done("finalize"):
         build_finalize_stage(spark, layout)
     return layout

@@ -41,7 +41,7 @@ def cmd_index(args) -> None:
     build_index(
         spark, df, args.output,
         segment_size=args.segment_size, n_buckets=args.buckets,
-        resume=args.resume,
+        resume=args.resume, analyzer=args.analyzer,
     )
     print(f"index built at {args.output}")
     spark.stop()
@@ -73,6 +73,7 @@ def main(argv=None) -> None:
     pi.add_argument("--segment-size", type=int, default=4096)
     pi.add_argument("--buckets", type=int, default=64)
     pi.add_argument("--resume", action="store_true")
+    pi.add_argument("--analyzer", default="en", choices=["en", "simple"])
     pi.add_argument("--master", default=None)
     pi.set_defaults(fn=cmd_index)
 

@@ -164,6 +164,71 @@ def t1_bm25_top10(spark, sf_dir):
     )
 
 
+_BM25_SQL = f"""
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        x -> x <> '')) AS term FROM dedup),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES {",".join(f"('{t}')" for t in _BM25_TERMS)}),
+dfq AS (SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN q ON tf.term = q.term GROUP BY tf.term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN dfq ON tf.term = dfq.term
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score_r FROM sc ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+@op("t1_engine_bm25_top10", _BM25_SQL)
+def t1_engine_bm25_top10(spark, sf_dir):
+    """The REAL distributed engine (segments, packed blocks, pruning) built
+    with the SQL-expressible 'simple' analyzer, value-checked against an
+    independent DuckDB BM25 — end-to-end engine correctness, not just a
+    re-derivation in Spark SQL."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+
+    docs = _t(spark, sf_dir, "documents")
+    webtext = docs.select(
+        F.format_string("doc://docs/%09d", F.col("doc_id")).alias("url"),
+        "text",
+        "lang",
+    )
+    label = os.path.basename(sf_dir.rstrip("/"))
+    index_dir = f"/tmp/pysearch_ops_index_{label}"
+    build_index(spark, webtext, index_dir, segment_size=128,
+                analyzer="simple", resume=True)
+    s = Searcher(spark, index_dir)
+    hits = s.search_ids(" ".join(_BM25_TERMS), k=10, case_id="0")
+    # map engine doc_ids back to the source table's doc_id via the catalog
+    # url (robust even when content dedupe dropped duplicate texts)
+    hits_df = spark.createDataFrame(
+        hits.assign(score_r=hits["score"].round(4))[["doc_id", "score_r"]],
+        schema="doc_id long, score_r double",
+    )
+    return (
+        hits_df.join(F.broadcast(s.docs.select("doc_id", "url")), "doc_id")
+        .select(
+            F.substring("url", len("doc://docs/") + 1, 9).cast("long").alias("doc_id"),
+            "score_r",
+        )
+    )
+
+
 @op("j1_term_doc_join", f"""
 {_TOK_CTE},
 q(term) AS (VALUES ('spark'),('vector'),('stream'))
@@ -501,6 +566,37 @@ def ann_cosine_top5(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("q", "nn", F.round("cos", 4).alias("cos_r"), "rnk")
         .orderBy("q", "rnk")
+    )
+
+
+@op("dd_embed_cosine_pairs", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 120),
+cs AS (SELECT qa.vec_id AS a, nb.vec_id AS b, {_COS_DUCK} AS cos
+       FROM e qa JOIN e nb ON qa.vec_id < nb.vec_id)
+SELECT a, b, round(cos, 4) AS cos_r FROM cs WHERE cos >= 0.3 ORDER BY a, b
+""")
+def dd_embed_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold join) — the
+    embedding leg of the dedup family."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    qa = e.select(F.col("vec_id").alias("a"), F.col("v").alias("qv"))
+    nb = e.select(F.col("vec_id").alias("b"), F.col("v").alias("nv"))
+    cs = qa.join(nb, F.col("a") < F.col("b")).withColumn(
+        "cos",
+        F.expr(
+            f"{dot.format(a='qv', b='nv')} / "
+            f"(sqrt({dot.format(a='qv', b='qv')}) * sqrt({dot.format(a='nv', b='nv')}))"
+        ),
+    )
+    return (
+        cs.filter(F.col("cos") >= 0.3)
+        .select("a", "b", F.round("cos", 4).alias("cos_r"))
+        .orderBy("a", "b")
     )
 
 

@@ -31,7 +31,6 @@ import numpy as np
 import pandas as pd
 
 from pysearch import score as sc
-from pysearch.analyze import analyze, analyze_with_offsets
 from pysearch.build import term_bucket
 from pysearch.lineage import IndexLayout
 
@@ -52,6 +51,10 @@ class Searcher:
         if not m.get("stages", {}).get("finalize", {}).get("done"):
             raise RuntimeError(f"index at {index_dir} is not complete")
         self.n_buckets = int(m["n_buckets"])
+        from pysearch.analyze import get_analyzer
+
+        self.analyzer_name = m.get("analyzer", "en")
+        self._analyze, self._analyze_offsets, _ = get_analyzer(self.analyzer_name)
         self._df_cache: Dict[tuple, int] = {}
         self.prune_min_postings = PRUNE_MIN_POSTINGS  # tests set 0 to force
         from pyspark.sql import functions as F
@@ -90,7 +93,7 @@ class Searcher:
 
     # ------------------------------------------------------------------
     def _analyze_query(self, query: str):
-        terms = analyze(query)
+        terms = self._analyze(query)
         return terms, Counter(terms)
 
     def _term_dfs(self, case_id: str, terms: List[str]) -> Dict[str, int]:
@@ -270,7 +273,8 @@ class Searcher:
         spark = self.spark
         if hits.empty:
             return spark.createDataFrame([], schema=MATCHES)
-        qterms = analyze(query)
+        qterms = self._analyze(query)
+        offsets_fn = self._analyze_offsets
 
         hits_df = spark.createDataFrame(hits, schema="doc_id long, score double")
         docs = self.docs.filter(F.col("case_id") == case_id).select(
@@ -281,7 +285,7 @@ class Searcher:
         def build_matches(pdf: pd.DataFrame) -> pd.DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
-                toks = analyze_with_offsets(r.text)
+                toks = offsets_fn(r.text)
                 doc_terms = [t for t, _, _ in toks]
                 offsets = [(s, e) for _, s, e in toks]
                 spans = sc.align_phrase(doc_terms, offsets, qterms)[:max_spans]
