@@ -163,9 +163,16 @@ class Searcher:
     def _score_blocks(self, blocks_df, idfs, qtf, avgdl, k) -> pd.DataFrame:
         """Distributed segment-local scoring -> union of local top-ks.
 
+        Single-term queries take a shuffle-free fast path: with no cross-term
+        sum, every posting's score is block-local, so blocks are scored in
+        place with mapInPandas and only per-batch top-ks leave the scan.
+
         Block payloads are CRC-checked before decode (reference parity:
         per-blob CRC32 verification at doc_positions.go:222-226)."""
         out_schema = "doc_id long, score double"
+
+        if len(idfs) == 1:
+            return self._score_blocks_single_term(blocks_df, idfs, qtf, avgdl, k)
 
         def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
             import zlib
@@ -193,6 +200,45 @@ class Searcher:
         )
         from pyspark.sql import functions as F
 
+        return (
+            sdf.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .toPandas()
+        )
+
+    def _score_blocks_single_term(self, blocks_df, idfs, qtf, avgdl, k) -> pd.DataFrame:
+        from pyspark.sql import functions as F
+
+        import zlib
+
+        (term, idf_val), = idfs.items()
+        w = qtf.get(term, 1)
+
+        def score_batches(batches):
+            from pysearch import codec
+            from pysearch import score as ssc
+
+            for pdf in batches:
+                ids_all, sc_all = [], []
+                for n, ib, tb, db, crc in zip(pdf["n"], pdf["doc_ids_bin"],
+                                              pdf["tfs_bin"], pdf["dls_bin"],
+                                              pdf["crc32"]):
+                    got = zlib.crc32(ib) ^ zlib.crc32(tb) ^ zlib.crc32(db)
+                    if got != crc:
+                        raise IOError("posting block CRC mismatch")
+                    i, t, d = codec.unpack_block(n, ib, tb, db)
+                    ids_all.append(i)
+                    sc_all.append(ssc.bm25(t, d, idf_val, avgdl) * w)
+                if not ids_all:
+                    continue
+                ids = np.concatenate(ids_all)
+                scores = np.concatenate(sc_all)
+                o = np.lexsort((ids, -scores))[:k]
+                yield pd.DataFrame({"doc_id": ids[o], "score": scores[o]})
+
+        sdf = blocks_df.select(
+            "n", "doc_ids_bin", "tfs_bin", "dls_bin", "crc32"
+        ).mapInPandas(score_batches, schema="doc_id long, score double")
         return (
             sdf.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
