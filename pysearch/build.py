@@ -256,12 +256,23 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     docs.write.mode("overwrite").partitionBy("case_id").parquet(staging)
     layout.commit_batch(staging, layout.docs, 0)
     n = sum(r["count"] for r in counts)  # already collected for the offsets
+    n_input = proj.count()  # cached; rows that survived the P1 empty filter
     pinned.unpersist()
     proj.unpersist()
-    layout.append_lineage(spark, [{
-        "stage": "docs", "partition_key": "all", "status": "done",
-        "n_rows": n, "wall_sec": time.time() - t0,
-    }])
+    layout.append_lineage(spark, [
+        {
+            "stage": "docs", "partition_key": "all", "status": "done",
+            "n_rows": n, "wall_sec": time.time() - t0,
+        },
+        {
+            # quarantine accounting (reference continue-on-failure analog,
+            # index_pdfs.go:110-116): rows dropped by dedupe between the
+            # non-empty input and the indexed set
+            "stage": "docs", "partition_key": "quarantined",
+            "status": "info", "n_rows": n_input - n,
+            "wall_sec": 0.0,
+        },
+    ])
     layout.mark_stage("docs", n_docs=n, segment_size=segment_size)
     return docs  # cached; caller passes it to the postings stage and unpersists
 

@@ -135,12 +135,15 @@ SELECT doc_id, round(s, 4) AS score_r FROM sc ORDER BY s DESC, doc_id LIMIT 10
 def t1_bm25_top10(spark, sf_dir):
     """BM25 (k1=1.2, b=0.75) OR-of-terms top-10 — the engine's scoring
     semantics expressed as a pure Catalyst plan (broadcast term join +
-    two hash aggs), SQL-checkable against DuckDB."""
+    hash aggs), SQL-checkable against DuckDB.  The token explosion is
+    scanned ONCE: dl, corpus stats, and df all derive from the (doc, term)
+    tf aggregate — at webtext scale the tokenize pass dominates, so
+    deriving rather than re-exploding is the scalable shape."""
     from pyspark.sql import functions as F
 
     tok = _tokens(spark, sf_dir)
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     st = dl.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
     q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
     dfq = tf.join(F.broadcast(q), "term").groupBy("term").agg(

@@ -36,7 +36,9 @@ from pysearch.lineage import IndexLayout
 
 DEFAULT_MAX_RESULTS = 10  # reference: index_search.go:55-56
 PRUNE_FIRST_SEGMENTS = 8  # segments scored in phase 1 to establish θ
-PRUNE_MIN_POSTINGS = 100_000  # below this, one-pass scoring beats pruning
+PRUNE_MIN_POSTINGS = 1_000_000  # below this, one-pass scoring beats the
+# extra bound/θ jobs on a warm local cluster; real serving deployments with
+# cold storage set this lower
 
 
 class Searcher:

@@ -93,6 +93,37 @@ def test_full_search_spans_and_best_filter(searcher, spark):
     assert all(ln == 1 for lns in m["line_nums"] for ln in lns)
 
 
+def test_span_offsets_match_source_text(searcher):
+    """FIXTURES §4.4 span oracle: span char offsets point exactly at the
+    injected phrase's analyzed-term window in the original text."""
+    m = searcher.search("but I prefer Python when", k=5, case_id="2").toPandas()
+    assert not m.empty
+    for r in m.itertuples(index=False):
+        text = corpus.doc_text(int(r.doc_id), "but I prefer Python when", 5, 2000)
+        want_start = text.index("prefer Python")
+        assert [s["start"] for s in r.spans] == [want_start]
+        assert [s["end"] for s in r.spans] == [want_start + len("prefer Python")]
+        assert all(s["score"] == 2.0 for s in r.spans)
+
+
+def test_format_version_guard(spark, index, tmp_path):
+    """An index written by an incompatible format refuses to resume."""
+    import json
+    import shutil
+
+    from pysearch.lineage import IndexLayout
+
+    d = str(tmp_path / "vguard")
+    shutil.copytree(index, d)
+    lay = IndexLayout(d)
+    m = lay.read_manifest()
+    m["format_version"] = 999
+    lay.write_manifest(m)
+    df = corpus.webtext_df(spark, cases=[(1, "be the person who", 5, 100)])
+    with pytest.raises(RuntimeError, match="format version"):
+        build_index(spark, df, d, resume=True)
+
+
 def test_resume_equals_fresh_build(spark, index):
     """Kill-mid-postings resume: a build interrupted after a bounded batch
     of segments, then resumed, yields byte-identical postings and ranks."""
