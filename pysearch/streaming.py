@@ -75,6 +75,23 @@ def windowed_term_counts(stream_df, watch_terms: List[str],
     )
 
 
+def streaming_dedup(stream_df, watermark: str = "1 hour"):
+    """Stateful streaming exact-dedup: first occurrence of each content
+    hash wins; later duplicates are dropped across micro-batches (state
+    bounded by the event-time watermark).  The streaming face of the P4
+    dedup family — Spark's dropDuplicatesWithinWatermark keeps the hash
+    state store, giving exactly-once duplicate suppression."""
+    from pyspark.sql import functions as F
+
+    hashed = stream_df.withColumn(
+        "content_hash",
+        F.sha2(
+            F.coalesce(F.col("html"), F.encode(F.col("text"), "utf-8")), 256
+        ),
+    ).withWatermark("warc_ts", watermark)
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+
+
 def foreach_batch_matcher(watch_terms: List[str], out_dir: str):
     """Exactly-once micro-batch sink: append per-batch matches to parquet.
 

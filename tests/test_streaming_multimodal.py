@@ -76,6 +76,47 @@ def test_foreach_batch_matcher(spark, stream_src, tmp_path):
     assert got == 67
 
 
+def test_streaming_dedup(spark, tmp_path):
+    """Stateful cross-batch dedup: duplicate content arriving in a later
+    file is suppressed by the state store."""
+    import pandas as pd
+
+    from pysearch import corpus
+    from pysearch.streaming import streaming_dedup
+
+    src = str(tmp_path / "src")
+    rows1 = [corpus.row(1, i, "a cornucopia of", 8, 100) for i in range(1, 5)]
+    rows2 = [corpus.row(1, i, "a cornucopia of", 8, 100) for i in range(5, 9)]
+    dup = dict(rows1[0])
+    dup["url"] = "doc://1/8888"  # duplicate content in the second batch
+    rows2.append(dup)
+    df1 = spark.createDataFrame(pd.DataFrame(rows1))
+    df1.write.mode("overwrite").parquet(src)
+    schema = df1.schema
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    deduped = streaming_dedup(stream)
+    q = (
+        deduped.select("url", "content_hash")
+        .writeStream.format("memory").queryName("dd_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(pd.DataFrame(rows2)).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT url, content_hash FROM dd_out").collect()
+    urls = sorted(r.url for r in got)
+    # 8 unique contents; the duplicate url 8888 must be suppressed
+    assert len(got) == 8, urls
+    assert "doc://1/8888" not in urls
+    assert len({r.content_hash for r in got}) == 8
+
+
 def test_multimodal_features(spark):
     from pysearch.multimodal import FEATURE_DIM, extract_features, frame_sample
 
