@@ -18,25 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _ship_package(spark: SparkSession) -> None:
-    """Make pysearch importable in THIS session's python workers.
+    """Make pysearch importable in THIS session's python workers (the
+    driver owns the SparkSession; PYTHONPATH was fixed too late for its
+    workers)."""
+    from pysearch.session import ship_package
 
-    The driver owns the SparkSession (PYTHONPATH was fixed too late for its
-    workers), so ship the package with addPyFile — the supported way to add
-    code to a running session, and exactly what spark-submit --py-files does.
-    """
-    import tempfile
-
-    from pysearch.cli import make_pyfiles_zip
-
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"pysearch_pyfiles_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zip_path):
-        make_pyfiles_zip(zip_path)
-    try:
-        spark.sparkContext.addPyFile(zip_path)
-    except Exception:
-        pass  # already added in this session
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

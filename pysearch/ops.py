@@ -204,6 +204,12 @@ def t1_engine_bm25_top10(spark, sf_dir):
 
     from pysearch.build import build_index
     from pysearch.query import Searcher
+    from pysearch.session import _ensure_pythonpath, ship_package
+
+    # the driver may own this session: the build's pandas UDFs need the
+    # package on the executors
+    _ensure_pythonpath()
+    ship_package(spark)
 
     docs = _t(spark, sf_dir, "documents")
     webtext = docs.select(

@@ -25,6 +25,25 @@ def _ensure_pythonpath() -> None:
         )
 
 
+def ship_package(spark) -> None:
+    """Make pysearch importable in an already-running session's python
+    workers via addPyFile (what spark-submit --py-files does).  Needed when
+    the SparkSession was created by someone else before PYTHONPATH was set."""
+    import tempfile
+
+    from pysearch.cli import make_pyfiles_zip
+
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"pysearch_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        make_pyfiles_zip(zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this session
+
+
 def build_spark(master: str | None = None, app_name: str = "pysearch",
                 shuffle_partitions: int | None = None, extra: dict | None = None):
     from pyspark.sql import SparkSession
