@@ -55,8 +55,11 @@ class IVFIndex:
         self.spark = spark
         self.id_col = id_col
         self.vec_col = vec_col
+        # sorted take, NOT limit(): limit's row set depends on partition
+        # layout, which would break determinism across parallelism levels
         sample = np.array(
-            [r[0] for r in df.select(vec_col).limit(sample_size).collect()],
+            [r[1] for r in df.select(id_col, vec_col)
+             .orderBy(id_col).limit(sample_size).collect()],
             dtype=np.float64,
         )
         self.centroids = train_centroids(sample, n_clusters, seed=seed)

@@ -192,9 +192,10 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         ).otherwise(text_hash)
     else:
         content_hash = text_hash
-    # P1 empty filter
+    # P1 empty filter (trimmed: whitespace-only docs carry no tokens and
+    # would skew N vs token-deriving oracles)
     df = df.withColumn("content_hash", content_hash).filter(
-        F.length(F.col("text")) > 0
+        F.length(F.trim(F.col("text"))) > 0
     ).select("case_id", "url", "content_hash", "text")
 
     # P3 url dedupe + P4 content dedupe (done for real; the reference's is
@@ -254,7 +255,7 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
 
     staging = layout.staging_dir("docs")
     docs.write.mode("overwrite").partitionBy("case_id").parquet(staging)
-    layout.commit_batch(staging, layout.docs, 0)
+    layout.commit_batch(staging, layout.docs, 0, replace=True)
     n = sum(r["count"] for r in counts)  # already collected for the offsets
     n_input = proj.count()  # cached; rows that survived the P1 empty filter
     pinned.unpersist()
@@ -491,17 +492,17 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
         term_stats.repartition("term_bucket").write.mode("overwrite").partitionBy(
             "term_bucket"
         ).parquet(staging)
-        layout.commit_batch(staging, layout.term_stats, 0)
+        layout.commit_batch(staging, layout.term_stats, 0, replace=True)
 
     def _write_corpus_stats():
         staging = layout.staging_dir("corpus_stats")
         corpus_stats.coalesce(1).write.mode("overwrite").parquet(staging)
-        layout.commit_batch(staging, layout.corpus_stats, 0)
+        layout.commit_batch(staging, layout.corpus_stats, 0, replace=True)
 
     def _write_doc_map():
         staging = layout.staging_dir("doc_map")
         doc_map.write.mode("overwrite").partitionBy("case_id").parquet(staging)
-        layout.commit_batch(staging, layout.doc_map, 0)
+        layout.commit_batch(staging, layout.doc_map, 0, replace=True)
 
     with ThreadPoolExecutor(max_workers=3) as ex:
         futures = [ex.submit(f) for f in
@@ -552,6 +553,11 @@ def build_index(spark, webtext_df, index_dir: str, *,
         segment_size = m.get("segment_size", segment_size)
         n_buckets = m.get("n_buckets", n_buckets)
     layout.gc_staging()
+    if resume:
+        orphans = layout.gc_orphan_postings_commits(spark)
+        if orphans:
+            print(f"pysearch: removed {len(orphans)} orphan postings commit(s) "
+                  "left by a crash before their lineage write")
 
     docs_df = None
     if not layout.stage_done("docs"):

@@ -53,36 +53,8 @@ def varint_encode_with_offsets(values: np.ndarray):
 
 
 def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array. Vectorized over byte positions."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # number of 7-bit groups per value
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    # max 10 groups for 64-bit
-    nbytes = np.ones(v.shape, dtype=np.int64)  # at least 1 byte (value 0)
-    tmp >>= np.uint64(7)
-    while tmp.any():
-        nbytes += (tmp > 0).astype(np.int64)
-        tmp >>= np.uint64(7)
-    total = int(nbytes.sum())
-    out = np.empty(total, dtype=np.uint8)
-    # byte offsets of each value's first byte
-    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    shifted = v.copy()
-    remaining = nbytes.copy()
-    pos = 0  # byte-position round
-    while (remaining > 0).any():
-        active = remaining > 0
-        idx = starts[active] + pos
-        byte = (shifted[active] & np.uint64(0x7F)).astype(np.uint8)
-        cont = (remaining[active] > 1).astype(np.uint8) << 7
-        out[idx] = byte | cont
-        shifted[active] >>= np.uint64(7)
-        remaining[active] -= 1
-        pos += 1
-    return out.tobytes()
+    """LEB128-encode a uint64 array."""
+    return varint_encode_with_offsets(values)[0]
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:

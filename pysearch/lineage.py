@@ -60,17 +60,47 @@ class IndexLayout:
     def staging_dir(self, table: str) -> str:
         return os.path.join(self.root, f"_tmp_{table}_{uuid.uuid4().hex}")
 
-    def commit_batch(self, staging: str, table_dir: str, batch: int) -> str:
+    def commit_batch(self, staging: str, table_dir: str, batch: int,
+                     replace: bool = False) -> str:
         """Atomically move a written staging dir to <table>/commit-<n>.
 
         Plain (non key=value) names so Spark partition discovery under each
-        commit root sees only the table's real partition columns."""
+        commit root sees only the table's real partition columns.
+        ``replace=True`` overwrites a stale dir left by a crash between a
+        stage's commit and its manifest mark (stage reruns are whole-stage,
+        so the stale data is unreferenced)."""
         os.makedirs(table_dir, exist_ok=True)
         final = os.path.join(table_dir, f"commit-{batch:05d}")
         if os.path.exists(final):
-            raise RuntimeError(f"commit dir already exists: {final}")
+            if not replace:
+                raise RuntimeError(f"commit dir already exists: {final}")
+            shutil.rmtree(final)
         os.rename(staging, final)
         return final
+
+    def gc_orphan_postings_commits(self, spark) -> list[str]:
+        """Remove postings commit dirs not covered by lineage.
+
+        The lineage append is the postings commit point: a crash between the
+        directory rename and the lineage write leaves an orphan batch whose
+        segments would otherwise be rebuilt on resume and double-counted.
+        """
+        commits = self.list_commits(self.postings)
+        if not commits:
+            return []
+        lin = self.read_lineage(spark)
+        covered = {
+            int(r["batch"])
+            for r in lin.filter(lin.stage == "postings")
+            .select("batch").distinct().collect()
+        }
+        removed = []
+        for d in commits:
+            batch = int(os.path.basename(d).split("-", 1)[1])
+            if batch not in covered:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+        return removed
 
     def next_batch(self, table_dir: str) -> int:
         if not os.path.isdir(table_dir):

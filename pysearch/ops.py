@@ -219,6 +219,22 @@ def t1_engine_bm25_top10(spark, sf_dir):
     )
     label = os.path.basename(sf_dir.rstrip("/"))
     index_dir = f"/tmp/pysearch_ops_index_{label}"
+    # staleness guard: resume=True would happily reuse an index built from
+    # different data or a different analyzer — verify the manifest matches
+    # this source before trusting the cache
+    from pysearch.lineage import IndexLayout
+
+    m = IndexLayout(index_dir).read_manifest()
+    if m:
+        n_src = docs.count()
+        n_ix = m.get("stages", {}).get("docs", {}).get("n_docs")
+        stale = m.get("analyzer") != "simple" or (
+            n_ix is not None and n_ix > n_src  # dedupe only ever shrinks
+        )
+        if stale:
+            import shutil
+
+            shutil.rmtree(index_dir, ignore_errors=True)
     build_index(spark, webtext, index_dir, segment_size=128,
                 analyzer="simple", resume=True)
     s = Searcher(spark, index_dir)

@@ -80,16 +80,6 @@ def _cvc(word: str) -> bool:
     return word[-1] not in "wxy"
 
 
-def _replace(word: str, suffix: str, repl: str, m_min: int) -> str | None:
-    """If word ends with suffix and measure(stem) > m_min, replace it."""
-    if not word.endswith(suffix):
-        return None
-    stem = word[: len(word) - len(suffix)]
-    if _measure(word, len(stem) - 1) > m_min:
-        return stem + repl
-    return word  # suffix matched but condition failed -> stop rule group
-
-
 def _step1a(w: str) -> str:
     if w.endswith("sses"):
         return w[:-2]

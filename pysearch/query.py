@@ -154,10 +154,13 @@ class Searcher:
 
         # pruning pays for itself only when there is real volume to skip;
         # df is already known, so gate on total candidate postings
+        p1_pdf = None
         if prune and sum(dfs[t] for t in live) > self.prune_min_postings:
-            blocks = self._prune_blocks(blocks, idfs, qtf, avgdl, k)
+            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl, k)
 
         pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k)
+        if p1_pdf is not None:
+            pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
         pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
                               kind="stable").head(k).reset_index(drop=True)
         return pdf
@@ -290,18 +293,23 @@ class Searcher:
             .collect()
         )
         if len(top) <= PRUNE_FIRST_SEGMENTS:
-            return blocks_df
+            return blocks_df, None
         phase1 = [r["segment_id"] for r in top[:PRUNE_FIRST_SEGMENTS]]
         p1 = self._score_blocks(
             blocks_df.filter(F.col("segment_id").isin(phase1)), idfs, qtf, avgdl, k
         )
         if len(p1) < k:
-            return blocks_df  # too few hits to establish θ; score everything
+            return blocks_df, None  # too few hits to establish θ; score all
         theta = float(p1["score"].iloc[k - 1])
+        # >= not >: a pruned segment whose bound EQUALS θ could hold a doc
+        # that ties the kth score and wins the doc_id-ascending tie-break —
+        # strict > would break the lossless/rank-identity contract.
+        # phase-1 segments are excluded (their scores are already in p1).
         survivors = seg_ub.filter(
-            (F.col("seg_ub") > theta) | F.col("segment_id").isin(phase1)
+            (F.col("seg_ub") >= theta) & ~F.col("segment_id").isin(phase1)
         ).select("segment_id")
-        return blocks_df.join(F.broadcast(survivors), "segment_id", "left_semi")
+        phase2 = blocks_df.join(F.broadcast(survivors), "segment_id", "left_semi")
+        return phase2, p1
 
     # ------------------------------------------------------------------
     def search(self, query: str, k: int = DEFAULT_MAX_RESULTS,

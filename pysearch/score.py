@@ -41,10 +41,9 @@ def bm25(tf, dl, idf_val: float, avgdl: float):
     return idf_val * (tf * (K1 + 1.0)) / denom
 
 
-def block_upper_bound(max_tf: int, min_dl: int, idf_val: float, avgdl: float) -> float:
-    """Lossless per-block BM25 upper bound: tf-normalization is increasing
-    in tf and decreasing in dl, so (max_tf, min_dl) bounds every posting."""
-    return float(bm25(np.array([max_tf]), np.array([min_dl]), idf_val, avgdl)[0])
+# (per-block BM25 upper bounds are computed as a Catalyst expression in
+# query.Searcher._segment_upper_bounds: tf-normalization is increasing in tf
+# and decreasing in dl, so (max_tf, min_dl) bounds every posting)
 
 
 def score_segment_blocks(

@@ -36,12 +36,12 @@ def ship_package(spark) -> None:
     zip_path = os.path.join(
         tempfile.gettempdir(), f"pysearch_pyfiles_{os.getpid()}.zip"
     )
-    if not os.path.exists(zip_path):
-        make_pyfiles_zip(zip_path)
+    make_pyfiles_zip(zip_path)  # always rebuild: the package may have changed
     try:
         spark.sparkContext.addPyFile(zip_path)
-    except Exception:
-        pass  # already added in this session
+    except Exception as e:  # re-adding the same path is the only benign case
+        if "already" not in str(e).lower() and "exists" not in str(e).lower():
+            raise
 
 
 def build_spark(master: str | None = None, app_name: str = "pysearch",

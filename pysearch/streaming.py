@@ -34,11 +34,15 @@ def _analyze_udf():
     return analyze_terms
 
 
-def watch_terms_stream(stream_df, watch_terms: List[str]):
+def watch_terms_stream(stream_df, watch_terms: List[str],
+                       watermark: str = "1 hour"):
     """Streaming webtext -> (url, warc_ts, term) rows for watched terms.
 
     ``watch_terms`` are raw query strings; they pass through the same
     analyzer as documents (F1 invariant: one analyzer for index and query).
+    Dedup state is bounded by the event-time watermark — a plain
+    dropDuplicates would grow the state store forever on a long-running
+    stream.
     """
     from pyspark.sql import functions as F
 
@@ -46,12 +50,16 @@ def watch_terms_stream(stream_df, watch_terms: List[str]):
 
     analyzed = sorted({t for q in watch_terms for t in analyze(q)})
     udf = _analyze_udf()
-    toks = stream_df.select(
-        "url", "warc_ts", F.explode(udf("text")).alias("term")
-    )
-    return toks.filter(F.col("term").isin(analyzed)).dropDuplicates(
-        ["url", "term"]
-    )
+    src = stream_df
+    if stream_df.isStreaming:
+        src = src.withWatermark("warc_ts", watermark)
+    toks = src.select("url", "warc_ts", F.explode(udf("text")).alias("term"))
+    matched = toks.filter(F.col("term").isin(analyzed))
+    if stream_df.isStreaming:
+        # watermark-bounded dedup state; plain dropDuplicates would grow
+        # the state store forever on a long-running stream
+        return matched.dropDuplicatesWithinWatermark(["url", "term"])
+    return matched.dropDuplicates(["url", "term"])  # foreachBatch static path
 
 
 def windowed_term_counts(stream_df, watch_terms: List[str],
@@ -61,9 +69,9 @@ def windowed_term_counts(stream_df, watch_terms: List[str],
     handling via watermark."""
     from pyspark.sql import functions as F
 
-    matches = watch_terms_stream(stream_df, watch_terms)
+    matches = watch_terms_stream(stream_df, watch_terms, watermark=watermark)
     return (
-        matches.withWatermark("warc_ts", watermark)
+        matches
         .groupBy(F.window("warc_ts", window), "term")
         .agg(F.count("*").alias("n_docs"))
         .select(
