@@ -3,6 +3,10 @@ on the identical input (the in-sandbox stand-in for N vs 4N executors per the
 driver instruction), reported to BENCH/BASELINE.md.
 
     python BENCH/run_scaling.py [sf_dir]
+
+The host must be otherwise idle: any concurrent Spark work steals cores from
+whichever configuration is being measured and skews the ratio (observed: a
+parallel local[8] job dropped the local[32] throughput ~25%).
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ BENCH_DOCS = os.environ.get("PYSEARCH_BENCH_DOCS", "2000000")
 def run(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
                PYSEARCH_BENCH_DOCS=BENCH_DOCS,
+               PYSEARCH_BENCH_REPEATS=os.environ.get("PYSEARCH_BENCH_REPEATS", "2"),
                # charge tasks for their Python workers so local[N] consumes
                # ~N cores — otherwise the small config borrows idle host
                # cores and the comparison flatters it
