@@ -68,7 +68,9 @@ def main() -> None:
     med_lo = statistics.median(thr_lo_all)
     med_hi = statistics.median(thr_hi_all)
     med_eff = (med_hi / med_lo) / (hi / lo)
-    best_eff = (max(thr_hi_all) / min(thr_lo_all)) / (hi / lo)
+    # best SINGLE-trial efficiency (ADVICE r1: never pair thr_hi and thr_lo
+    # from different trials — that can exceed every actual trial)
+    best_eff = max(effs)
     # decomposition from the median builds
     t_lo = statistics.median(r["queries"]["index_build"] for r in runs_lo)
     t_hi = statistics.median(r["queries"]["index_build"] for r in runs_hi)

@@ -137,8 +137,10 @@ def main() -> None:
         dt = time.time() - t0
         q_times.append(dt)
         timings[f"q_engine_{i}"] = round(dt, 3)
-    q_times.sort()
-    p95 = q_times[min(len(q_times) - 1, int(round(0.95 * len(q_times))) )]
+    # linear-interpolated p95 (ADVICE r1: the old index clamped to the max)
+    import numpy as _np
+
+    p95 = float(_np.percentile(q_times, 95))
 
     # ---- ops queries over the sf tables ---------------------------------
     from pysearch.ops import OPS

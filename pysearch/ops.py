@@ -65,7 +65,7 @@ _HEX_DUCK = "(('0x' || substr(md5({x}), 1, 8))::bigint)"
 
 @op("a1_corpus_stats", f"""
 {_TOK_CTE}, dl AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id)
-SELECT count(*) AS n_docs, sum(n_tok) AS total_tokens,
+SELECT count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
        round(avg(n_tok), 4) AS avgdl_r
 FROM dl
 """)
@@ -220,23 +220,31 @@ def t1_engine_bm25_top10(spark, sf_dir):
     label = os.path.basename(sf_dir.rstrip("/"))
     index_dir = f"/tmp/pysearch_ops_index_{label}"
     # staleness guard: resume=True would happily reuse an index built from
-    # different data or a different analyzer — verify the manifest matches
-    # this source before trusting the cache
+    # different data or a different analyzer — key the cache on a content
+    # fingerprint of the source (count + order-insensitive row hash), not
+    # just the doc count (ADVICE r1: a regenerated source with >= docs
+    # silently reused a stale index)
     from pysearch.lineage import IndexLayout
 
-    m = IndexLayout(index_dir).read_manifest()
-    if m:
-        n_src = docs.count()
-        n_ix = m.get("stages", {}).get("docs", {}).get("n_docs")
-        stale = m.get("analyzer") != "simple" or (
-            n_ix is not None and n_ix > n_src  # dedupe only ever shrinks
-        )
-        if stale:
-            import shutil
+    fp_row = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.crc32(F.encode(F.concat_ws("|", F.col("doc_id").cast("string"),
+                                         "text"), "utf-8"))
+        ).alias("h"),
+    ).collect()[0]
+    fp = f"{fp_row['n']}:{fp_row['h']}"
+    layout = IndexLayout(index_dir)
+    m = layout.read_manifest()
+    if m and (m.get("analyzer") != "simple" or m.get("source_fp") != fp):
+        import shutil
 
-            shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(index_dir, ignore_errors=True)
     build_index(spark, webtext, index_dir, segment_size=128,
                 analyzer="simple", resume=True)
+    m2 = layout.read_manifest()
+    if m2.get("source_fp") != fp:
+        layout.write_manifest({**m2, "source_fp": fp})
     s = Searcher(spark, index_dir)
     hits = s.search_ids(" ".join(_BM25_TERMS), k=10, case_id="0")
     # map engine doc_ids back to the source table's doc_id via the catalog
@@ -368,7 +376,7 @@ def f8_fingerprint(spark, sf_dir):
 
 
 @op("f11_json_props", """
-SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
        count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """)
@@ -460,6 +468,48 @@ def dd_minhash_pairs(spark, sf_dir):
     )
 
 
+def gram_pair_counts(grams, n_salts: int = 8, hot_df: int = 64):
+    """|grams(a) ∩ grams(b)| for all doc pairs sharing >= 1 gram, as a
+    self-join on the gram key with Zipf-head skew handled explicitly.
+
+    Grams are split by document frequency: cold grams (df < ``hot_df``)
+    self-join plainly; hot grams go through a salted 2D-blocked join — the
+    right side carries salt = hash(doc_id) % S, the left side is replicated
+    once per target salt, so one hot gram's pair generation spreads over S
+    distinct join keys instead of landing on a single reducer.  Output is
+    value-identical for any (n_salts, hot_df); a property test pins that.
+
+    Expects a deduplicated (doc_id, g) DataFrame.
+    """
+    from pyspark.sql import functions as F
+
+    gdf = grams.groupBy("g").agg(F.count("*").alias("gdf"))
+    hot_keys = gdf.filter(F.col("gdf") >= hot_df).select("g")
+    tagged = grams.join(
+        F.broadcast(hot_keys.withColumn("_hot", F.lit(True))), "g", "left"
+    )
+    cold = tagged.filter(F.col("_hot").isNull()).select("doc_id", "g")
+    hot = tagged.filter(F.col("_hot").isNotNull()).select("doc_id", "g")
+
+    def pairs_of(left, right, extra_keys):
+        return left.alias("ga").join(
+            right.alias("gb"),
+            [F.col(f"ga.{k}") == F.col(f"gb.{k}") for k in ["g", *extra_keys]]
+            + [F.col("ga.doc_id") < F.col("gb.doc_id")],
+        ).select(F.col("ga.doc_id").alias("a"), F.col("gb.doc_id").alias("b"))
+
+    cold_pairs = pairs_of(cold, cold, [])
+    hot_r = hot.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(n_salts)))
+    hot_l = hot.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    hot_pairs = pairs_of(hot_l, hot_r, ["salt"])
+    return (
+        cold_pairs.unionByName(hot_pairs)
+        .groupBy("a", "b").agg(F.count("*").alias("i"))
+    )
+
+
 @op("dd_bigram_jaccard", f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
@@ -478,7 +528,10 @@ FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE i / (sa.n + sb.n - i)::DOUBLE >= 0.05 ORDER BY a, b
 """)
 def dd_bigram_jaccard(spark, sf_dir):
-    """n-gram (word bigram) Jaccard near-dup pairs over a bounded doc slice."""
+    """n-gram (word bigram) Jaccard near-dup pairs over a bounded doc slice.
+
+    The gram self-join runs through gram_pair_counts (hot/cold salted split)
+    so Zipf-skewed head grams cannot concentrate on one reducer at scale."""
     from pyspark.sql import functions as F
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
@@ -495,13 +548,7 @@ def dd_bigram_jaccard(spark, sf_dir):
         ).alias("g"),
     ).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = grams.alias("ga")
-    b = grams.alias("gb")
-    inter = (
-        a.join(b, (F.col("ga.g") == F.col("gb.g")) & (F.col("ga.doc_id") < F.col("gb.doc_id")))
-        .groupBy(F.col("ga.doc_id").alias("a"), F.col("gb.doc_id").alias("b"))
-        .agg(F.count("*").alias("i"))
-    )
+    inter = gram_pair_counts(grams)
     j = (
         inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
@@ -523,30 +570,38 @@ bits AS (
          sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
   FROM th, range(32) AS b(bit) GROUP BY doc_id, b.bit)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id ORDER BY doc_id
 """)
 def dd_simhash(spark, sf_dir):
-    """32-bit SimHash per doc over distinct terms (portable md5 bit source)."""
+    """32-bit SimHash per doc over distinct terms (portable md5 bit source).
+
+    Spark plan: ONE groupBy(doc_id) with 32 generated conditional-sum
+    columns, then a driver-side bit-fold expression — no 32x row explosion
+    and a single shuffle (the oracle SQL keeps the readable explode form;
+    oracles don't need to scale)."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     terms = _tokens(spark, sf_dir).distinct()
     th = terms.select("doc_id", F.expr(_HEX_SPARK.format(x="term")).alias("hv"))
-    bits = (
-        th.withColumn("bit", F.explode(F.sequence(F.lit(0), F.lit(31))))
-        .withColumn(
-            "v",
-            F.when(F.expr("(hv >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        .groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(hv >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    bits = th.groupBy("doc_id").agg(*bit_sums)
+    simhash = reduce(
+        lambda acc, b: acc + b,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(32)
+        ],
     )
-    return (
-        bits.withColumn(
-            "bv", F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-        )
-        .groupBy("doc_id").agg(F.sum("bv").alias("simhash"))
-        .orderBy("doc_id")
-    )
+    return bits.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -601,8 +656,13 @@ cs AS (SELECT qa.vec_id AS a, nb.vec_id AS b, {_COS_DUCK} AS cos
 SELECT a, b, round(cos, 4) AS cos_r FROM cs WHERE cos >= 0.3 ORDER BY a, b
 """)
 def dd_embed_cosine_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (threshold join) — the
-    embedding leg of the dedup family."""
+    """Embedding-cosine near-duplicate pairs (threshold join).
+
+    ORACLE-ONLY: this is the exhaustive all-pairs theta join, bounded to 120
+    vectors so the ground truth is cheap to verify.  The production-scale
+    embedding near-dup path is ``dd_embed_lsh_verify`` (LSH bucket
+    candidates -> exact-cosine verification), which avoids the O(N^2)
+    comparison entirely."""
     from pyspark.sql import functions as F
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120).select(
@@ -661,6 +721,56 @@ def ann_lsh_bucket_pairs(spark, sf_dir):
                & (F.col("sa.vec_id") < F.col("sb.vec_id")))
         .select(F.col("sa.vec_id").alias("a"), F.col("sb.vec_id").alias("b"),
                 F.col("sa.bucket").alias("bucket"))
+        .orderBy("a", "b")
+    )
+
+
+@op("dd_embed_lsh_verify", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 120),
+sig AS (
+  SELECT vec_id,
+         (CASE WHEN v[1] - v[33] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN v[9] - v[41] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN v[17] - v[49] > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM e),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+cs AS (
+  SELECT p.a, p.b,
+         list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+  FROM pairs p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b)
+SELECT a, b, round(cos, 4) AS cos_r FROM cs WHERE cos >= 0.3 ORDER BY a, b
+""")
+def dd_embed_lsh_verify(spark, sf_dir):
+    """Scalable embedding near-dup: LSH bucket candidates (the
+    ann_lsh_bucket_pairs join shape) -> exact-cosine verification on the
+    candidate pairs only.  At scale the candidate set is ~N * bucket_load
+    instead of N^2; each verified pair costs one dot product.  Recall is
+    bounded by the LSH family (pairs split across all buckets are missed) —
+    the exhaustive ground truth for that bound is dd_embed_cosine_pairs."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    cand = ann_lsh_bucket_pairs(spark, sf_dir).select("a", "b")
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    cs = (
+        cand.join(e.select(F.col("vec_id").alias("a"), F.col("v").alias("qv")), "a")
+        .join(e.select(F.col("vec_id").alias("b"), F.col("v").alias("nv")), "b")
+        .withColumn(
+            "cos",
+            F.expr(
+                f"{dot.format(a='qv', b='nv')} / "
+                f"(sqrt({dot.format(a='qv', b='qv')}) * sqrt({dot.format(a='nv', b='nv')}))"
+            ),
+        )
+    )
+    return (
+        cs.filter(F.col("cos") >= 0.3)
+        .select("a", "b", F.round("cos", 4).alias("cos_r"))
         .orderBy("a", "b")
     )
 
@@ -739,7 +849,8 @@ WITH ws AS (SELECT doc_id,
         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re
     FROM documents)
-SELECT count(*) AS n_docs, sum(n_ws) AS ws_tokens, sum(n_re) AS re_tokens FROM ws
+SELECT count(*) AS n_docs, sum(n_ws)::BIGINT AS ws_tokens,
+       sum(n_re)::BIGINT AS re_tokens FROM ws
 """)
 def tx_token_counts(spark, sf_dir):
     """Token counting two ways: whitespace split vs regex word extraction."""

@@ -38,10 +38,14 @@ def _normalize(rows, columns):
         for i in order:
             v = row[i]
             if isinstance(v, float):
+                # the "f:" prefix keeps the int/float distinction: the
+                # driver's gate hashes TYPED values, so a DuckDB HUGEINT
+                # materializing as float64 (27939.0) must NOT compare equal
+                # to Spark's int64 27939 here either (round-1 bug class)
                 if math.isnan(v):
-                    v = "nan"
+                    v = "f:nan"
                 else:
-                    v = f"{v:.9g}"
+                    v = f"f:{v:.9g}"
             vals.append(str(v))
         out.append(tuple(vals))
     return sorted(out)
@@ -66,6 +70,32 @@ def test_query_matches_oracle(spark, duck, name):
     b = _normalize(duck_rows, duck_cols)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_normalize_is_type_strict():
+    # r1 regression: DuckDB HUGEINT -> float64 27939.0 must NOT equal Spark
+    # int64 27939 (reverting the ::BIGINT oracle casts must fail locally)
+    assert _normalize([(27939.0,)], ["x"]) != _normalize([(27939,)], ["x"])
+    assert _normalize([(1.5,)], ["x"]) == _normalize([(1.5,)], ["x"])
+
+
+def test_gram_pair_counts_salting_invariant(spark):
+    # the hot/cold salted gram self-join is value-identical to the plain
+    # join for any (n_salts, hot_df)
+    from pysearch.ops import gram_pair_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    from pyspark.sql import functions as F
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("g"),
+    ).distinct()
+    plain = gram_pair_counts(grams, n_salts=1, hot_df=10**9)  # nothing hot
+    salted = gram_pair_counts(grams, n_salts=4, hot_df=1)  # everything hot
+    rows_p = sorted(tuple(r) for r in plain.collect())
+    rows_s = sorted(tuple(r) for r in salted.collect())
+    assert rows_p == rows_s and len(rows_p) > 0
 
 
 def test_entry_flagship(spark):
