@@ -55,11 +55,15 @@ class IVFIndex:
         self.spark = spark
         self.id_col = id_col
         self.vec_col = vec_col
-        # sorted take, NOT limit(): limit's row set depends on partition
-        # layout, which would break determinism across parallelism levels
+        # deterministic UNBIASED sample: order by a hash of the id and take
+        # the first sample_size rows.  A global sort+limit compiles to
+        # per-partition top-K + merge, so it is cheap at scale AND
+        # partition-layout independent (plain limit() is not); hashing
+        # removes the low-id bias a sorted take would have.
         sample = np.array(
-            [r[1] for r in df.select(id_col, vec_col)
-             .orderBy(id_col).limit(sample_size).collect()],
+            [r[2] for r in df.select(
+                F.md5(F.col(id_col).cast("string")).alias("_h"), id_col, vec_col)
+             .orderBy("_h", id_col).limit(sample_size).collect()],
             dtype=np.float64,
         )
         self.centroids = train_centroids(sample, n_clusters, seed=seed)

@@ -65,8 +65,10 @@ def term_bucket(term: str, n_buckets: int) -> int:
 # stage "docs"
 # --------------------------------------------------------------------------
 
-def _assign_doc_ids(spark, df, n_partitions: int):
-    """Deterministic per-case doc_id = rank of url (1-based).
+def _assign_doc_ids(spark, df, n_partitions: int, base: dict | None = None):
+    """Deterministic per-case doc_id = rank of url (1-based), plus an
+    optional per-case ``base`` offset (incremental append starts above the
+    existing id space).
 
     Meant to run on a text-free projection (case_id, url[, content_hash]) so
     the shuffles here never carry document bodies; the caller joins the
@@ -101,9 +103,10 @@ def _assign_doc_ids(spark, df, n_partitions: int):
     per_case: dict = {}
     for r in counts:
         per_case.setdefault(r["case_id"], []).append((r["_pid"], r["count"]))
+    base = base or {}
     offsets: dict = {}
     for case, lst in per_case.items():
-        acc = 0
+        acc = base.get(case, 0)
         for pid, cnt in sorted(lst):
             offsets[(pid, case)] = acc
             acc += cnt
@@ -147,7 +150,16 @@ def _assign_doc_ids(spark, df, n_partitions: int):
 
 
 def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
-                     n_partitions: int | None = None) -> None:
+                     n_partitions: int | None = None, existing=None,
+                     batch: int = 0):
+    """Clean/dedupe/assign-id the input and commit it as docs batch ``batch``.
+
+    ``existing`` (append mode): projection of the current docs table
+    (case_id, doc_id, url, content_hash).  New rows matching an existing
+    url OR content hash are skipped (append adds documents; it does not
+    update existing ones), and appended doc_ids start at the next segment
+    boundary above the per-case max so appended segments never mix with
+    already-built ones."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -198,6 +210,19 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         F.length(F.trim(F.col("text"))) > 0
     ).select("case_id", "url", "content_hash", "text")
 
+    base = None
+    if existing is not None:
+        df = df.join(existing.select("case_id", "url"),
+                     ["case_id", "url"], "left_anti")
+        df = df.join(existing.select("case_id", "content_hash"),
+                     ["case_id", "content_hash"], "left_anti")
+        base = {
+            str(r["case_id"]):
+                ((int(r["mx"]) + segment_size - 1) // segment_size) * segment_size
+            for r in existing.groupBy("case_id")
+            .agg(F.max("doc_id").alias("mx")).collect()
+        }
+
     # P3 url dedupe + P4 content dedupe (done for real; the reference's is
     # dead code, bleve_pdf.go:395-409) AND doc_id assignment, all computed on
     # a text-free projection: no shuffle in this stage ever carries document
@@ -216,7 +241,8 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         proj.withColumn("_r", F.row_number().over(w_hash)).filter("_r = 1")
         .select("case_id", "url", "content_hash")
     )
-    id_map, pinned, counts = _assign_doc_ids(spark, winners, n_partitions)
+    id_map, pinned, counts = _assign_doc_ids(spark, winners, n_partitions,
+                                             base=base)
 
     # exact-duplicate input rows (same url AND content) would multiply
     # through the id join.  Detect them on the projection (text-free) and
@@ -255,7 +281,7 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
 
     staging = layout.staging_dir("docs")
     docs.write.mode("overwrite").partitionBy("case_id").parquet(staging)
-    layout.commit_batch(staging, layout.docs, 0, replace=True)
+    layout.commit_batch(staging, layout.docs, batch, replace=(batch == 0))
     n = sum(r["count"] for r in counts)  # already collected for the offsets
     n_input = proj.count()  # cached; rows that survived the P1 empty filter
     pinned.unpersist()
@@ -263,18 +289,22 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     layout.append_lineage(spark, [
         {
             "stage": "docs", "partition_key": "all", "status": "done",
-            "n_rows": n, "wall_sec": time.time() - t0,
+            "batch": batch, "n_rows": n, "wall_sec": time.time() - t0,
         },
         {
             # quarantine accounting (reference continue-on-failure analog,
             # index_pdfs.go:110-116): rows dropped by dedupe between the
             # non-empty input and the indexed set
             "stage": "docs", "partition_key": "quarantined",
-            "status": "info", "n_rows": n_input - n,
+            "status": "info", "batch": batch, "n_rows": n_input - n,
             "wall_sec": 0.0,
         },
     ])
-    layout.mark_stage("docs", n_docs=n, segment_size=segment_size)
+    prev = 0
+    if batch > 0:
+        prev = int(layout.read_manifest().get("stages", {})
+                   .get("docs", {}).get("n_docs", 0) or 0)
+    layout.mark_stage("docs", n_docs=prev + n, segment_size=segment_size)
     return docs  # cached; caller passes it to the postings stage and unpersists
 
 
@@ -347,13 +377,15 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
     from pysearch.schema import POSTING_BLOCKS
 
     t0 = time.time()
+    from pysearch.schema import DOCS
+
     if docs_df is not None:
-        # fresh build: the docs stage hands over its cached DataFrame,
-        # already hash-partitioned by (case_id, segment_id) — the groupBy
-        # below runs with no exchange and no disk re-read
+        # fresh build / append: the docs stage hands over its cached
+        # DataFrame, already hash-partitioned by (case_id, segment_id) —
+        # the groupBy below runs with no exchange and no disk re-read
         docs = docs_df
     else:
-        docs = layout.read_commits(spark, layout.docs).withColumn(
+        docs = layout.read_commits(spark, layout.docs, schema=DOCS).withColumn(
             "case_id", F.col("case_id").cast("string")
         )
 
@@ -378,7 +410,7 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
             )
             docs = docs.join(F.broadcast(chosen_df), ["case_id", "segment_id"], "left_semi")
             complete_after_batch = False
-    if done and docs.isEmpty():  # only a resumed build can have nothing left
+    if docs.isEmpty():  # resumed build with nothing left, or empty corpus
         layout.mark_stage("postings", n_buckets=n_buckets)
         return
 
@@ -405,29 +437,46 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
     layout.commit_batch(staging, layout.postings, batch)
 
     # lineage + metrics per (case, segment) from the committed batch
-    written = spark.read.parquet(os.path.join(layout.postings, f"commit-{batch:05d}"))
-    seg_metrics = (
-        written.groupBy("case_id", "segment_id")
-        .agg(
-            F.count("*").alias("n_blocks"),
-            F.sum("n").alias("n_postings"),
-            F.sum(F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("dls_bin")).alias("bytes"),
+    from pysearch.lineage import _has_parquet
+
+    commit_dir = os.path.join(layout.postings, f"commit-{batch:05d}")
+    if _has_parquet(commit_dir):
+        written = spark.read.parquet(commit_dir)
+        seg_metrics = (
+            written.groupBy("case_id", "segment_id")
+            .agg(
+                F.count("*").alias("n_blocks"),
+                F.sum("n").alias("n_postings"),
+                F.sum(F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("dls_bin")).alias("bytes"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    layout.append_lineage(spark, [
-        {
-            "stage": "postings",
-            "partition_key": f"{r.case_id}|{r.segment_id}",
-            "batch": batch,
-            "status": "done",
-            "n_rows": r.n_blocks,
-            "n_postings": r.n_postings,
-            "bytes": r.bytes,
-            "wall_sec": time.time() - t0,
-        }
-        for r in seg_metrics
-    ])
+        rows = [
+            {
+                "stage": "postings",
+                "partition_key": f"{r.case_id}|{r.segment_id}",
+                "batch": batch,
+                "status": "done",
+                "n_rows": r.n_blocks,
+                "n_postings": r.n_postings,
+                "bytes": r.bytes,
+                "wall_sec": time.time() - t0,
+            }
+            for r in seg_metrics
+        ]
+    else:
+        # zero blocks (e.g. every token stopped out): the segments are
+        # still DONE — record them so resume doesn't redo them forever
+        rows = [
+            {
+                "stage": "postings",
+                "partition_key": f"{r['case_id']}|{r['segment_id']}",
+                "batch": batch, "status": "done", "n_rows": 0,
+                "n_postings": 0, "bytes": 0, "wall_sec": time.time() - t0,
+            }
+            for r in docs.select("case_id", "segment_id").distinct().collect()
+        ]
+    layout.append_lineage(spark, rows)
     if complete_after_batch:
         layout.mark_stage("postings", n_buckets=n_buckets)
 
@@ -454,11 +503,15 @@ def salted_sum(df, keys: List[str], sums: dict, salt_col, salt_n: int = SALT_N):
 def build_finalize_stage(spark, layout: IndexLayout) -> None:
     from pyspark.sql import functions as F
 
+    from pysearch.schema import DOCS, POSTING_BLOCKS
+
     t0 = time.time()
-    blocks = layout.read_commits(spark, layout.postings).withColumn(
+    blocks = layout.read_commits(
+        spark, layout.postings, schema=POSTING_BLOCKS
+    ).withColumn(
         "case_id", F.col("case_id").cast("string")
     ).withColumn("term_bucket", F.col("term_bucket").cast("int"))
-    docs = layout.read_commits(spark, layout.docs).withColumn(
+    docs = layout.read_commits(spark, layout.docs, schema=DOCS).withColumn(
         "case_id", F.col("case_id").cast("string")
     )
 
@@ -525,16 +578,26 @@ def build_index(spark, webtext_df, index_dir: str, *,
                 segment_size: int = DEFAULT_SEGMENT_SIZE,
                 n_buckets: int = DEFAULT_N_BUCKETS,
                 resume: bool = False,
+                append: bool = False,
                 n_partitions: int | None = None,
                 analyzer: str = "en") -> IndexLayout:
-    """Build (or resume) the full index at ``index_dir``.
+    """Build (or resume, or append to) the full index at ``index_dir``.
 
     Resume semantics: stage-level markers in the manifest; the postings stage
     additionally resumes at (case, segment) granularity from lineage rows, so
     a build killed mid-postings redoes only missing segments.
+
+    ``append=True`` adds new documents to an EXISTING index (reference
+    open-vs-create parity: bleve_glue.go:20-30 open-existing, catalog reload
+    bleve_pdf.go:236-260, ReuseIndex index_search.go:86) — see
+    ``_append_index``.  Appending to a nonexistent index is a fresh build.
     """
     layout = IndexLayout(index_dir)
     m = layout.read_manifest()
+    if append and m:
+        if m.get("format_version") != INDEX_FORMAT_VERSION:
+            raise RuntimeError("index format version mismatch; rebuild required")
+        return _append_index(spark, webtext_df, layout, n_partitions)
     if m and not resume:
         import shutil
 
@@ -571,4 +634,56 @@ def build_index(spark, webtext_df, index_dir: str, *,
         docs_df.unpersist()
     if not layout.stage_done("finalize"):
         build_finalize_stage(spark, layout)
+    return layout
+
+
+def _append_index(spark, webtext_df, layout: IndexLayout,
+                  n_partitions: int | None = None) -> IndexLayout:
+    """Incremental append of new documents to an existing complete index.
+
+    - New rows are deduped against the CURRENT docs table (url and content
+      hash): append adds documents, it never updates existing ones.
+    - Appended doc_ids start at the next segment boundary above the
+      per-case max, so appended segments never mix with already-built ones
+      — the (case, segment) postings done-granularity stays valid at the
+      cost of at most one segment's worth of id space per append per case.
+    - Postings build only the new segments (incremental commit batch);
+      term_stats/corpus_stats/doc_map are recomputed from block metadata
+      and the docs table (full recompute — correct and simple; a delta
+      merge is a later optimization).
+    - Crash-safe: the postings/finalize done-flags are cleared BEFORE the
+      docs commit, and the docs lineage append is the docs commit point
+      (orphan batches are GC'd), so an interrupted append is completed by
+      rerunning it — or by ``build_index(resume=True)``, whose postings
+      resume path rebuilds exactly the missing segments from the committed
+      docs table.
+    """
+    from pyspark.sql import functions as F
+
+    from pysearch.schema import DOCS
+
+    m = layout.read_manifest()
+    if not layout.stage_done("docs"):
+        raise RuntimeError("append requires an index with a completed docs stage")
+    segment_size = int(m["segment_size"])
+    n_buckets = int(m["n_buckets"])
+    analyzer = m.get("analyzer", "en")
+    layout.gc_staging()
+    layout.gc_orphan_docs_commits(spark)
+    layout.gc_orphan_postings_commits(spark)
+
+    existing = layout.read_commits(spark, layout.docs, schema=DOCS).select(
+        F.col("case_id").cast("string").alias("case_id"),
+        "doc_id", "url", "content_hash",
+    )
+    batch = layout.next_batch(layout.docs)
+    # invalidate downstream stages before new docs become visible
+    layout.clear_stage("postings")
+    layout.clear_stage("finalize")
+    docs_df = build_docs_stage(spark, webtext_df, layout, segment_size,
+                               n_partitions, existing=existing, batch=batch)
+    build_postings_stage(spark, layout, n_buckets, resume=True,
+                         docs_df=docs_df, analyzer=analyzer)
+    docs_df.unpersist()
+    build_finalize_stage(spark, layout)
     return layout

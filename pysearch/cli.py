@@ -63,6 +63,22 @@ def cmd_package(args) -> None:
     print(make_pyfiles_zip(args.output))
 
 
+def cmd_verify_index(args) -> None:
+    """Offline consistency check (reference CheckConsistency analog,
+    bleve_pdf.go:177-223): exits non-zero when the index is inconsistent."""
+    from pysearch.session import build_spark
+    from pysearch.verify import verify_index
+
+    spark = build_spark(master=args.master, app_name="pysearch-verify")
+    problems = verify_index(spark, args.index, check_crcs=not args.no_crc)
+    spark.stop()
+    if problems:
+        for p in problems:
+            print(f"FAIL: {p}")
+        sys.exit(1)
+    print(f"OK: index at {args.index} is consistent")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="pysearch")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -94,6 +110,13 @@ def main(argv=None) -> None:
 
     pb = sub.add_parser("bench", help="run the benchmark (one JSON line)")
     pb.set_defaults(fn=_run_bench)
+
+    pv = sub.add_parser("verify-index", help="offline index consistency check")
+    pv.add_argument("--index", required=True)
+    pv.add_argument("--no-crc", action="store_true",
+                    help="skip the block CRC pass (metadata checks only)")
+    pv.add_argument("--master", default=None)
+    pv.set_defaults(fn=cmd_verify_index)
 
     pz = sub.add_parser("package", help="write pysearch.zip for --py-files")
     pz.add_argument("--output", default="pysearch.zip")

@@ -22,6 +22,13 @@ def _utcnow():
     return _dt.datetime.now(_dt.timezone.utc)
 
 
+def _has_parquet(commit_dir: str) -> bool:
+    for _root, _dirs, files in os.walk(commit_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 class IndexLayout:
     def __init__(self, root: str):
         self.root = root
@@ -55,6 +62,14 @@ class IndexLayout:
 
     def stage_done(self, stage: str) -> bool:
         return bool(self.read_manifest().get("stages", {}).get(stage, {}).get("done"))
+
+    def clear_stage(self, stage: str) -> None:
+        """Unset a stage's done flag (append invalidates postings/finalize
+        before committing new docs, so a crashed append resumes cleanly)."""
+        m = self.read_manifest()
+        if m.get("stages", {}).get(stage):
+            m["stages"][stage]["done"] = False
+            self.write_manifest(m)
 
     # -- atomic batch commits --------------------------------------------
     def staging_dir(self, table: str) -> str:
@@ -102,6 +117,27 @@ class IndexLayout:
                 removed.append(d)
         return removed
 
+    def gc_orphan_docs_commits(self, spark) -> list[str]:
+        """Remove appended docs commit dirs (batch > 0) not covered by a
+        docs lineage row — the append analog of the postings orphan GC
+        (the lineage append is the commit point for a docs batch)."""
+        commits = self.list_commits(self.docs)
+        if len(commits) <= 1:
+            return []
+        lin = self.read_lineage(spark)
+        covered = {
+            int(r["batch"])
+            for r in lin.filter(lin.stage == "docs")
+            .select("batch").distinct().collect()
+        }
+        removed = []
+        for d in commits:
+            batch = int(os.path.basename(d).split("-", 1)[1])
+            if batch > 0 and batch not in covered:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+        return removed
+
     def next_batch(self, table_dir: str) -> int:
         if not os.path.isdir(table_dir):
             return 0
@@ -127,12 +163,17 @@ class IndexLayout:
         Each commit dir is read as its own single-root parquet tree (so
         partition discovery inside a commit — e.g. term_bucket=K — stays
         consistent), then unioned by name; Spark cannot partition-discover
-        across multiple commit roots in one read."""
-        dirs = self.list_commits(table_dir)
+        across multiple commit roots in one read.
+
+        Commit dirs with no part files (an empty partitioned write leaves
+        only _SUCCESS) are skipped — with ``schema`` given, a table whose
+        commits are all empty reads as an empty DataFrame instead of a
+        schema-inference error (empty-corpus builds)."""
+        dirs = [d for d in self.list_commits(table_dir) if _has_parquet(d)]
         if not dirs:
             if schema is not None:
                 return spark.createDataFrame([], schema=schema)
-            raise FileNotFoundError(f"no commits under {table_dir}")
+            raise FileNotFoundError(f"no readable commits under {table_dir}")
         out = None
         for d in dirs:
             part = spark.read.parquet(d)

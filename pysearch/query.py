@@ -72,20 +72,29 @@ class Searcher:
                 out = out.withColumn("case_id", F.col("case_id").cast("string"))
             return out
 
+        # explicit schemas: a table whose commits are all empty (empty or
+        # fully-stopworded corpus) reads as an empty DataFrame
+        from pysearch.schema import (CORPUS_STATS, DOCS, POSTING_BLOCKS,
+                                     TERM_STATS)
+
         self.postings = _norm(
-            self.layout.read_commits(spark, self.layout.postings)
+            self.layout.read_commits(spark, self.layout.postings,
+                                     schema=POSTING_BLOCKS)
         )
         if cache_postings:
             self.postings = self.postings.persist()
         self.docs = _norm(
-            self.layout.read_commits(spark, self.layout.docs)
+            self.layout.read_commits(spark, self.layout.docs, schema=DOCS)
         )
         self._corpus: Dict[str, tuple] = {
             str(r["case_id"]): (int(r["n_docs"]), float(r["avgdl"]))
-            for r in self.layout.read_commits(self.spark, self.layout.corpus_stats).collect()
+            for r in self.layout.read_commits(
+                self.spark, self.layout.corpus_stats, schema=CORPUS_STATS
+            ).collect()
         }
         self._term_stats = _norm(
-            self.layout.read_commits(spark, self.layout.term_stats)
+            self.layout.read_commits(spark, self.layout.term_stats,
+                                     schema=TERM_STATS)
         )
         # partition-column literal type for bucket pruning filters
         self._bucket_is_str = dict(self.postings.dtypes).get("term_bucket") == "string"
@@ -361,9 +370,13 @@ class Searcher:
                     ],
                     "line_nums": line_nums,
                     "lines": lines,
+                    # reference Fragment (search_pdfs.go:50,189-192):
+                    # ellipsized highlight around the best span
+                    "fragment": sc.make_fragment(r.text, spans),
                 })
             return pd.DataFrame(out, columns=[
-                "case_id", "doc_id", "url", "score", "spans", "line_nums", "lines",
+                "case_id", "doc_id", "url", "score", "spans", "line_nums",
+                "lines", "fragment",
             ])
 
         matches = joined.mapInPandas(

@@ -100,4 +100,5 @@ MATCHES = T.StructType([
     T.StructField("spans", T.ArrayType(SPAN), False),
     T.StructField("line_nums", T.ArrayType(T.IntegerType()), False),
     T.StructField("lines", T.ArrayType(T.StringType()), False),
+    T.StructField("fragment", T.StringType(), False),
 ])

@@ -154,3 +154,32 @@ def line_lookup(text: str, char_start: int) -> Tuple[int, str]:
     ln = int(np.searchsorted(ends, char_start, side="right"))
     ln = min(ln, len(lines) - 1)
     return ln + 1, lines[ln]
+
+
+FRAGMENT_CONTEXT = 60
+
+
+def make_fragment(text: str, spans, context: int = FRAGMENT_CONTEXT) -> str:
+    """Ellipsized highlight fragment for a hit (reference Fragment
+    semantics: search_pdfs.go:50,189-192 NewHighlight): the best-scoring
+    span (earliest on ties) expanded ~context chars each side, snapped to
+    word boundaries, with '…' marking clipped edges."""
+    if not spans:
+        return ""
+    cs, ce, _ = max(spans, key=lambda s: (s[2], -s[0]))
+    lo = max(0, cs - context)
+    hi = min(len(text), ce + context)
+    if lo > 0:
+        sp = text.find(" ", lo, cs)
+        if sp != -1:
+            lo = sp + 1
+    if hi < len(text):
+        sp = text.rfind(" ", ce, hi)
+        if sp != -1:
+            hi = sp
+    frag = text[lo:hi]
+    if lo > 0:
+        frag = "…" + frag
+    if hi < len(text):
+        frag = frag + "…"
+    return frag

@@ -104,6 +104,126 @@ def test_span_offsets_match_source_text(searcher):
         assert [s["start"] for s in r.spans] == [want_start]
         assert [s["end"] for s in r.spans] == [want_start + len("prefer Python")]
         assert all(s["score"] == 2.0 for s in r.spans)
+        # highlight fragment (reference Fragment, search_pdfs.go:189-192):
+        # contains the matched phrase, ellipsized when clipped
+        assert "prefer Python" in r.fragment
+        assert len(r.fragment) <= 2 * len("prefer Python") + 2 * 60 + 2
+        if want_start > 60:
+            assert r.fragment.startswith("…")
+
+
+def test_incremental_append_new_case(spark, tmp_path):
+    """Append parity with the reference's open-existing-index path
+    (bleve_glue.go:20-30, index_search.go:86): build cases 1-4, append case
+    6, and the case-6 golden top-10 must reproduce exactly while case-1
+    results stay bit-identical."""
+    d = str(tmp_path / "append_ix")
+    build_index(spark, corpus.webtext_df(spark, cases=corpus.CASES[:4]), d,
+                segment_size=256)
+
+    def top10(searcher, term, case_id):
+        h = searcher.search_ids(term, k=10, case_id=case_id)
+        return [[int(x), float(y)] for x, y in zip(h["doc_id"], h["score"])]
+
+    with open(os.path.join(GOLDEN_DIR, "case_1_top10.json")) as f:
+        g1 = json.load(f)["top"]
+    with open(os.path.join(GOLDEN_DIR, "case_6_top10.json")) as f:
+        g6 = json.load(f)["top"]
+    assert top10(Searcher(spark, d), corpus.CASES[0][1], "1") == g1
+
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[5]]), d,
+                append=True)
+    s = Searcher(spark, d)
+    assert top10(s, "in the realm of", "6") == g6
+    assert top10(s, corpus.CASES[0][1], "1") == g1  # untouched by append
+
+    # appending the same rows again is a no-op (url/content dedupe)
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[5]]), d,
+                append=True)
+    s2 = Searcher(spark, d)
+    assert s2._corpus == s._corpus
+    assert top10(s2, "in the realm of", "6") == g6
+
+
+def test_incremental_append_same_case(spark, tmp_path):
+    """Appending more docs to an EXISTING case: ids continue above the next
+    segment boundary, stats refresh, and scores match a fresh full build
+    (same doc set -> same N/avgdl/tf/dl)."""
+    case_id, term, n, dl = 4, "with good intentions for", 50, 1000
+    full = corpus.webtext_df(spark, cases=[(case_id, term, n, dl)])
+    first = full.filter("url <= 'doc://4/0025'")
+    second = full.filter("url > 'doc://4/0025'")
+
+    d = str(tmp_path / "same_case_ix")
+    build_index(spark, first, d, segment_size=16)
+    build_index(spark, second, d, append=True)
+    s = Searcher(spark, d)
+    hits = s.search_ids(term, k=n, case_id=str(case_id))
+    url_of = {r["doc_id"]: r["url"]
+              for r in s.docs.select("doc_id", "url").collect()}
+    got = sorted(int(url_of[i].rsplit("/", 1)[1]) for i in hits["doc_id"])
+    assert got == [i for i in range(1, n + 1) if i % 3 != 2]
+    # appended ids start at the segment boundary above 25 (16 -> 32), so
+    # appended segments never mix with built ones
+    appended = [i for i in url_of if i > 25]
+    assert appended and min(appended) == 33
+    # score multiset identical to a fresh full build
+    d2 = str(tmp_path / "fresh_ix")
+    build_index(spark, full, d2, segment_size=16)
+    fresh = Searcher(spark, d2).search_ids(term, k=n, case_id=str(case_id))
+    assert sorted(hits["score"]) == sorted(fresh["score"])
+
+
+def test_empty_corpus_build(spark, tmp_path):
+    """A build over zero rows completes cleanly (explicit-schema reads, no
+    partitioned-write schema-inference crash) and searches return empty."""
+    from pysearch.corpus import WEBTEXT_SCHEMA
+
+    d = str(tmp_path / "empty_ix")
+    empty = spark.createDataFrame([], schema=WEBTEXT_SCHEMA)
+    build_index(spark, empty, d, segment_size=16)
+    s = Searcher(spark, d)
+    assert s.search_ids("anything at all", k=10, case_id="0").empty
+
+
+def test_verify_index_flags_tampering(spark, tmp_path):
+    """verify_index (reference CheckConsistency analog) passes a clean index
+    and flags manifest drift, orphan commits, and CRC corruption."""
+    import glob
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from pysearch.verify import verify_index
+
+    d = str(tmp_path / "verify_ix")
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[0]]), d,
+                segment_size=16)
+    assert verify_index(spark, d) == []
+
+    # 1) manifest n_docs drift
+    lay = IndexLayout(d)
+    m = lay.read_manifest()
+    m["stages"]["docs"]["n_docs"] += 1
+    lay.write_manifest(m)
+    assert any("manifest n_docs" in p for p in verify_index(spark, d))
+    m["stages"]["docs"]["n_docs"] -= 1
+    lay.write_manifest(m)
+
+    # 2) flip a stored CRC in one postings part file
+    part = sorted(glob.glob(f"{d}/postings/commit-*/**/*.parquet",
+                            recursive=True))[0]
+    t = pq.read_table(part)
+    pdf = t.to_pandas()
+    pdf.loc[0, "crc32"] = int(pdf.loc[0, "crc32"]) ^ 1
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(pdf, schema=t.schema), part)
+    # drop the stale Hadoop checksum sidecar so the tampered file is read
+    side = os.path.join(os.path.dirname(part), f".{os.path.basename(part)}.crc")
+    if os.path.exists(side):
+        os.remove(side)
+    assert any("CRC32" in p for p in verify_index(spark, d))
 
 
 def test_format_version_guard(spark, index, tmp_path):
