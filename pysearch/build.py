@@ -151,15 +151,23 @@ def _assign_doc_ids(spark, df, n_partitions: int, base: dict | None = None):
 
 def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
                      n_partitions: int | None = None, existing=None,
-                     batch: int = 0):
-    """Clean/dedupe/assign-id the input and commit it as docs batch ``batch``.
+                     batch: int = 0, defer_commit: bool = False):
+    """Clean/dedupe/assign-id the input and commit it as docs batch ``batch``
+    (the doc_map catalog batch is written alongside, from the same cached
+    partitions, and per-case doc counts land in the manifest so finalize
+    never has to re-scan the docs table).
 
     ``existing`` (append mode): projection of the current docs table
     (case_id, doc_id, url, content_hash).  New rows matching an existing
     url OR content hash are skipped (append adds documents; it does not
     update existing ones), and appended doc_ids start at the next segment
     boundary above the per-case max so appended segments never mix with
-    already-built ones."""
+    already-built ones.
+
+    ``defer_commit=True`` returns ``(docs, finish)`` where ``finish()``
+    performs the staging writes + commits + lineage + stage mark — the
+    caller can overlap those disk writes with the postings compute, which
+    only needs the cached ``docs`` DataFrame."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -279,32 +287,60 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         .persist()
     )
 
-    staging = layout.staging_dir("docs")
-    docs.write.mode("overwrite").partitionBy("case_id").parquet(staging)
-    layout.commit_batch(staging, layout.docs, batch, replace=(batch == 0))
     n = sum(r["count"] for r in counts)  # already collected for the offsets
+    case_counts: dict = {}
+    for r in counts:
+        key = str(r["case_id"])
+        case_counts[key] = case_counts.get(key, 0) + int(r["count"])
     n_input = proj.count()  # cached; rows that survived the P1 empty filter
+    # materialize the docs cache BEFORE dropping the pinned range layout:
+    # doc_ids are only valid against the _pid boundaries the offsets were
+    # collected from, and repartitionByRange re-SAMPLES boundaries on
+    # recompute — consumers (docs write, postings) must hit the cache
+    docs.count()
     pinned.unpersist()
     proj.unpersist()
-    layout.append_lineage(spark, [
-        {
-            "stage": "docs", "partition_key": "all", "status": "done",
-            "batch": batch, "n_rows": n, "wall_sec": time.time() - t0,
-        },
-        {
-            # quarantine accounting (reference continue-on-failure analog,
-            # index_pdfs.go:110-116): rows dropped by dedupe between the
-            # non-empty input and the indexed set
-            "stage": "docs", "partition_key": "quarantined",
-            "status": "info", "batch": batch, "n_rows": n_input - n,
-            "wall_sec": 0.0,
-        },
-    ])
-    prev = 0
-    if batch > 0:
-        prev = int(layout.read_manifest().get("stages", {})
-                   .get("docs", {}).get("n_docs", 0) or 0)
-    layout.mark_stage("docs", n_docs=prev + n, segment_size=segment_size)
+
+    def finish():
+        staging = layout.staging_dir("docs")
+        docs.write.mode("overwrite").partitionBy("case_id").parquet(staging)
+        # doc_map catalog (reference file_list.json analog) from the same
+        # cached partitions — text column dropped, so the write is tiny
+        dm_staging = layout.staging_dir("doc_map")
+        docs.select("case_id", "doc_id", "url", "content_hash").write.mode(
+            "overwrite"
+        ).partitionBy("case_id").parquet(dm_staging)
+        layout.commit_batch(staging, layout.docs, batch, replace=(batch == 0))
+        layout.commit_batch(dm_staging, layout.doc_map, batch,
+                            replace=(batch == 0))
+        layout.append_lineage(spark, [
+            {
+                "stage": "docs", "partition_key": "all", "status": "done",
+                "batch": batch, "n_rows": n, "wall_sec": time.time() - t0,
+            },
+            {
+                # quarantine accounting (reference continue-on-failure
+                # analog, index_pdfs.go:110-116): rows dropped by dedupe
+                # between the non-empty input and the indexed set
+                "stage": "docs", "partition_key": "quarantined",
+                "status": "info", "batch": batch, "n_rows": n_input - n,
+                "wall_sec": 0.0,
+            },
+        ])
+        prev, prev_counts = 0, {}
+        if batch > 0:
+            st = layout.read_manifest().get("stages", {}).get("docs", {})
+            prev = int(st.get("n_docs", 0) or 0)
+            prev_counts = dict(st.get("case_counts", {}) or {})
+        merged = dict(prev_counts)
+        for k, v in case_counts.items():
+            merged[k] = merged.get(k, 0) + v
+        layout.mark_stage("docs", n_docs=prev + n,
+                          segment_size=segment_size, case_counts=merged)
+
+    if defer_commit:
+        return docs, finish
+    finish()
     return docs  # cached; caller passes it to the postings stage and unpersists
 
 
@@ -357,6 +393,7 @@ def _make_block_builder(n_buckets: int, analyzer: str = "en"):
                     case_id, term, tb, segment_id, b, cnt, ib, tfb, dlb,
                     mn, mx, mtf, mdl,
                     int(tfs[b * codec.BLOCK_SIZE:(b + 1) * codec.BLOCK_SIZE].sum()),
+                    len(ib) + len(tfb) + len(dlb),
                     crc,
                 ))
         return pd.DataFrame(rows, columns=[f.name for f in _BLOCK_FIELDS])
@@ -367,11 +404,18 @@ def _make_block_builder(n_buckets: int, analyzer: str = "en"):
 def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
                          resume: bool = False,
                          max_segments: int | None = None,
-                         docs_df=None, analyzer: str = "en") -> None:
+                         docs_df=None, analyzer: str = "en",
+                         defer_commit: bool = False):
     """Build posting blocks for all (or up to ``max_segments``) segments not
     yet recorded as done in lineage.  ``max_segments`` bounds one batch —
     the incremental/ops hook that also simulates a crash mid-stage for the
-    resume tests.  The stage is marked complete only when nothing remains."""
+    resume tests.  The stage is marked complete only when nothing remains.
+
+    ``defer_commit=True`` runs the heavy compute + staging write and
+    returns a ``finish()`` closure holding the commit (rename + metrics +
+    lineage + mark) — the caller sequences it after the docs commit so the
+    commit ORDER stays crash-consistent while the writes themselves
+    overlap."""
     from pyspark.sql import functions as F
 
     from pysearch.schema import POSTING_BLOCKS
@@ -411,7 +455,12 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
             docs = docs.join(F.broadcast(chosen_df), ["case_id", "segment_id"], "left_semi")
             complete_after_batch = False
     if docs.isEmpty():  # resumed build with nothing left, or empty corpus
-        layout.mark_stage("postings", n_buckets=n_buckets)
+        def mark_only():
+            layout.mark_stage("postings", n_buckets=n_buckets)
+
+        if defer_commit:
+            return mark_only
+        mark_only()
         return
 
     out_schema = ", ".join(
@@ -434,51 +483,59 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
         .partitionBy("term_bucket")
         .parquet(staging)
     )
-    layout.commit_batch(staging, layout.postings, batch)
 
-    # lineage + metrics per (case, segment) from the committed batch
-    from pysearch.lineage import _has_parquet
+    def finish():
+        layout.commit_batch(staging, layout.postings, batch)
 
-    commit_dir = os.path.join(layout.postings, f"commit-{batch:05d}")
-    if _has_parquet(commit_dir):
-        written = spark.read.parquet(commit_dir)
-        seg_metrics = (
-            written.groupBy("case_id", "segment_id")
-            .agg(
-                F.count("*").alias("n_blocks"),
-                F.sum("n").alias("n_postings"),
-                F.sum(F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("dls_bin")).alias("bytes"),
+        # lineage + metrics per (case, segment) from the committed batch
+        from pysearch.lineage import _has_parquet
+
+        commit_dir = os.path.join(layout.postings, f"commit-{batch:05d}")
+        if _has_parquet(commit_dir):
+            # n_bytes is precomputed at pack time, so this verification
+            # scan is metadata-only — payload columns are never re-read
+            written = spark.read.parquet(commit_dir)
+            seg_metrics = (
+                written.groupBy("case_id", "segment_id")
+                .agg(
+                    F.count("*").alias("n_blocks"),
+                    F.sum("n").alias("n_postings"),
+                    F.sum("n_bytes").alias("bytes"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        rows = [
-            {
-                "stage": "postings",
-                "partition_key": f"{r.case_id}|{r.segment_id}",
-                "batch": batch,
-                "status": "done",
-                "n_rows": r.n_blocks,
-                "n_postings": r.n_postings,
-                "bytes": r.bytes,
-                "wall_sec": time.time() - t0,
-            }
-            for r in seg_metrics
-        ]
-    else:
-        # zero blocks (e.g. every token stopped out): the segments are
-        # still DONE — record them so resume doesn't redo them forever
-        rows = [
-            {
-                "stage": "postings",
-                "partition_key": f"{r['case_id']}|{r['segment_id']}",
-                "batch": batch, "status": "done", "n_rows": 0,
-                "n_postings": 0, "bytes": 0, "wall_sec": time.time() - t0,
-            }
-            for r in docs.select("case_id", "segment_id").distinct().collect()
-        ]
-    layout.append_lineage(spark, rows)
-    if complete_after_batch:
-        layout.mark_stage("postings", n_buckets=n_buckets)
+            rows = [
+                {
+                    "stage": "postings",
+                    "partition_key": f"{r.case_id}|{r.segment_id}",
+                    "batch": batch,
+                    "status": "done",
+                    "n_rows": r.n_blocks,
+                    "n_postings": r.n_postings,
+                    "bytes": r.bytes,
+                    "wall_sec": time.time() - t0,
+                }
+                for r in seg_metrics
+            ]
+        else:
+            # zero blocks (e.g. every token stopped out): the segments are
+            # still DONE — record them so resume doesn't redo them forever
+            rows = [
+                {
+                    "stage": "postings",
+                    "partition_key": f"{r['case_id']}|{r['segment_id']}",
+                    "batch": batch, "status": "done", "n_rows": 0,
+                    "n_postings": 0, "bytes": 0, "wall_sec": time.time() - t0,
+                }
+                for r in docs.select("case_id", "segment_id").distinct().collect()
+            ]
+        layout.append_lineage(spark, rows)
+        if complete_after_batch:
+            layout.mark_stage("postings", n_buckets=n_buckets)
+
+    if defer_commit:
+        return finish
+    finish()
 
 
 # --------------------------------------------------------------------------
@@ -511,9 +568,6 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
     ).withColumn(
         "case_id", F.col("case_id").cast("string")
     ).withColumn("term_bucket", F.col("term_bucket").cast("int"))
-    docs = layout.read_commits(spark, layout.docs, schema=DOCS).withColumn(
-        "case_id", F.col("case_id").cast("string")
-    )
 
     term_stats = salted_sum(
         blocks.select("case_id", "term", "term_bucket", "n", "sum_tf", "segment_id"),
@@ -524,8 +578,23 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
 
     # avgdl from block metadata: sum(tf) over a doc's postings == its
     # analyzed token count, so sum(sum_tf) over blocks == sum(doc_len),
-    # exactly (integer arithmetic) — saves a second analyzer pass over text
-    n_per_case = docs.groupBy("case_id").agg(F.count("*").cast("long").alias("n_docs"))
+    # exactly (integer arithmetic) — saves a second analyzer pass over text.
+    # Per-case doc counts come from the manifest (recorded by the docs
+    # stage), so finalize never re-scans the docs table; legacy indexes
+    # without case_counts fall back to the scan.
+    cc = layout.read_manifest().get("stages", {}).get("docs", {}).get("case_counts")
+    if cc:
+        n_per_case = spark.createDataFrame(
+            [(str(k), int(v)) for k, v in cc.items()],
+            schema="case_id string, n_docs long",
+        )
+    else:
+        docs = layout.read_commits(spark, layout.docs, schema=DOCS).withColumn(
+            "case_id", F.col("case_id").cast("string")
+        )
+        n_per_case = docs.groupBy("case_id").agg(
+            F.count("*").cast("long").alias("n_docs")
+        )
     dl_per_case = blocks.groupBy("case_id").agg(
         F.sum("sum_tf").cast("long").alias("sum_dl")
     )
@@ -534,10 +603,10 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
         .fillna({"sum_dl": 0})
         .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
     )
-    doc_map = docs.select("case_id", "doc_id", "url", "content_hash")
 
-    # the three table writes are independent — submit them as concurrent
+    # the two table writes are independent — submit them as concurrent
     # Spark jobs (thread-safe by design) so their stage latencies overlap
+    # (doc_map is written by the docs stage, from cached partitions)
     from concurrent.futures import ThreadPoolExecutor
 
     def _write_term_stats():
@@ -552,14 +621,9 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
         corpus_stats.coalesce(1).write.mode("overwrite").parquet(staging)
         layout.commit_batch(staging, layout.corpus_stats, 0, replace=True)
 
-    def _write_doc_map():
-        staging = layout.staging_dir("doc_map")
-        doc_map.write.mode("overwrite").partitionBy("case_id").parquet(staging)
-        layout.commit_batch(staging, layout.doc_map, 0, replace=True)
-
-    with ThreadPoolExecutor(max_workers=3) as ex:
+    with ThreadPoolExecutor(max_workers=2) as ex:
         futures = [ex.submit(f) for f in
-                   (_write_term_stats, _write_corpus_stats, _write_doc_map)]
+                   (_write_term_stats, _write_corpus_stats)]
         for fut in futures:
             fut.result()
 
@@ -622,16 +686,34 @@ def build_index(spark, webtext_df, index_dir: str, *,
             print(f"pysearch: removed {len(orphans)} orphan postings commit(s) "
                   "left by a crash before their lineage write")
 
-    docs_df = None
+    analyzer_m = layout.read_manifest().get("analyzer", "en")
     if not layout.stage_done("docs"):
-        docs_df = build_docs_stage(spark, webtext_df, layout, segment_size,
-                                   n_partitions)
-    if not layout.stage_done("postings"):
-        build_postings_stage(spark, layout, n_buckets, resume=resume,
-                             docs_df=docs_df,
-                             analyzer=layout.read_manifest().get("analyzer", "en"))
-    if docs_df is not None:
+        docs_df, finish_docs = build_docs_stage(
+            spark, webtext_df, layout, segment_size, n_partitions,
+            defer_commit=True,
+        )
+        # Overlap the docs/doc_map disk writes with the postings compute:
+        # both consume the same cached docs partitions (BlockManager block
+        # locks make concurrent first-computation safe), and on a
+        # shared-disk host the postings tokenization hides the docs write
+        # latency.  Commit ORDER stays crash-consistent: the postings
+        # commit closure runs only after the docs commit returned.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_post = ex.submit(
+                build_postings_stage, spark, layout, n_buckets,
+                resume=resume, docs_df=docs_df, analyzer=analyzer_m,
+                defer_commit=True,
+            )
+            f_docs = ex.submit(finish_docs)
+            finish_postings = f_post.result()
+            f_docs.result()
+        finish_postings()
         docs_df.unpersist()
+    elif not layout.stage_done("postings"):
+        build_postings_stage(spark, layout, n_buckets, resume=resume,
+                             analyzer=analyzer_m)
     if not layout.stage_done("finalize"):
         build_finalize_stage(spark, layout)
     return layout

@@ -189,31 +189,44 @@ class IndexLayout:
 
     # -- lineage ----------------------------------------------------------
     def append_lineage(self, spark, rows: list[dict]) -> None:
-        """Append lineage rows as an atomic batch."""
-        import pandas as pd
-        from pysearch.schema import LINEAGE
+        """Append lineage rows as an atomic batch.
+
+        Written driver-side with pyarrow (the rows are a small driver-side
+        list — a Spark job per lineage append was pure fixed overhead, and
+        builds do several of them).  The arrow schema mirrors
+        pysearch.schema.LINEAGE so Spark reads all commits uniformly."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
         if not rows:
             return
         now = _utcnow()
-        pdf = pd.DataFrame([
-            {
-                "stage": r["stage"],
-                "partition_key": r["partition_key"],
-                "batch": int(r.get("batch", 0)),
-                "status": r.get("status", "done"),
-                "n_rows": r.get("n_rows"),
-                "n_postings": r.get("n_postings"),
-                "bytes": r.get("bytes"),
-                "wall_sec": r.get("wall_sec"),
-                "ts": now,
-            }
-            for r in rows
+        schema = pa.schema([
+            ("stage", pa.string()),
+            ("partition_key", pa.string()),
+            ("batch", pa.int32()),
+            ("status", pa.string()),
+            ("n_rows", pa.int64()),
+            ("n_postings", pa.int64()),
+            ("bytes", pa.int64()),
+            ("wall_sec", pa.float64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
         ])
+        cols = {
+            "stage": [r["stage"] for r in rows],
+            "partition_key": [r["partition_key"] for r in rows],
+            "batch": [int(r.get("batch", 0)) for r in rows],
+            "status": [r.get("status", "done") for r in rows],
+            "n_rows": [r.get("n_rows") for r in rows],
+            "n_postings": [r.get("n_postings") for r in rows],
+            "bytes": [r.get("bytes") for r in rows],
+            "wall_sec": [r.get("wall_sec") for r in rows],
+            "ts": [now] * len(rows),
+        }
         staging = self.staging_dir("lineage")
-        spark.createDataFrame(pdf, schema=LINEAGE).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staging)
+        os.makedirs(staging, exist_ok=True)
+        pq.write_table(pa.Table.from_pydict(cols, schema=schema),
+                       os.path.join(staging, "part-00000.parquet"))
         self.commit_batch(staging, self.lineage, self.next_batch(self.lineage))
 
     def read_lineage(self, spark):

@@ -234,9 +234,12 @@ def t1_engine_bm25_top10(spark, sf_dir):
         ).alias("h"),
     ).collect()[0]
     fp = f"{fp_row['n']}:{fp_row['h']}"
+    from pysearch.version import INDEX_FORMAT_VERSION
+
     layout = IndexLayout(index_dir)
     m = layout.read_manifest()
-    if m and (m.get("analyzer") != "simple" or m.get("source_fp") != fp):
+    if m and (m.get("format_version") != INDEX_FORMAT_VERSION
+              or m.get("analyzer") != "simple" or m.get("source_fp") != fp):
         import shutil
 
         shutil.rmtree(index_dir, ignore_errors=True)

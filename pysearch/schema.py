@@ -50,6 +50,9 @@ POSTING_BLOCKS = T.StructType([
     T.StructField("max_tf", T.IntegerType(), False),
     T.StructField("min_dl", T.IntegerType(), False),
     T.StructField("sum_tf", T.LongType(), False),
+    # payload size, precomputed at build so metrics scans never have to
+    # re-read the packed binary columns (column pruning stays effective)
+    T.StructField("n_bytes", T.LongType(), False),
     T.StructField("crc32", T.LongType(), False),
 ])
 

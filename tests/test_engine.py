@@ -253,7 +253,10 @@ def test_resume_equals_fresh_build(spark, index):
     df = corpus.webtext_df(spark, cases=cases)
 
     layout = IndexLayout(resume_dir)
-    layout.write_manifest({"format_version": 1, "segment_size": 64, "n_buckets": 64})
+    from pysearch.version import INDEX_FORMAT_VERSION
+
+    layout.write_manifest({"format_version": INDEX_FORMAT_VERSION,
+                           "segment_size": 64, "n_buckets": 64})
     build_docs_stage(spark, df, layout, segment_size=64)
     # simulate crash: only 3 segments built, stage not marked complete
     build_postings_stage(spark, layout, n_buckets=64, max_segments=3)
