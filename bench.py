@@ -45,8 +45,10 @@ OPS_QUERIES = [
     "a2_term_df_top50",
     "dd_minhash_pairs",
     "dd_simhash",
+    "dd_embed_lsh_verify",
     "ann_cosine_top5",
     "tx_quality",
+    "tx_fingerprints",
     "rel_q1_pricing",
     "rel_nation_revenue",
 ]

@@ -873,6 +873,52 @@ def tx_token_counts(spark, sf_dir):
     )
 
 
+_FP_K = 3   # words per k-gram
+_FP_W = 4   # grams per sampling window
+
+@op("tx_fingerprints", f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+pos AS (
+  SELECT doc_id, l, unnest(range(1, len(l) - {_FP_K} + 2)) AS i
+  FROM toks WHERE len(l) >= {_FP_K}),
+grams AS (
+  SELECT doc_id, (i - 1) // {_FP_W} AS win,
+         {_HEX_DUCK.format(x=f"array_to_string(l[i:i+{_FP_K - 1}], ' ')")} AS hv
+  FROM pos)
+SELECT doc_id, win, min(hv) AS fp
+FROM grams GROUP BY doc_id, win ORDER BY doc_id, win
+""")
+def tx_fingerprints(spark, sf_dir):
+    """Document fingerprinting: k-gram rolling hashes, min-sampled per
+    window (winnowing-style, tumbling windows) — robust-to-local-edit doc
+    signatures for near-dup detection, vs f8's whole-doc hash.  One
+    explode + one groupBy; the gram hash is the portable md5 family."""
+    from pyspark.sql import functions as F
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("l")
+    ).filter(F.size("l") >= _FP_K)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(l) - {_FP_K} + 1),"
+                f" i -> concat_ws(' ', slice(l, i, {_FP_K})))"
+            )
+        ).alias("pos", "g"),
+    ).select(
+        "doc_id",
+        F.floor(F.col("pos") / _FP_W).alias("win"),
+        F.expr(_HEX_SPARK.format(x="g")).alias("hv"),
+    )
+    return (
+        grams.groupBy("doc_id", "win").agg(F.min("hv").alias("fp"))
+        .orderBy("doc_id", "win")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (scan/filter/join/agg/window/sort on the star schema)
 # ---------------------------------------------------------------------------

@@ -118,3 +118,27 @@ def foreach_batch_matcher(watch_terms: List[str], out_dir: str):
         )
 
     return handle
+
+
+def foreach_batch_indexer(index_dir: str, **build_kwargs):
+    """Continuous index maintenance: append each micro-batch to a
+    persistent index via ``build_index(append=True)`` — the streaming face
+    of incremental append (reference open-existing parity,
+    bleve_glue.go:20-30; use case 2's arriving-documents path upgraded
+    from match-only to full index ingestion).
+
+    Re-delivered micro-batches are idempotent without tracking epoch ids:
+    append dedupes against the existing docs table by (case_id, url) and
+    content hash, so re-processing a batch appends nothing.  The first
+    batch against an empty directory is a fresh build.
+    """
+
+    def handle(batch_df, epoch_id: int) -> None:
+        from pysearch.build import build_index
+
+        if batch_df.isEmpty():
+            return
+        build_index(batch_df.sparkSession, batch_df, index_dir,
+                    append=True, **build_kwargs)
+
+    return handle

@@ -76,6 +76,52 @@ def test_foreach_batch_matcher(spark, stream_src, tmp_path):
     assert got == 67
 
 
+def test_foreach_batch_indexer(spark, tmp_path):
+    """Streaming ingestion into a persistent index: two micro-batches (two
+    parquet files, maxFilesPerTrigger=1) append-build one index; searches
+    see documents from both, and ranks match a one-shot batch build."""
+    from pysearch.query import Searcher
+    from pysearch.streaming import foreach_batch_indexer
+
+    src = str(tmp_path / "ingest_src")
+    df = corpus.webtext_df(spark, cases=[(6, "in the realm of", 100, 200)])
+    df.filter("url <= 'doc://6/0050'").coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    df.filter("url > 'doc://6/0050'").coalesce(1).write.mode(
+        "append").parquet(src)
+
+    ix = str(tmp_path / "ingest_ix")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(foreach_batch_indexer(ix, segment_size=16))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    s = Searcher(spark, ix)
+    hits = s.search_ids("in the realm of", k=100, case_id="6")
+    url_of = {r["doc_id"]: r["url"]
+              for r in s.docs.select("doc_id", "url").collect()}
+    got = sorted(int(url_of[i].rsplit("/", 1)[1]) for i in hits["doc_id"])
+    assert got == [i for i in range(1, 101) if i % 3 != 2]
+    # score multiset matches a one-shot batch build of the same corpus
+    ix2 = str(tmp_path / "oneshot_ix")
+    from pysearch.build import build_index
+
+    build_index(spark, df, ix2, segment_size=16)
+    fresh = Searcher(spark, ix2).search_ids("in the realm of", k=100,
+                                            case_id="6")
+    assert sorted(hits["score"]) == sorted(fresh["score"])
+
+
 def test_streaming_dedup(spark, tmp_path):
     """Stateful cross-batch dedup: duplicate content arriving in a later
     file is suppressed by the state store."""
