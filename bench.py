@@ -107,6 +107,11 @@ def main() -> None:
                           partitions=max(CPUS * 2, 16)).write.mode(
             "overwrite").parquet(corpus_dir + ".tmp")
         os.rename(corpus_dir + ".tmp", corpus_dir)
+    if os.environ.get("PYSEARCH_BENCH_CORPUS_ONLY") == "1":
+        spark.stop()
+        print(json.dumps({"metric": "corpus_only", "value": 0, "unit": "sec",
+                          "queries": {}, "sf": 0}))
+        return
     wt = spark.read.parquet(corpus_dir)
     index_dir = f"{work_root}/pysearch_bench_index_{CPUS}"
     # warmup build (tiny, untimed): JIT/classloading/python-worker spin-up
@@ -166,6 +171,8 @@ def main() -> None:
         "query_p95_sec": round(p95, 3),
     }
     spark.stop()
+    if work_root != "/tmp":
+        shutil.rmtree(index_dir, ignore_errors=True)  # free /dev/shm
     print(json.dumps(out))
 
 

@@ -50,6 +50,12 @@ DEFAULT_SEGMENT_SIZE = 4096
 DEFAULT_N_BUCKETS = 64
 SALT_N = 16
 
+
+def _dbg(msg: str, t0: float) -> None:
+    """Phase timing breadcrumbs, enabled with PYSEARCH_BUILD_DEBUG=1."""
+    if os.environ.get("PYSEARCH_BUILD_DEBUG") == "1":
+        print(f"[build +{time.time() - t0:7.2f}s] {msg}", flush=True)
+
 from pysearch.schema import POSTING_BLOCKS as _POSTING_BLOCKS_SCHEMA  # noqa: E402
 
 _BLOCK_FIELDS = _POSTING_BLOCKS_SCHEMA.fields
@@ -249,8 +255,10 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         proj.withColumn("_r", F.row_number().over(w_hash)).filter("_r = 1")
         .select("case_id", "url", "content_hash")
     )
+    _dbg("docs: plan built, assigning ids", t0)
     id_map, pinned, counts = _assign_doc_ids(spark, winners, n_partitions,
                                              base=base)
+    _dbg("docs: ids assigned (offsets collected)", t0)
 
     # exact-duplicate input rows (same url AND content) would multiply
     # through the id join.  Detect them on the projection (text-free) and
@@ -293,23 +301,29 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         key = str(r["case_id"])
         case_counts[key] = case_counts.get(key, 0) + int(r["count"])
     n_input = proj.count()  # cached; rows that survived the P1 empty filter
-    # materialize the docs cache BEFORE dropping the pinned range layout:
-    # doc_ids are only valid against the _pid boundaries the offsets were
-    # collected from, and repartitionByRange re-SAMPLES boundaries on
-    # recompute — consumers (docs write, postings) must hit the cache
-    docs.count()
-    pinned.unpersist()
-    proj.unpersist()
+    _dbg("docs: dup check + input count done", t0)
 
     def finish():
+        # The docs write materializes the docs cache as it streams (persist
+        # semantics: any job computing a partition stores it); a concurrent
+        # postings job computing the same partitions is safe — BlockManager
+        # block locks make first-computation exclusive.  The pinned range
+        # layout MUST stay persisted until this write completes: doc_ids
+        # are only valid against the _pid boundaries the offsets were
+        # collected from, and repartitionByRange re-SAMPLES boundaries on
+        # an unpinned recompute.
         staging = layout.staging_dir("docs")
         docs.write.mode("overwrite").partitionBy("case_id").parquet(staging)
+        _dbg("docs: docs table written (cache materialized)", t0)
+        pinned.unpersist()
+        proj.unpersist()
         # doc_map catalog (reference file_list.json analog) from the same
         # cached partitions — text column dropped, so the write is tiny
         dm_staging = layout.staging_dir("doc_map")
         docs.select("case_id", "doc_id", "url", "content_hash").write.mode(
             "overwrite"
         ).partitionBy("case_id").parquet(dm_staging)
+        _dbg("docs: doc_map written", t0)
         layout.commit_batch(staging, layout.docs, batch, replace=(batch == 0))
         layout.commit_batch(dm_staging, layout.doc_map, batch,
                             replace=(batch == 0))
@@ -337,6 +351,7 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
             merged[k] = merged.get(k, 0) + v
         layout.mark_stage("docs", n_docs=prev + n,
                           segment_size=segment_size, case_counts=merged)
+        _dbg("docs: committed + marked", t0)
 
     if defer_commit:
         return docs, finish
@@ -368,7 +383,7 @@ def _make_block_builder(n_buckets: int, analyzer: str = "en"):
             return pd.DataFrame(columns=[f.name for f in _BLOCK_FIELDS])
 
         # (term, doc) -> tf via sorted composite keys: term groups come out
-        # contiguous with doc runs already sorted, the layout pack_run wants
+        # contiguous with doc runs already sorted, the layout the codec wants
         keys = codes * n_docs + d_of_tok
         uniq_keys, tfs_all = np.unique(keys, return_counts=True)
         term_code = uniq_keys // n_docs
@@ -379,23 +394,61 @@ def _make_block_builder(n_buckets: int, analyzer: str = "en"):
         )
         group_ends = np.append(group_starts[1:], uniq_keys.size)
 
+        # Batched encoding: ONE varint pass over the whole segment's posting
+        # arrays instead of one per term run (per-run numpy calls on ~500
+        # element arrays are dominated by fixed per-call overhead — this was
+        # 60% of block-build CPU).  Byte-identical to per-run pack_run: the
+        # per-value LEB128 bytes don't depend on their neighbors, and block
+        # payloads are offset slices of the big buffers.
+        ids_all = doc_ids[d_idx]
+        tfs_arr = tfs_all.astype(np.int64)
+        dls_all = dls[d_idx]
+        n_post = ids_all.size
+        run_lens = group_ends - group_starts
+        pos_in_run = np.arange(n_post, dtype=np.int64) - np.repeat(
+            group_starts, run_lens
+        )
+        is_block_start = (pos_in_run % codec.BLOCK_SIZE) == 0
+        gaps = np.empty_like(ids_all)
+        gaps[0] = ids_all[0]
+        np.subtract(ids_all[1:], ids_all[:-1], out=gaps[1:])
+        gaps[is_block_start] = ids_all[is_block_start]  # block-local abs base
+
+        id_buf, id_off = codec.varint_encode_with_offsets(gaps.astype(np.uint64))
+        tf_buf, tf_off = codec.varint_encode_with_offsets(tfs_arr.astype(np.uint64))
+        dl_buf, dl_off = codec.varint_encode_with_offsets(dls_all.astype(np.uint64))
+
+        block_starts = np.flatnonzero(is_block_start)
+        block_ends = np.append(block_starts[1:], n_post)
+        blk_num = (pos_in_run[block_starts] // codec.BLOCK_SIZE).astype(np.int64)
+        max_tfs = np.maximum.reduceat(tfs_arr, block_starts)
+        min_dls = np.minimum.reduceat(dls_all, block_starts)
+        sum_tfs = np.add.reduceat(tfs_arr, block_starts)
+        term_of_code = {
+            int(term_code[gs]): str(uniq_terms[term_code[gs]])
+            for gs in group_starts
+        }
+        bucket_of_code = {
+            c: term_bucket(t, n_buckets) for c, t in term_of_code.items()
+        }
+
         rows: List[tuple] = []
-        for gs, ge in zip(group_starts, group_ends):
-            term = str(uniq_terms[term_code[gs]])
-            sl = slice(gs, ge)
-            ids = doc_ids[d_idx[sl]]
-            tfs = tfs_all[sl].astype(np.int64)
-            dl = dls[d_idx[sl]]
-            tb = term_bucket(term, n_buckets)
-            for (b, cnt, ib, tfb, dlb, mn, mx, mtf, mdl) in codec.pack_run(ids, tfs, dl):
-                crc = zlib.crc32(ib) ^ zlib.crc32(tfb) ^ zlib.crc32(dlb)
-                rows.append((
-                    case_id, term, tb, segment_id, b, cnt, ib, tfb, dlb,
-                    mn, mx, mtf, mdl,
-                    int(tfs[b * codec.BLOCK_SIZE:(b + 1) * codec.BLOCK_SIZE].sum()),
-                    len(ib) + len(tfb) + len(dlb),
-                    crc,
-                ))
+        for b in range(block_starts.size):
+            s = int(block_starts[b])
+            e = int(block_ends[b])
+            tc = int(term_code[s])
+            ib = id_buf[id_off[s]:id_off[e]]
+            tfb = tf_buf[tf_off[s]:tf_off[e]]
+            dlb = dl_buf[dl_off[s]:dl_off[e]]
+            crc = zlib.crc32(ib) ^ zlib.crc32(tfb) ^ zlib.crc32(dlb)
+            rows.append((
+                case_id, term_of_code[tc], bucket_of_code[tc], segment_id,
+                int(blk_num[b]), e - s, ib, tfb, dlb,
+                int(ids_all[s]), int(ids_all[e - 1]),
+                int(max_tfs[b]), int(min_dls[b]), int(sum_tfs[b]),
+                len(ib) + len(tfb) + len(dlb),
+                crc,
+            ))
         return pd.DataFrame(rows, columns=[f.name for f in _BLOCK_FIELDS])
 
     return build_blocks
@@ -483,6 +536,7 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
         .partitionBy("term_bucket")
         .parquet(staging)
     )
+    _dbg("postings: blocks staged", t0)
 
     def finish():
         layout.commit_batch(staging, layout.postings, batch)
@@ -532,6 +586,7 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
         layout.append_lineage(spark, rows)
         if complete_after_batch:
             layout.mark_stage("postings", n_buckets=n_buckets)
+        _dbg("postings: committed + lineage + marked", t0)
 
     if defer_commit:
         return finish
@@ -753,6 +808,15 @@ def _append_index(spark, webtext_df, layout: IndexLayout,
     layout.gc_staging()
     layout.gc_orphan_docs_commits(spark)
     layout.gc_orphan_postings_commits(spark)
+
+    if not layout.stage_done("postings"):
+        # a previous append crashed mid-postings: its docs are committed
+        # but some of their segments were never built.  Catch up from the
+        # committed docs table (the done-filter keeps this to exactly the
+        # missing segments) BEFORE appending new rows, so the fast path
+        # below (postings from the cached new-docs frame only) stays valid.
+        build_postings_stage(spark, layout, n_buckets, resume=True,
+                             analyzer=analyzer)
 
     existing = layout.read_commits(spark, layout.docs, schema=DOCS).select(
         F.col("case_id").cast("string").alias("case_id"),

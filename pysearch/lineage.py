@@ -120,7 +120,10 @@ class IndexLayout:
     def gc_orphan_docs_commits(self, spark) -> list[str]:
         """Remove appended docs commit dirs (batch > 0) not covered by a
         docs lineage row — the append analog of the postings orphan GC
-        (the lineage append is the commit point for a docs batch)."""
+        (the lineage append is the commit point for a docs batch).  The
+        paired doc_map batch is removed with it (it commits between the
+        docs commit and the lineage append, so it can never be covered
+        when the docs batch isn't)."""
         commits = self.list_commits(self.docs)
         if len(commits) <= 1:
             return []
@@ -136,6 +139,10 @@ class IndexLayout:
             if batch > 0 and batch not in covered:
                 shutil.rmtree(d, ignore_errors=True)
                 removed.append(d)
+                dm = os.path.join(self.doc_map, f"commit-{batch:05d}")
+                if os.path.isdir(dm):
+                    shutil.rmtree(dm, ignore_errors=True)
+                    removed.append(dm)
         return removed
 
     def next_batch(self, table_dir: str) -> int:

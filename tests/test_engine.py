@@ -174,6 +174,42 @@ def test_incremental_append_same_case(spark, tmp_path):
     assert sorted(hits["score"]) == sorted(fresh["score"])
 
 
+def test_append_crash_recovery(spark, tmp_path):
+    """An append that crashed after its docs commit but before postings is
+    completed by simply re-running append: the catch-up pass builds the
+    missing segments from the committed docs table."""
+    from pyspark.sql import functions as F
+
+    from pysearch.verify import verify_index
+
+    d = str(tmp_path / "crash_ix")
+    full = corpus.webtext_df(spark, cases=[(6, "in the realm of", 100, 200)])
+    first = full.filter("url <= 'doc://6/0050'")
+    second = full.filter("url > 'doc://6/0050'")
+    build_index(spark, first, d, segment_size=16)
+
+    # simulate the crash: docs batch 1 committed + marked, postings never ran
+    lay = IndexLayout(d)
+    existing = lay.read_commits(spark, lay.docs).select(
+        F.col("case_id").cast("string").alias("case_id"),
+        "doc_id", "url", "content_hash",
+    )
+    lay.clear_stage("postings")
+    lay.clear_stage("finalize")
+    docs_df = build_docs_stage(spark, second, lay, 16,
+                               existing=existing, batch=1)
+    docs_df.unpersist()
+
+    build_index(spark, second, d, append=True)  # re-run = recovery
+    assert verify_index(spark, d) == []
+    s = Searcher(spark, d)
+    hits = s.search_ids("in the realm of", k=100, case_id="6")
+    url_of = {r["doc_id"]: r["url"]
+              for r in s.docs.select("doc_id", "url").collect()}
+    got = sorted(int(url_of[i].rsplit("/", 1)[1]) for i in hits["doc_id"])
+    assert got == [i for i in range(1, 101) if i % 3 != 2]
+
+
 def test_empty_corpus_build(spark, tmp_path):
     """A build over zero rows completes cleanly (explicit-schema reads, no
     partitioned-write schema-inference crash) and searches return empty."""
