@@ -136,3 +136,30 @@ def unpack_block(n: int, doc_ids_bin: bytes, tfs_bin: bytes, dls_bin: bytes):
     tfs = varint_decode(tfs_bin, n).astype(np.int64)
     dls = varint_decode(dls_bin, n).astype(np.int64)
     return ids, tfs, dls
+
+
+def unpack_blocks_batch(ns, doc_ids_bins, tfs_bins, dls_bins):
+    """Decode MANY blocks in one vectorized pass -> (ids, tfs, dls) big
+    arrays (block payloads concatenated in input order).
+
+    LEB128 streams concatenate losslessly (continuation bits delimit
+    values), so the three buffers are joined and decoded once — per-block
+    decode pays fixed numpy call overhead on ~128-value arrays, which
+    dominates the query-side hot loop.  Delta decoding is segmented: every
+    block's first stored id is absolute (pack's block-local base), so
+    ids = running-cumsum with a per-block rebase.
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    gaps = varint_decode(b"".join(doc_ids_bins), total).astype(np.int64)
+    tfs = varint_decode(b"".join(tfs_bins), total).astype(np.int64)
+    dls = varint_decode(b"".join(dls_bins), total).astype(np.int64)
+    starts = np.zeros(ns.size, dtype=np.int64)
+    np.cumsum(ns[:-1], out=starts[1:])
+    cs = np.cumsum(gaps)
+    base = cs[starts] - gaps[starts]  # cumsum carried in from prior blocks
+    ids = cs - np.repeat(base, ns)
+    return ids, tfs, dls

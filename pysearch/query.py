@@ -233,20 +233,21 @@ class Searcher:
             from pysearch import score as ssc
 
             for pdf in batches:
-                ids_all, sc_all = [], []
-                for n, ib, tb, db, crc in zip(pdf["n"], pdf["doc_ids_bin"],
-                                              pdf["tfs_bin"], pdf["dls_bin"],
-                                              pdf["crc32"]):
+                if len(pdf) == 0:
+                    continue
+                for ib, tb, db, crc in zip(pdf["doc_ids_bin"], pdf["tfs_bin"],
+                                           pdf["dls_bin"], pdf["crc32"]):
                     got = zlib.crc32(ib) ^ zlib.crc32(tb) ^ zlib.crc32(db)
                     if got != crc:
                         raise IOError("posting block CRC mismatch")
-                    i, t, d = codec.unpack_block(n, ib, tb, db)
-                    ids_all.append(i)
-                    sc_all.append(ssc.bm25(t, d, idf_val, avgdl) * w)
-                if not ids_all:
+                # one vectorized decode for the whole Arrow batch of blocks
+                ids, tfs, dls = codec.unpack_blocks_batch(
+                    pdf["n"].to_numpy(), list(pdf["doc_ids_bin"]),
+                    list(pdf["tfs_bin"]), list(pdf["dls_bin"]),
+                )
+                if ids.size == 0:
                     continue
-                ids = np.concatenate(ids_all)
-                scores = np.concatenate(sc_all)
+                scores = ssc.bm25(tfs, dls, idf_val, avgdl) * w
                 o = np.lexsort((ids, -scores))[:k]
                 yield pd.DataFrame({"doc_id": ids[o], "score": scores[o]})
 

@@ -64,19 +64,14 @@ def score_segment_blocks(
     for term, n, ib, tb, db in block_rows:
         per_term.setdefault(term, []).append((n, ib, tb, db))
 
-    acc: dict = {}
     ids_all: List[np.ndarray] = []
     scores_all: List[np.ndarray] = []
     for term in sorted(per_term):  # deterministic sum order
-        ids_parts, tf_parts, dl_parts = [], [], []
-        for n, ib, tb, db in per_term[term]:
-            i, t, d = codec.unpack_block(n, ib, tb, db)
-            ids_parts.append(i)
-            tf_parts.append(t)
-            dl_parts.append(d)
-        ids = np.concatenate(ids_parts)
-        tfs = np.concatenate(tf_parts)
-        dls = np.concatenate(dl_parts)
+        rows_t = per_term[term]
+        ids, tfs, dls = codec.unpack_blocks_batch(
+            [r[0] for r in rows_t], [r[1] for r in rows_t],
+            [r[2] for r in rows_t], [r[3] for r in rows_t],
+        )
         s = bm25(tfs, dls, idfs[term], avgdl) * qtf.get(term, 1)
         ids_all.append(ids)
         scores_all.append(s)

@@ -59,3 +59,33 @@ def test_compression_is_compact():
     ids = np.cumsum(np.random.RandomState(0).randint(1, 4, size=1000)).astype(np.int64)
     buf = codec.varint_encode(codec.delta_encode(ids).astype(np.uint64))
     assert len(buf) <= 1100
+
+
+def test_unpack_blocks_batch_matches_per_block():
+    """Batched decode == per-block decode for many mixed-size runs."""
+    import numpy as np
+
+    from pysearch import codec
+
+    rng = np.random.RandomState(7)
+    blocks = []
+    for run in range(20):
+        n = int(rng.randint(1, 400))
+        ids = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+        tfs = rng.randint(1, 50, size=n).astype(np.int64)
+        dls = rng.randint(10, 5000, size=n).astype(np.int64)
+        for (b, cnt, ib, tfb, dlb, *_rest) in codec.pack_run(ids, tfs, dls):
+            blocks.append((cnt, ib, tfb, dlb))
+    want_i, want_t, want_d = [], [], []
+    for cnt, ib, tfb, dlb in blocks:
+        i, t, d = codec.unpack_block(cnt, ib, tfb, dlb)
+        want_i.append(i); want_t.append(t); want_d.append(d)
+    gi, gt, gd = codec.unpack_blocks_batch(
+        [b[0] for b in blocks], [b[1] for b in blocks],
+        [b[2] for b in blocks], [b[3] for b in blocks])
+    assert (np.concatenate(want_i) == gi).all()
+    assert (np.concatenate(want_t) == gt).all()
+    assert (np.concatenate(want_d) == gd).all()
+    # empty input
+    e = codec.unpack_blocks_batch([], [], [], [])
+    assert all(x.size == 0 for x in e)
