@@ -354,7 +354,7 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         _dbg("docs: committed + marked", t0)
 
     if defer_commit:
-        return docs, finish
+        return docs, finish, n
     finish()
     return docs  # cached; caller passes it to the postings stage and unpersists
 
@@ -458,7 +458,8 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
                          resume: bool = False,
                          max_segments: int | None = None,
                          docs_df=None, analyzer: str = "en",
-                         defer_commit: bool = False):
+                         defer_commit: bool = False,
+                         nonempty_hint: bool = False):
     """Build posting blocks for all (or up to ``max_segments``) segments not
     yet recorded as done in lineage.  ``max_segments`` bounds one batch —
     the incremental/ops hook that also simulates a crash mid-stage for the
@@ -507,7 +508,10 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
             )
             docs = docs.join(F.broadcast(chosen_df), ["case_id", "segment_id"], "left_semi")
             complete_after_batch = False
-    if docs.isEmpty():  # resumed build with nothing left, or empty corpus
+    # the emptiness probe on a not-yet-cached frame computes the full map
+    # side of the docs join just to see one row — skip it when the docs
+    # stage already knows its row count (nonempty_hint)
+    if not nonempty_hint and docs.isEmpty():
         def mark_only():
             layout.mark_stage("postings", n_buckets=n_buckets)
 
@@ -743,7 +747,7 @@ def build_index(spark, webtext_df, index_dir: str, *,
 
     analyzer_m = layout.read_manifest().get("analyzer", "en")
     if not layout.stage_done("docs"):
-        docs_df, finish_docs = build_docs_stage(
+        docs_df, finish_docs, n_new = build_docs_stage(
             spark, webtext_df, layout, segment_size, n_partitions,
             defer_commit=True,
         )
@@ -759,7 +763,7 @@ def build_index(spark, webtext_df, index_dir: str, *,
             f_post = ex.submit(
                 build_postings_stage, spark, layout, n_buckets,
                 resume=resume, docs_df=docs_df, analyzer=analyzer_m,
-                defer_commit=True,
+                defer_commit=True, nonempty_hint=n_new > 0,
             )
             f_docs = ex.submit(finish_docs)
             finish_postings = f_post.result()
@@ -826,10 +830,14 @@ def _append_index(spark, webtext_df, layout: IndexLayout,
     # invalidate downstream stages before new docs become visible
     layout.clear_stage("postings")
     layout.clear_stage("finalize")
-    docs_df = build_docs_stage(spark, webtext_df, layout, segment_size,
-                               n_partitions, existing=existing, batch=batch)
+    docs_df, finish_docs, n_new = build_docs_stage(
+        spark, webtext_df, layout, segment_size, n_partitions,
+        existing=existing, batch=batch, defer_commit=True,
+    )
+    finish_docs()
     build_postings_stage(spark, layout, n_buckets, resume=True,
-                         docs_df=docs_df, analyzer=analyzer)
+                         docs_df=docs_df, analyzer=analyzer,
+                         nonempty_hint=n_new > 0)
     docs_df.unpersist()
     build_finalize_stage(spark, layout)
     return layout
