@@ -56,11 +56,10 @@ def run(cpus: int, tmpfs: bool) -> dict:
                PYSEARCH_BENCH_DOCS=BENCH_DOCS,
                PYSEARCH_BENCH_REPEATS=os.environ.get("PYSEARCH_BENCH_REPEATS", "1"),
                PYSEARCH_TASK_CPUS="2",
-               # ample heap for BOTH configs: a fixed small heap is an
-               # anti-scaling artifact (16 concurrent tasks at local[32]
-               # share it and hit GC/spill pressure local[8] never sees,
-               # while a real N->4N cluster scales heap with executors)
-               PYSEARCH_DRIVER_MEM=os.environ.get("PYSEARCH_DRIVER_MEM", "48g"),
+               # measured heap sweet spot for BOTH configs at the 4M-doc
+               # corpus (8g spills under local[32]'s 16 concurrent tasks,
+               # 48g inflates GC pauses: 111s / 91s / 136s at 8/16/48g)
+               PYSEARCH_DRIVER_MEM=os.environ.get("PYSEARCH_DRIVER_MEM", "16g"),
                PYSEARCH_BENCH_TMPFS="1" if tmpfs else "0")
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
