@@ -60,6 +60,10 @@ def run(cpus: int, tmpfs: bool) -> dict:
                # corpus (8g spills under local[32]'s 16 concurrent tasks,
                # 48g inflates GC pauses: 111s / 91s / 136s at 8/16/48g)
                PYSEARCH_DRIVER_MEM=os.environ.get("PYSEARCH_DRIVER_MEM", "16g"),
+               # identical data layout for both configs: a real N->4N
+               # cluster runs the same job on the same partitioning
+               PYSEARCH_BENCH_PARTITIONS="64",
+               PYSEARCH_SHUFFLE_PARTS="48",
                PYSEARCH_BENCH_TMPFS="1" if tmpfs else "0")
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -68,6 +68,11 @@ def main() -> None:
     # default 1 maximizes absolute throughput for the headline bench
     task_cpus = int(os.environ.get("PYSEARCH_TASK_CPUS", "1"))
     slots = max(2, CPUS // task_cpus)
+    # the scaling harness pins partition counts across BOTH configurations:
+    # a real N->4N comparison runs the SAME job on the SAME data layout —
+    # letting the small config use coarser partitions flatters it
+    shuffle_parts = int(os.environ.get("PYSEARCH_SHUFFLE_PARTS", 3 * slots))
+    build_parts = int(os.environ.get("PYSEARCH_BENCH_PARTITIONS", CPUS * 2))
     extra = {
         # 3 waves per stage smooths stragglers; smaller AQE advisory stops
         # coalescing below the slot count on mid-size shuffles
@@ -86,7 +91,7 @@ def main() -> None:
         extra["spark.local.dir"] = f"{work_root}/spark_local"
     spark = build_spark(
         master=f"local[{CPUS}]", app_name="pysearch-bench",
-        shuffle_partitions=3 * slots,
+        shuffle_partitions=shuffle_parts,
         extra=extra,
     )
     timings: dict = {}
@@ -128,7 +133,8 @@ def main() -> None:
     for _ in range(max(1, repeats)):
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.time()
-        build_index(spark, wt, index_dir, segment_size=512, n_partitions=CPUS * 2)
+        build_index(spark, wt, index_dir, segment_size=512,
+                    n_partitions=build_parts)
         dt = time.time() - t0
         dt_build = dt if dt_build is None else min(dt_build, dt)
     timings["index_build"] = round(dt_build, 3)
