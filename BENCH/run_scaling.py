@@ -51,7 +51,16 @@ TRIALS = int(os.environ.get("PYSEARCH_SCALING_TRIALS", "3"))
 MODES = os.environ.get("PYSEARCH_SCALING_MODES", "tmpfs,disk").split(",")
 
 
+COOLDOWN_SEC = int(os.environ.get("PYSEARCH_SCALING_COOLDOWN", "45"))
+
+
 def run(cpus: int, tmpfs: bool) -> dict:
+    # settle window between JVMs: a bench started right after the previous
+    # 16g JVM exits measures the kernel reclaiming its memory (observed as
+    # ~15s of extra fixed time vs the same build on a settled host)
+    import time as _time
+
+    _time.sleep(COOLDOWN_SEC)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
                PYSEARCH_BENCH_DOCS=BENCH_DOCS,
                PYSEARCH_BENCH_REPEATS=os.environ.get("PYSEARCH_BENCH_REPEATS", "1"),
