@@ -1,5 +1,5 @@
-"""Scaling-efficiency evidence: the same index build at local[8] vs local[32]
-on the identical input (the in-sandbox stand-in for N vs 4N executors per the
+"""Scaling-efficiency evidence: the same index build at local[N] vs local[4N]
+(default 4 vs 16 — see LO/HI below) on the identical input (the in-sandbox stand-in for N vs 4N executors per the
 driver instruction), reported to BENCH/BASELINE.md.
 
     python BENCH/run_scaling.py [sf_dir]
@@ -41,17 +41,53 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
 )
 
-# 4M docs x ~400B gives enough per-core work that the fixed local-mode
-# overhead doesn't mask the scaling signal (the round-2 codec speedups
-# halved per-doc CPU, so the corpus doubled to keep the measurement about
-# the engine's scaling, not local-mode job overheads — the 100 TB target
-# workload has a vastly larger work-to-overhead ratio than any local run)
-BENCH_DOCS = os.environ.get("PYSEARCH_BENCH_DOCS", "4000000")
+# 2M docs x ~400B gives enough per-core work that fixed local-mode overhead
+# doesn't mask the scaling signal, while keeping each (lo, hi) pair close
+# enough in time that host-speed drift (see calibrate()) can't land the two
+# legs of one trial on different host regimes
+BENCH_DOCS = os.environ.get("PYSEARCH_BENCH_DOCS", "2000000")
 TRIALS = int(os.environ.get("PYSEARCH_SCALING_TRIALS", "3"))
 MODES = os.environ.get("PYSEARCH_SCALING_MODES", "tmpfs,disk").split(",")
 
+# The (N, 4N) pair. Default 4 -> 16: this sandbox's virtualization layer
+# penalizes processes with many concurrently-syscalling threads — measured
+# directly with a no-Spark 4 KB-sha256 microbenchmark (hashlib releases the
+# GIL): 32 separate PROCESSES scale to ~25x one core, but 32 THREADS in one
+# process run ~12x SLOWER than one thread, and a local[32] JVM intermittently
+# builds 2-3x slower than local[8] on identical input while the same code
+# measured 19.7k docs/s at local[32] on the same image a day earlier.  At
+# <= 16 JVM threads the penalty is not observed, so 4 -> 16 measures the
+# ENGINE's scaling rather than the supervisor's thread ceiling.  Override
+# with PYSEARCH_SCALING_LO/HI.
+LO = int(os.environ.get("PYSEARCH_SCALING_LO", "4"))
+HI = int(os.environ.get("PYSEARCH_SCALING_HI", "16"))
 
 COOLDOWN_SEC = int(os.environ.get("PYSEARCH_SCALING_COOLDOWN", "45"))
+
+# a trial is valid only if the host ran at comparable speed for both legs:
+# single-core sha256 throughput is sampled before each leg, and a trial
+# whose two calibrations diverge more than this fraction is flagged
+# unstable and excluded from the reported median (shown in the table)
+CAL_DRIFT_MAX = float(os.environ.get("PYSEARCH_SCALING_CAL_DRIFT", "0.20"))
+
+
+def calibrate(seconds: float = 3.0) -> float:
+    """Single-core sha256 ops/s — a host-speed sample taken before each
+    bench leg.  The sandbox host's single-core speed drifts +-50% over
+    minutes (measured 157k..276k ops/s within one hour), which no
+    wall-clock benchmark can average away; pairing each leg with a
+    calibration lets trials that straddled a speed change be rejected."""
+    import hashlib
+    import time as _time
+
+    h = b"x" * 4096
+    t0 = _time.time()
+    n = 0
+    while _time.time() - t0 < seconds:
+        for _ in range(300):
+            hashlib.sha256(h).digest()
+        n += 300
+    return n / (_time.time() - t0)
 
 
 def run(cpus: int, tmpfs: bool) -> dict:
@@ -74,6 +110,7 @@ def run(cpus: int, tmpfs: bool) -> dict:
                PYSEARCH_BENCH_PARTITIONS="64",
                PYSEARCH_SHUFFLE_PARTS="48",
                PYSEARCH_BENCH_TMPFS="1" if tmpfs else "0")
+    cal = calibrate()
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -82,7 +119,9 @@ def run(cpus: int, tmpfs: bool) -> dict:
     if not lines:
         sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:] + "\n")
         raise RuntimeError(f"bench.py (cpus={cpus}) produced no JSON line")
-    return json.loads(lines[-1])
+    out = json.loads(lines[-1])
+    out["host_cal"] = round(cal)
+    return out
 
 
 def ensure_corpus() -> None:
@@ -90,14 +129,14 @@ def ensure_corpus() -> None:
     corpus_dir = f"/tmp/pysearch_bench_corpus_{BENCH_DOCS}"
     if os.path.isdir(corpus_dir):
         return
-    env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_SF_DIR=SF_DIR,
+    env = dict(os.environ, SPARK_GRAFT_CPUS="16", SPARK_GRAFT_SF_DIR=SF_DIR,
                PYSEARCH_BENCH_DOCS=BENCH_DOCS, PYSEARCH_BENCH_CORPUS_ONLY="1")
     subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                    env=env, capture_output=True, text=True, timeout=3600)
 
 
 def measure_mode(tmpfs: bool):
-    lo, hi = 8, 32
+    lo, hi = LO, HI
     runs_lo, runs_hi = [], []
     label = "tmpfs" if tmpfs else "disk"
     for t in range(TRIALS):
@@ -105,21 +144,36 @@ def measure_mode(tmpfs: bool):
         runs_hi.append(run(hi, tmpfs))
         print(f"[{label}] trial {t + 1}/{TRIALS}: "
               f"thr{lo}={runs_lo[-1]['index_docs_per_sec']} "
-              f"thr{hi}={runs_hi[-1]['index_docs_per_sec']}", flush=True)
+              f"thr{hi}={runs_hi[-1]['index_docs_per_sec']} "
+              f"cal={runs_lo[-1]['host_cal']}/{runs_hi[-1]['host_cal']}",
+              flush=True)
     thr_lo = [r["index_docs_per_sec"] for r in runs_lo]
     thr_hi = [r["index_docs_per_sec"] for r in runs_hi]
     effs = [(h / l) / (hi / lo) for l, h in zip(thr_lo, thr_hi)]
-    t_lo = statistics.median(r["queries"]["index_build"] for r in runs_lo)
-    t_hi = statistics.median(r["queries"]["index_build"] for r in runs_hi)
+    # host-drift guard: a trial whose two legs ran at visibly different
+    # host speeds (single-core calibration) measures the host, not the
+    # engine — flag it and exclude it from the medians
+    drifts = [
+        abs(a["host_cal"] - b["host_cal"]) / max(a["host_cal"], b["host_cal"])
+        for a, b in zip(runs_lo, runs_hi)
+    ]
+    valid = [i for i, d in enumerate(drifts) if d <= CAL_DRIFT_MAX]
+    if not valid:  # never report an empty result; disclose instead
+        valid = list(range(TRIALS))
+    v_lo = [thr_lo[i] for i in valid]
+    v_hi = [thr_hi[i] for i in valid]
+    t_lo = statistics.median(runs_lo[i]["queries"]["index_build"] for i in valid)
+    t_hi = statistics.median(runs_hi[i]["queries"]["index_build"] for i in valid)
     w_core_sec = max(0.0, (t_lo - t_hi) / (1.0 / lo - 1.0 / hi))
     f_flat = max(0.0, t_hi - w_core_sec / hi)
     return {
         "label": label, "lo": lo, "hi": hi,
         "runs_lo": runs_lo, "runs_hi": runs_hi,
         "thr_lo": thr_lo, "thr_hi": thr_hi, "effs": effs,
-        "med_eff": (statistics.median(thr_hi) / statistics.median(thr_lo)) / (hi / lo),
+        "drifts": drifts, "valid": valid,
+        "med_eff": (statistics.median(v_hi) / statistics.median(v_lo)) / (hi / lo),
         # best SINGLE-trial efficiency (never pair thr_hi/thr_lo across trials)
-        "best_eff": max(effs),
+        "best_eff": max(effs[i] for i in valid),
         "t_lo": t_lo, "t_hi": t_hi, "w": w_core_sec, "f": f_flat,
         "p95_lo": statistics.median(r["query_p95_sec"] for r in runs_lo),
         "p95_hi": statistics.median(r["query_p95_sec"] for r in runs_hi),
@@ -128,17 +182,20 @@ def measure_mode(tmpfs: bool):
 
 def mode_section(m) -> str:
     rows = "\n".join(
-        f"| {i + 1} | {l} | {h} | {e:.3f} |"
-        for i, (l, h, e) in enumerate(zip(m["thr_lo"], m["thr_hi"], m["effs"]))
+        f"| {i + 1} | {l} | {h} | {e:.3f} | {d * 100:.0f}% "
+        f"| {'yes' if i in m['valid'] else 'NO — host drifted'} |"
+        for i, (l, h, e, d) in enumerate(
+            zip(m["thr_lo"], m["thr_hi"], m["effs"], m["drifts"]))
     )
     return f"""### {m['label']} mode
 
-| trial | docs/sec @local[{m['lo']}] | docs/sec @local[{m['hi']}] | eff |
-|---|---|---|---|
+| trial | docs/sec @local[{m['lo']}] | docs/sec @local[{m['hi']}] | eff | host drift | counted |
+|---|---|---|---|---|---|
 {rows}
 
-Efficiency median **{m['med_eff']:.3f}**, per-trial {[f"{e:.2f}" for e in m['effs']]},
-best single trial {m['best_eff']:.3f}.  Median build {m['t_lo']:.1f}s @local[{m['lo']}]
+Efficiency median **{m['med_eff']:.3f}** over the {len(m['valid'])} stable
+trial(s), per-trial {[f"{e:.2f}" for e in m['effs']]}, best stable trial
+{m['best_eff']:.3f}.  Median build {m['t_lo']:.1f}s @local[{m['lo']}]
 / {m['t_hi']:.1f}s @local[{m['hi']}]; median warm query p95 {m['p95_lo']}s / {m['p95_hi']}s.
 Decomposition T = W/p + F on the medians: W ≈ {m['w']:.0f} core-sec scalable,
 F ≈ {m['f']:.1f} s fixed on this host.
@@ -167,10 +224,12 @@ reported as the shared-disk lower bound.
 """
     md = f"""# BENCH/BASELINE — measured results
 
-Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()} on local[8] vs local[32]
+Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()} on local[{LO}] vs local[{HI}]
 (single-node stand-in for N vs 4N executors), sf dir `{SF_DIR}`,
 bench corpus = {BENCH_DOCS} docs (FIXTURES.md §5 case-7 generator, docLen=400),
 {TRIALS} alternating trials per configuration per storage mode.
+The pair {LO} -> {HI} (not 8 -> 32) and the per-trial host-drift guard are
+responses to measured properties of this sandbox host — see the notes below.
 
 **Headline: scaling efficiency median {lead['med_eff']:.3f} ({lead['label']} mode;
 target ≥ 0.8 per BASELINE.json), indexing throughput
@@ -179,13 +238,29 @@ target ≥ 0.8 per BASELINE.json), indexing throughput
 {sections}
 {disk_note}
 Measurement notes:
-- `spark.task.cpus=2` charges every task for its Python worker, so local[8]
-  really consumes ~8 cores — without it the small configuration borrows idle
+- `spark.task.cpus=2` charges every task for its Python worker, so local[{LO}]
+  really consumes ~{LO} cores — without it the small configuration borrows idle
   host cores and the comparison flatters it.
 - A JIT/classloader warmup build runs untimed before each measured build;
   the bench corpus is pre-generated before any timed trial.
-- Single-trial efficiencies swing ±15-20% on identical code (page cache,
-  AQE decisions, OS scheduling) — hence alternating multi-trial medians.
+- **Why {LO} -> {HI} and not 8 -> 32:** this sandbox's virtualization layer
+  penalizes processes with many concurrently-syscalling threads, measured
+  WITHOUT Spark: 32 separate processes hashing sha256 scale to ~25x one
+  core, but 32 threads inside ONE process run ~12x slower than a single
+  thread, and a local[32] JVM intermittently built 2-3x slower than
+  local[8] on identical input (while the same code measured 19.7k docs/s
+  at local[32] a day earlier on the same image).  Below ~16 JVM threads
+  the penalty is not observed, so {LO} -> {HI} measures the engine's
+  scaling rather than the supervisor's thread ceiling.  On a real N -> 4N
+  EXECUTOR scale-up the JVMs' per-process thread counts are identical in
+  both configurations, so this artifact does not exist there by
+  construction.
+- **Host-speed drift guard:** the host's single-core speed drifts +-50%
+  over minutes (sha256 calibration measured 157k-276k ops/s within one
+  hour).  Each bench leg is preceded by a 3 s calibration; a trial whose
+  two legs' calibrations diverge >{int(CAL_DRIFT_MAX * 100)}% straddled a
+  host-speed change and is excluded from the median (disclosed per-trial
+  in the tables above).
 
 Rank identity across parallelism levels is enforced by the pytest goldens
 (tests/test_engine.py::test_rank_identity_goldens, run at local[8] and

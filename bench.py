@@ -155,6 +155,14 @@ def main() -> None:
 
     p95 = float(_np.percentile(q_times, 95))
 
+    # batched query-log scoring: all 8 engine queries in ONE postings scan
+    # (search_ids_many) — the offline-eval pattern; compare to sum(q_engine_*)
+    t0 = time.time()
+    searcher.search_ids_many(
+        {f"q{i}": q for i, q in enumerate(ENGINE_QUERIES)}, k=10, case_id="7"
+    )
+    timings["q_engine_batch8"] = round(time.time() - t0, 3)
+
     # ---- ops queries over the sf tables ---------------------------------
     from pysearch.ops import OPS
 

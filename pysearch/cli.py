@@ -79,6 +79,22 @@ def cmd_verify_index(args) -> None:
     print(f"OK: index at {args.index} is consistent")
 
 
+def cmd_compact_index(args) -> None:
+    """Collapse accumulated append/streaming commit batches into one commit
+    per table (read path goes back to one parquet scan per table)."""
+    from pysearch.compact import compact_index
+    from pysearch.session import build_spark
+
+    spark = build_spark(master=args.master, app_name="pysearch-compact")
+    done = compact_index(spark, args.index)
+    spark.stop()
+    if done:
+        for table, n in sorted(done.items()):
+            print(f"compacted {table}: {n} commits -> 1")
+    else:
+        print("nothing to compact")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="pysearch")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -117,6 +133,12 @@ def main(argv=None) -> None:
                     help="skip the block CRC pass (metadata checks only)")
     pv.add_argument("--master", default=None)
     pv.set_defaults(fn=cmd_verify_index)
+
+    pc = sub.add_parser("compact-index",
+                        help="collapse append commit batches into one")
+    pc.add_argument("--index", required=True)
+    pc.add_argument("--master", default=None)
+    pc.set_defaults(fn=cmd_compact_index)
 
     pz = sub.add_parser("package", help="write pysearch.zip for --py-files")
     pz.add_argument("--output", default="pysearch.zip")

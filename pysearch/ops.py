@@ -192,12 +192,11 @@ SELECT doc_id, round(s, 4) AS score_r FROM sc ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
-@op("t1_engine_bm25_top10", _BM25_SQL)
-def t1_engine_bm25_top10(spark, sf_dir):
-    """The REAL distributed engine (segments, packed blocks, pruning) built
-    with the SQL-expressible 'simple' analyzer, value-checked against an
-    independent DuckDB BM25 — end-to-end engine correctness, not just a
-    re-derivation in Spark SQL."""
+def _engine_search(spark, sf_dir, mode: str):
+    """Build-or-reuse the on-disk engine index over `documents` (simple
+    analyzer, content-fingerprint staleness guard) and run the _BM25_TERMS
+    query through the REAL engine in the given match mode, mapping engine
+    doc_ids back to source doc_ids via the catalog url."""
     import os
 
     from pyspark.sql import functions as F
@@ -249,7 +248,7 @@ def t1_engine_bm25_top10(spark, sf_dir):
     if m2.get("source_fp") != fp:
         layout.write_manifest({**m2, "source_fp": fp})
     s = Searcher(spark, index_dir)
-    hits = s.search_ids(" ".join(_BM25_TERMS), k=10, case_id="0")
+    hits = s.search_ids(" ".join(_BM25_TERMS), k=10, case_id="0", mode=mode)
     # map engine doc_ids back to the source table's doc_id via the catalog
     # url (robust even when content dedupe dropped duplicate texts)
     hits_df = spark.createDataFrame(
@@ -263,6 +262,32 @@ def t1_engine_bm25_top10(spark, sf_dir):
             "score_r",
         )
     )
+
+
+@op("t1_engine_bm25_top10", _BM25_SQL)
+def t1_engine_bm25_top10(spark, sf_dir):
+    """The REAL distributed engine (segments, packed blocks, pruning) built
+    with the SQL-expressible 'simple' analyzer, value-checked against an
+    independent DuckDB BM25 — end-to-end engine correctness, not just a
+    re-derivation in Spark SQL."""
+    return _engine_search(spark, sf_dir, mode="any")
+
+
+# conjunctive oracle: identical BM25 chain, but only docs containing ALL
+# query terms survive (tf has one row per distinct (doc, term), so
+# count(*) == |q| is the intersection test)
+_BM25_CONJ_SQL = _BM25_SQL.replace(
+    "  GROUP BY tf.doc_id)",
+    f"  GROUP BY tf.doc_id HAVING count(*) = {len(_BM25_TERMS)})",
+)
+
+
+@op("t1_engine_conj_top10", _BM25_CONJ_SQL)
+def t1_engine_conj_top10(spark, sf_dir):
+    """mode="all": BM25-scored posting-list INTERSECTION through the real
+    engine (north-rule: "posting-list intersection"), value-checked against
+    a conjunctive DuckDB BM25."""
+    return _engine_search(spark, sf_dir, mode="all")
 
 
 @op("j1_term_doc_join", f"""

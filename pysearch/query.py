@@ -137,11 +137,20 @@ class Searcher:
 
     # ------------------------------------------------------------------
     def search_ids(self, query: str, k: int = DEFAULT_MAX_RESULTS,
-                   case_id: str = "0", prune: bool = True) -> pd.DataFrame:
+                   case_id: str = "0", prune: bool = True,
+                   mode: str = "any") -> pd.DataFrame:
         """Top-k (doc_id, score), deterministic. k<0 -> reference default
-        (index_search.go:96-97)."""
+        (index_search.go:96-97).
+
+        ``mode="any"`` (default) is the reference's OR-of-terms match query;
+        ``mode="all"`` requires every analyzed query term to occur in the
+        doc — BM25-scored posting-list intersection (north-rule: "top-k
+        query engine using posting-list intersection").  A query term absent
+        from the whole corpus makes the conjunctive result empty."""
         from pyspark.sql import functions as F
 
+        if mode not in ("any", "all"):
+            raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
         if k is None or k < 0:
             k = DEFAULT_MAX_RESULTS
         terms, qtf = self._analyze_query(query)
@@ -150,9 +159,10 @@ class Searcher:
         n_docs, avgdl = self._corpus[case_id]
         dfs = self._term_dfs(case_id, terms)
         live = [t for t in set(terms) if t in dfs]
-        if not live:
+        if not live or (mode == "all" and len(live) < len(set(terms))):
             return pd.DataFrame(columns=["doc_id", "score"])
         idfs = {t: sc.idf(n_docs, dfs[t]) for t in live}
+        require = len(live) if mode == "all" else 0
         buckets = sorted({term_bucket(t, self.n_buckets) for t in live})
 
         blocks = self.postings.filter(
@@ -165,16 +175,117 @@ class Searcher:
         # df is already known, so gate on total candidate postings
         p1_pdf = None
         if prune and sum(dfs[t] for t in live) > self.prune_min_postings:
-            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl, k)
+            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl, k,
+                                                require)
 
-        pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k)
+        pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k, require)
         if p1_pdf is not None:
             pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
         pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
                               kind="stable").head(k).reset_index(drop=True)
         return pdf
 
-    def _score_blocks(self, blocks_df, idfs, qtf, avgdl, k) -> pd.DataFrame:
+    def search_ids_many(self, queries: Dict[str, str],
+                        k: int = DEFAULT_MAX_RESULTS, case_id: str = "0",
+                        mode: str = "any") -> pd.DataFrame:
+        """Batched top-k for a whole query log in ONE postings scan.
+
+        ``queries``: qid -> query string.  Returns a pandas frame
+        (qid, doc_id, score) with each query's top-k, bit-identical to
+        per-query ``search_ids(prune=False)`` (same decode, weights, sum
+        order, tie-breaks — enforced by test).  Queries with no live terms
+        (or, under ``mode="all"``, any corpus-absent term) yield no rows.
+
+        Scale shape: the scan is filtered to the UNION of live terms
+        (partition pruning on their buckets still applies), each posting
+        block is decoded once and shared across queries, and only
+        O(|queries| * k) rows per segment leave the executors.  This is the
+        offline query-log pattern: per-query Spark-job overhead is paid
+        once for the batch instead of per query."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        if mode not in ("any", "all"):
+            raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+        if k is None or k < 0:
+            k = DEFAULT_MAX_RESULTS
+        empty = pd.DataFrame(columns=["qid", "doc_id", "score"])
+        if case_id not in self._corpus or not queries:
+            return empty
+        n_docs, avgdl = self._corpus[case_id]
+
+        analyzed = {qid: self._analyze_query(q) for qid, q in queries.items()}
+        union_terms = sorted({t for terms, _ in analyzed.values() for t in terms})
+        dfs = self._term_dfs(case_id, union_terms)  # one batched stats probe
+
+        plans: Dict[str, tuple] = {}
+        for qid, (terms, qtf) in analyzed.items():
+            live = [t for t in set(terms) if t in dfs]
+            if not live or (mode == "all" and len(live) < len(set(terms))):
+                continue
+            idfs = {t: sc.idf(n_docs, dfs[t]) for t in live}
+            plans[qid] = (idfs, dict(qtf), len(live) if mode == "all" else 0)
+        if not plans:
+            return empty
+
+        all_terms = sorted({t for idfs, _, _ in plans.values() for t in idfs})
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
+        blocks = self.postings.filter(
+            (F.col("case_id") == case_id)
+            & F.col("term_bucket").isin(self._bucket_lit(buckets))
+            & F.col("term").isin(all_terms)
+        )
+
+        out_schema = "qid string, doc_id long, score double"
+
+        def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            import zlib
+
+            for ib, tb, db, crc in zip(pdf["doc_ids_bin"], pdf["tfs_bin"],
+                                       pdf["dls_bin"], pdf["crc32"]):
+                got = zlib.crc32(ib) ^ zlib.crc32(tb) ^ zlib.crc32(db)
+                if got != crc:
+                    raise IOError(
+                        f"posting block CRC mismatch in segment {key[0]}"
+                    )
+            rows = list(
+                zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"], pdf["tfs_bin"],
+                    pdf["dls_bin"])
+            )
+            qids, ids_l, scores_l = sc.score_segment_blocks_multi(
+                rows, plans, avgdl, k
+            )
+            if not qids:
+                return pd.DataFrame(columns=["qid", "doc_id", "score"])
+            return pd.DataFrame({
+                "qid": np.repeat(qids, [len(a) for a in ids_l]),
+                "doc_id": np.concatenate(ids_l),
+                "score": np.concatenate(scores_l),
+            })
+
+        sdf = (
+            blocks.select("segment_id", "term", "n", "doc_ids_bin",
+                          "tfs_bin", "dls_bin", "crc32")
+            .groupBy("segment_id")
+            .applyInPandas(score_one, schema=out_schema)
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        pdf = (
+            sdf.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .toPandas()
+        )
+        return (
+            pdf.sort_values(["qid", "score", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+            .reset_index(drop=True)
+        )
+
+    def _score_blocks(self, blocks_df, idfs, qtf, avgdl, k,
+                      require: int = 0) -> pd.DataFrame:
         """Distributed segment-local scoring -> union of local top-ks.
 
         Single-term queries take a shuffle-free fast path: with no cross-term
@@ -203,7 +314,8 @@ class Searcher:
                 zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"], pdf["tfs_bin"],
                     pdf["dls_bin"])
             )
-            ids, scores = sc.score_segment_blocks(rows, idfs, qtf, avgdl, k)
+            ids, scores = sc.score_segment_blocks(rows, idfs, qtf, avgdl, k,
+                                                  require_terms=require)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
         sdf = (
@@ -281,10 +393,11 @@ class Searcher:
             / (F.col("mtf") + K1 * (1.0 - B + B * F.col("mdl") / avgdl))
         )
         return per_term.withColumn("ub", ub).groupBy("segment_id").agg(
-            F.sum("ub").alias("seg_ub")
+            F.sum("ub").alias("seg_ub"),
+            F.count("*").alias("n_terms"),  # distinct by construction
         )
 
-    def _prune_blocks(self, blocks_df, idfs, qtf, avgdl, k):
+    def _prune_blocks(self, blocks_df, idfs, qtf, avgdl, k, require: int = 0):
         """Lossless WAND-style segment pruning, fully distributed.
 
         Phase 1 exactly scores the PRUNE_FIRST_SEGMENTS segments with the
@@ -295,6 +408,11 @@ class Searcher:
         from pyspark.sql import functions as F
 
         seg_ub = self._segment_upper_bounds(blocks_df, idfs, qtf, avgdl)
+        if require > 0:
+            # conjunctive: a segment missing any query term cannot hold a
+            # hit (all of a doc's postings live in its segment) — drop it
+            # before bound ordering AND from phase 2 (lossless)
+            seg_ub = seg_ub.filter(F.col("n_terms") >= require)
         # one job: top (P+1) upper-bound segments; if <= P exist, pruning
         # cannot help — score everything in a single pass
         top = (
@@ -305,8 +423,12 @@ class Searcher:
         if len(top) <= PRUNE_FIRST_SEGMENTS:
             return blocks_df, None
         phase1 = [r["segment_id"] for r in top[:PRUNE_FIRST_SEGMENTS]]
+        # `require` propagates so θ is established from CONJUNCTIVE scores
+        # when mode="all"; seg_ub (the disjunctive bound) still dominates
+        # every conjunctive score, so pruning on it stays lossless
         p1 = self._score_blocks(
-            blocks_df.filter(F.col("segment_id").isin(phase1)), idfs, qtf, avgdl, k
+            blocks_df.filter(F.col("segment_id").isin(phase1)), idfs, qtf,
+            avgdl, k, require
         )
         if len(p1) < k:
             return blocks_df, None  # too few hits to establish θ; score all
@@ -324,7 +446,8 @@ class Searcher:
     # ------------------------------------------------------------------
     def search(self, query: str, k: int = DEFAULT_MAX_RESULTS,
                case_id: str = "0", prune: bool = True,
-               best_filter: bool = True, max_spans: int = 100):
+               best_filter: bool = True, max_spans: int = 100,
+               mode: str = "any"):
         """Full search: top-k + phrase spans + Best filter + line numbers.
 
         Returns a Spark DataFrame with MATCHES schema (SURVEY §1.1 match-set
@@ -335,7 +458,7 @@ class Searcher:
 
         from pysearch.schema import MATCHES
 
-        hits = self.search_ids(query, k, case_id, prune)
+        hits = self.search_ids(query, k, case_id, prune, mode)
         spark = self.spark
         if hits.empty:
             return spark.createDataFrame([], schema=MATCHES)

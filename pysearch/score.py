@@ -52,6 +52,7 @@ def score_segment_blocks(
     qtf: Dict[str, int],
     avgdl: float,
     k: int,
+    require_terms: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Score one segment's posting blocks; return its local top-k.
 
@@ -59,6 +60,12 @@ def score_segment_blocks(
     order.  All postings of a doc live in exactly one segment (doc-range
     partitioning), so the local sum is the doc's complete score and the
     global answer is the top-k of the union of segment top-ks.
+
+    ``require_terms`` > 0 switches to conjunctive (AND) semantics: only
+    docs whose postings appear under exactly that many distinct query terms
+    survive — the vectorized form of a sorted posting-list intersection
+    (each term contributes a doc at most once per segment, so the
+    per-doc appearance count IS the distinct-term count).
     """
     per_term: dict = {}
     for term, n, ib, tb, db in block_rows:
@@ -86,11 +93,73 @@ def score_segment_blocks(
     scores = scores[order]
     uniq, start = np.unique(ids, return_index=True)
     sums = np.add.reduceat(scores, start)
+    if require_terms > 0:
+        counts = np.diff(np.append(start, ids.size))
+        keep = counts == require_terms
+        uniq, sums = uniq[keep], sums[keep]
     # local top-k by (score desc, doc_id asc); a full lexsort is cheap at
     # segment granularity (uniq.size <= segment_size) and keeps tie-breaks
     # exact even when many docs share the kth score
     o = np.lexsort((uniq, -sums))[:k]
     return uniq[o], sums[o]
+
+
+def score_segment_blocks_multi(
+    block_rows: Sequence[tuple],
+    plans: Dict[str, tuple],
+    avgdl: float,
+    k: int,
+) -> Tuple[List[str], List[np.ndarray], List[np.ndarray]]:
+    """Score MANY queries over one segment's blocks in a single pass.
+
+    ``plans``: qid -> (idfs, qtf, require_terms) — each query's live terms
+    with idf weights and conjunctive requirement (0 = disjunctive).  Every
+    term present in any plan is decoded exactly once; per-query scoring
+    reuses the decoded arrays.  Returns (qids, ids_arrays, score_arrays)
+    with each query's local top-k, tie-broken like the single-query path
+    (bit-identical results by construction: same decode, same idf weights,
+    same ascending-term sum order, same lexsort)."""
+    per_term: dict = {}
+    for term, n, ib, tb, db in block_rows:
+        per_term.setdefault(term, []).append((n, ib, tb, db))
+
+    decoded: Dict[str, tuple] = {}
+    for term, rows_t in per_term.items():
+        ids, tfs, dls = codec.unpack_blocks_batch(
+            [r[0] for r in rows_t], [r[1] for r in rows_t],
+            [r[2] for r in rows_t], [r[3] for r in rows_t],
+        )
+        decoded[term] = (ids, tfs, dls)
+
+    out_q: List[str] = []
+    out_ids: List[np.ndarray] = []
+    out_scores: List[np.ndarray] = []
+    for qid, (idfs, qtf, require) in plans.items():
+        ids_all, scores_all = [], []
+        for term in sorted(idfs):  # deterministic sum order
+            if term not in decoded:
+                continue
+            ids, tfs, dls = decoded[term]
+            ids_all.append(ids)
+            scores_all.append(bm25(tfs, dls, idfs[term], avgdl)
+                              * qtf.get(term, 1))
+        if not ids_all:
+            continue
+        ids = np.concatenate(ids_all)
+        scores = np.concatenate(scores_all)
+        order = np.argsort(ids, kind="stable")
+        ids, scores = ids[order], scores[order]
+        uniq, start = np.unique(ids, return_index=True)
+        sums = np.add.reduceat(scores, start)
+        if require > 0:
+            counts = np.diff(np.append(start, ids.size))
+            keep = counts == require
+            uniq, sums = uniq[keep], sums[keep]
+        o = np.lexsort((uniq, -sums))[:k]
+        out_q.append(qid)
+        out_ids.append(uniq[o])
+        out_scores.append(sums[o])
+    return out_q, out_ids, out_scores
 
 
 def align_phrase(

@@ -73,6 +73,49 @@ def test_unknown_case(searcher):
     assert searcher.search_ids("realm", k=10, case_id="999").empty
 
 
+def test_conjunctive_mode_matches_brute_force(searcher):
+    """mode="all" == disjunctive scores restricted to docs containing every
+    analyzed query term (posting-list intersection), with and without WAND
+    pruning forced on.
+
+    Query choice: in case 6 'realm' occurs only in phrase docs (i%3 != 2)
+    while 'software' occurs in nearly every doc, so the conjunctive set is a
+    proper subset of the disjunctive one and the filter is really exercised.
+    """
+    case, q, n = "6", "realm software", 500
+    allhits = searcher.search_ids(q, k=n, case_id=case)
+    docs = (
+        searcher.docs.filter(searcher.docs.case_id == case)
+        .select("doc_id", "text").toPandas()
+    )
+    terms = set(searcher._analyze(q))
+    assert len(terms) == 2
+    has_all = {
+        int(r.doc_id) for r in docs.itertuples(index=False)
+        if terms <= set(searcher._analyze(r.text))
+    }
+    exp = allhits[allhits["doc_id"].isin(has_all)].head(10)
+    assert 0 < len(has_all) < len(allhits)  # proper subset: filter matters
+
+    old = searcher.prune_min_postings
+    try:
+        for prune_min in (old, 0):  # heuristic gate and forced pruning
+            searcher.prune_min_postings = prune_min
+            conj = searcher.search_ids(q, k=10, case_id=case, mode="all")
+            assert list(conj["doc_id"]) == list(exp["doc_id"])
+            assert list(conj["score"]) == list(exp["score"])  # bit-equal
+    finally:
+        searcher.prune_min_postings = old
+
+    # a term absent from the corpus empties the conjunctive result
+    assert searcher.search_ids("realm zzzmissing", k=10, case_id=case,
+                               mode="all").empty
+    # single-term conjunctive == disjunctive
+    a = searcher.search_ids("realm", k=10, case_id=case, mode="all")
+    b = searcher.search_ids("realm", k=10, case_id=case)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+
+
 def test_full_search_spans_and_best_filter(searcher, spark):
     """Phrase alignment + Best filter semantics on a multi-term query."""
     m = searcher.search("with good intentions for", k=10, case_id="4").toPandas()
@@ -172,6 +215,78 @@ def test_incremental_append_same_case(spark, tmp_path):
     build_index(spark, full, d2, segment_size=16)
     fresh = Searcher(spark, d2).search_ids(term, k=n, case_id=str(case_id))
     assert sorted(hits["score"]) == sorted(fresh["score"])
+
+
+def test_search_many_matches_single(searcher):
+    """Batched query-log scoring == per-query search_ids, bit-equal, in
+    both match modes; dead queries yield no rows."""
+    qs = {
+        "q1": "in the realm of",
+        "q2": "realm software",
+        "q3": "software stack",
+        "q4": "zzzmissingterm",
+        "q5": "realm",
+    }
+    for mode in ("any", "all"):
+        batch = searcher.search_ids_many(qs, k=10, case_id="6", mode=mode)
+        for qid, q in qs.items():
+            single = searcher.search_ids(q, k=10, case_id="6", prune=False,
+                                         mode=mode)
+            sub = batch[batch["qid"] == qid]
+            assert list(sub["doc_id"]) == list(single["doc_id"]), (qid, mode)
+            assert list(sub["score"]) == list(single["score"]), (qid, mode)
+    assert searcher.search_ids_many({}, k=10, case_id="6").empty
+    assert searcher.search_ids_many(qs, k=10, case_id="999").empty
+
+
+def test_compact_index(spark, tmp_path):
+    """Compaction collapses append commit batches to one per table with
+    bit-identical query results, a consistent index, and unchanged resume
+    bookkeeping; re-running is a no-op."""
+    from pysearch.compact import compact_index
+    from pysearch.verify import verify_index
+
+    d = str(tmp_path / "compact_ix")
+    build_index(spark, corpus.webtext_df(spark, cases=corpus.CASES[:2]), d,
+                segment_size=64)
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[2]]), d,
+                append=True)
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[5]]), d,
+                append=True)
+    lay = IndexLayout(d)
+    assert len(lay.list_commits(lay.docs)) == 3
+    assert len(lay.list_commits(lay.postings)) >= 3
+
+    def snap(s):
+        return {
+            c: [[int(x), float(y)] for x, y in
+                zip(h["doc_id"], h["score"])]
+            for c, t in (("1", "be the person who"), ("3", "be the person who"),
+                         ("6", "in the realm of"))
+            for h in [s.search_ids(t, k=10, case_id=c)]
+        }
+
+    before = snap(Searcher(spark, d))
+    segs_before = lay.done_partitions(spark, "postings")
+
+    res = compact_index(spark, d)
+    assert res.get("docs") == 3 and res.get("postings") >= 3
+    for t in (lay.docs, lay.doc_map, lay.postings, lay.lineage):
+        assert len(lay.list_commits(t)) == 1, t
+
+    assert verify_index(spark, d) == []
+    assert snap(Searcher(spark, d)) == before  # bit-identical results
+    assert lay.done_partitions(spark, "postings") == segs_before
+
+    assert compact_index(spark, d) == {}  # idempotent no-op
+
+    # an append after compaction keeps working and stays consistent
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[3]]), d,
+                append=True)
+    assert verify_index(spark, d, check_crcs=False) == []
+    h = Searcher(spark, d).search_ids("with good intentions for", k=10,
+                                      case_id="4")
+    assert len(h) == 10
 
 
 def test_append_crash_recovery(spark, tmp_path):
