@@ -233,7 +233,7 @@ responses to measured properties of this sandbox host — see the notes below.
 
 **Headline: scaling efficiency median {lead['med_eff']:.3f} ({lead['label']} mode;
 target ≥ 0.8 per BASELINE.json), indexing throughput
-{statistics.median(lead['thr_hi'])} docs/sec @local[32].**
+{statistics.median(lead['thr_hi'])} docs/sec @local[{HI}].**
 
 {sections}
 {disk_note}
@@ -263,8 +263,8 @@ Measurement notes:
   in the tables above).
 
 Rank identity across parallelism levels is enforced by the pytest goldens
-(tests/test_engine.py::test_rank_identity_goldens, run at local[8] and
-local[32]) and the doc_id partition-invariance test.
+(tests/test_engine.py::test_rank_identity_goldens) and the doc_id
+partition-invariance test.
 
 Raw JSON (last trial per config, {lead['label']} mode):
 
