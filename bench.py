@@ -30,6 +30,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # bench corpus size by sf level (FIXTURES.md §5: case-7 generator, docLen=400)
 BENCH_DOCS = {"0.001": 1000, "0.01": 5000, "0.1": 50000}
+# first 8 keep their historical order so q_engine_0..7 stay comparable
+# across rounds; the extension to 20 gives p95 a defensible sample size
+# (r2 verdict: 8 points make "p95" ≈ max)
 ENGINE_QUERIES = [
     "a cornucopia of",
     "cornucopia",
@@ -39,6 +42,18 @@ ENGINE_QUERIES = [
     "library ecosystem",
     "indexing and search",
     "unexpected ways",
+    "powerful open source",
+    "technical depth",
+    "programming culture",
+    "text extraction",
+    "bounding boxes",
+    "small pull request",
+    "go ecosystem",
+    "modern software product companies",
+    "solve customer problems in unexpected ways",
+    "high quality libraries",
+    "necessary library",
+    "australian company",
 ]
 OPS_QUERIES = [
     "t1_bm25_top10",
@@ -51,6 +66,7 @@ OPS_QUERIES = [
     "tx_fingerprints",
     "rel_q1_pricing",
     "rel_nation_revenue",
+    "st_arrival_bm25_top10",
 ]
 
 
@@ -59,9 +75,29 @@ def sf_label(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
+def calibrate(seconds: float = 2.0) -> float:
+    """Single-core sha256 ops/s — sampled before and after the bench so
+    cross-round comparisons are decidable (r2 verdict: bench numbers
+    drifted +10-30% with no way to tell host from code; this sandbox's
+    single-core speed swings ±50% over minutes).  Runs with no Spark JVM
+    alive, so it measures the host, not contention."""
+    import hashlib
+    import time as _time
+
+    h = b"x" * 4096
+    t0 = _time.time()
+    n = 0
+    while _time.time() - t0 < seconds:
+        for _ in range(300):
+            hashlib.sha256(h).digest()
+        n += 300
+    return n / (_time.time() - t0)
+
+
 def main() -> None:
     from pysearch.session import build_spark
 
+    cal_start = calibrate()
     t_all = time.time()
     # PYSEARCH_TASK_CPUS=2 charges each task for its Python worker too —
     # used by the scaling harness so local[N] really consumes ~N cores;
@@ -173,6 +209,9 @@ def main() -> None:
         timings[f"q_{name}"] = round(time.time() - t0, 3)
 
     total = time.time() - t_all
+    spark.stop()
+    if work_root != "/tmp":
+        shutil.rmtree(index_dir, ignore_errors=True)  # free /dev/shm
     out = {
         "metric": "total_bench_sec",
         "value": round(total, 3),
@@ -183,10 +222,13 @@ def main() -> None:
         "bench_corpus_docs": n_docs,
         "index_docs_per_sec": round(docs_per_sec, 2),
         "query_p95_sec": round(p95, 3),
+        "n_engine_queries": len(ENGINE_QUERIES),
+        # host-speed guard: single-core sha256 ops/s sampled before the
+        # JVM starts and after it stops; compare across runs/rounds before
+        # attributing wall-time deltas to code
+        "host_cal_start": round(cal_start),
+        "host_cal_end": round(calibrate()),
     }
-    spark.stop()
-    if work_root != "/tmp":
-        shutil.rmtree(index_dir, ignore_errors=True)  # free /dev/shm
     print(json.dumps(out))
 
 

@@ -155,9 +155,54 @@ def _assign_doc_ids(spark, df, n_partitions: int, base: dict | None = None):
     return assigned, sorted_df, counts
 
 
+def _with_token_offsets(df, analyzer: str):
+    """Append the token-offset sidecar columns (S9 analog): per doc the char
+    start (delta+varint) and length (varint) of every surviving token, CRC'd.
+    Runs the offset-bearing analyzer once per doc — the build-time cost of
+    ``store_positions=True`` (the reference pays the same shape: term
+    vectors in the index + offset sidecar files, bleve_glue.go:42-61,
+    doc_positions.go:33-49)."""
+    from pysearch.schema import DOCS
+
+    def add(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pysearch.analyze import get_analyzer
+
+        _, offsets_fn, _ = get_analyzer(analyzer)
+        for pdf in batches:
+            nt, sb, lb, cc = [], [], [], []
+            for text in pdf["text"]:
+                toks = offsets_fn(text)
+                k = len(toks)
+                if k:
+                    starts = np.fromiter((t[1] for t in toks),
+                                         dtype=np.int64, count=k)
+                    ends = np.fromiter((t[2] for t in toks),
+                                       dtype=np.int64, count=k)
+                    gaps = np.empty_like(starts)
+                    gaps[0] = starts[0]
+                    np.subtract(starts[1:], starts[:-1], out=gaps[1:])
+                    s_bin = codec.varint_encode(gaps.astype(np.uint64))
+                    l_bin = codec.varint_encode((ends - starts).astype(np.uint64))
+                else:
+                    s_bin, l_bin = b"", b""
+                nt.append(k)
+                sb.append(s_bin)
+                lb.append(l_bin)
+                cc.append(zlib.crc32(s_bin) ^ zlib.crc32(l_bin))
+            out = pdf.copy()
+            out["n_tokens"] = np.asarray(nt, dtype=np.int32)
+            out["tok_starts_bin"] = sb
+            out["tok_lens_bin"] = lb
+            out["offs_crc32"] = np.asarray(cc, dtype=np.int64)
+            yield out
+
+    return df.mapInPandas(add, schema=DOCS)
+
+
 def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
                      n_partitions: int | None = None, existing=None,
-                     batch: int = 0, defer_commit: bool = False):
+                     batch: int = 0, defer_commit: bool = False,
+                     store_positions: bool = False, analyzer: str = "en"):
     """Clean/dedupe/assign-id the input and commit it as docs batch ``batch``
     (the doc_map catalog batch is written alongside, from the same cached
     partitions, and per-case doc counts land in the manifest so finalize
@@ -291,9 +336,10 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         assigned.withColumn("segment_id", (F.col("doc_id") - 1) / segment_size)
         .withColumn("segment_id", F.floor("segment_id").cast("long"))
         .select("case_id", "doc_id", "segment_id", "url", "content_hash", "text")
-        .repartition("case_id", "segment_id")
-        .persist()
     )
+    if store_positions:
+        docs = _with_token_offsets(docs, analyzer)
+    docs = docs.repartition("case_id", "segment_id").persist()
 
     n = sum(r["count"] for r in counts)  # already collected for the offsets
     case_counts: dict = {}
@@ -363,7 +409,8 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
 # stage "postings"
 # --------------------------------------------------------------------------
 
-def _make_block_builder(n_buckets: int, analyzer: str = "en"):
+def _make_block_builder(n_buckets: int, analyzer: str = "en",
+                        store_positions: bool = False):
     from pysearch.analyze import get_analyzer
 
     _, _, batch_fn = get_analyzer(analyzer)
@@ -418,6 +465,29 @@ def _make_block_builder(n_buckets: int, analyzer: str = "en"):
         tf_buf, tf_off = codec.varint_encode_with_offsets(tfs_arr.astype(np.uint64))
         dl_buf, dl_off = codec.varint_encode_with_offsets(dls_all.astype(np.uint64))
 
+        if store_positions:
+            # per-posting token positions: sort the token stream by
+            # (posting key, position) so each posting's positions come out
+            # as a contiguous ascending run of length tf; delta-gap with an
+            # absolute base per posting (postings never split across
+            # blocks, so block payloads stay independently decodable)
+            doc_tok_start = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(dls[:-1], out=doc_tok_start[1:])
+            pos_in_doc = (
+                np.arange(codes.size, dtype=np.int64) - doc_tok_start[d_of_tok]
+            )
+            order_pos = np.lexsort((pos_in_doc, keys))
+            pos_sorted = pos_in_doc[order_pos]
+            tok_off = np.zeros(uniq_keys.size + 1, dtype=np.int64)
+            np.cumsum(tfs_all, out=tok_off[1:])
+            pos_gaps = np.empty_like(pos_sorted)
+            pos_gaps[0] = pos_sorted[0]
+            np.subtract(pos_sorted[1:], pos_sorted[:-1], out=pos_gaps[1:])
+            pos_gaps[tok_off[:-1]] = pos_sorted[tok_off[:-1]]
+            pos_buf, pos_off = codec.varint_encode_with_offsets(
+                pos_gaps.astype(np.uint64)
+            )
+
         block_starts = np.flatnonzero(is_block_start)
         block_ends = np.append(block_starts[1:], n_post)
         blk_num = (pos_in_run[block_starts] // codec.BLOCK_SIZE).astype(np.int64)
@@ -441,13 +511,18 @@ def _make_block_builder(n_buckets: int, analyzer: str = "en"):
             tfb = tf_buf[tf_off[s]:tf_off[e]]
             dlb = dl_buf[dl_off[s]:dl_off[e]]
             crc = zlib.crc32(ib) ^ zlib.crc32(tfb) ^ zlib.crc32(dlb)
+            if store_positions:
+                pb = pos_buf[pos_off[tok_off[s]]:pos_off[tok_off[e]]]
+                pcrc = zlib.crc32(pb)
+            else:
+                pb, pcrc = None, None
             rows.append((
                 case_id, term_of_code[tc], bucket_of_code[tc], segment_id,
                 int(blk_num[b]), e - s, ib, tfb, dlb,
                 int(ids_all[s]), int(ids_all[e - 1]),
                 int(max_tfs[b]), int(min_dls[b]), int(sum_tfs[b]),
-                len(ib) + len(tfb) + len(dlb),
-                crc,
+                len(ib) + len(tfb) + len(dlb) + (len(pb) if pb else 0),
+                crc, pb, pcrc,
             ))
         return pd.DataFrame(rows, columns=[f.name for f in _BLOCK_FIELDS])
 
@@ -459,7 +534,8 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
                          max_segments: int | None = None,
                          docs_df=None, analyzer: str = "en",
                          defer_commit: bool = False,
-                         nonempty_hint: bool = False):
+                         nonempty_hint: bool = False,
+                         store_positions: bool = False):
     """Build posting blocks for all (or up to ``max_segments``) segments not
     yet recorded as done in lineage.  ``max_segments`` bounds one batch —
     the incremental/ops hook that also simulates a crash mid-stage for the
@@ -527,7 +603,9 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
     blocks = (
         docs.select("case_id", "segment_id", "doc_id", "text")
         .groupBy("case_id", "segment_id")
-        .applyInPandas(_make_block_builder(n_buckets, analyzer), schema=out_schema)
+        .applyInPandas(_make_block_builder(n_buckets, analyzer,
+                                           store_positions),
+                       schema=out_schema)
     )
 
     batch = layout.next_batch(layout.postings)
@@ -616,10 +694,82 @@ def salted_sum(df, keys: List[str], sums: dict, salt_col, salt_n: int = SALT_N):
     )
 
 
-def build_finalize_stage(spark, layout: IndexLayout) -> None:
+def _postings_disk_batches(layout: IndexLayout) -> list[int]:
+    return sorted(
+        int(os.path.basename(d).split("-", 1)[1])
+        for d in layout.list_commits(layout.postings)
+    )
+
+
+def _n_per_case_df(spark, layout: IndexLayout):
+    """Per-case doc counts from the manifest (recorded by the docs stage) so
+    finalize never re-scans the docs table; legacy indexes without
+    case_counts fall back to the scan."""
     from pyspark.sql import functions as F
 
-    from pysearch.schema import DOCS, POSTING_BLOCKS
+    from pysearch.schema import DOCS
+
+    cc = layout.read_manifest().get("stages", {}).get("docs", {}).get("case_counts")
+    if cc:
+        return spark.createDataFrame(
+            [(str(k), int(v)) for k, v in cc.items()],
+            schema="case_id string, n_docs long",
+        )
+    docs = layout.read_commits(spark, layout.docs, schema=DOCS).withColumn(
+        "case_id", F.col("case_id").cast("string")
+    )
+    return docs.groupBy("case_id").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def _term_stats_of(blocks):
+    """Per-term (df, cf) aggregate over a posting-block frame."""
+    from pyspark.sql import functions as F
+
+    return salted_sum(
+        blocks.select("case_id", "term", "term_bucket", "n", "sum_tf",
+                      "segment_id"),
+        ["case_id", "term", "term_bucket"],
+        {"n": "df", "sum_tf": "cf"},
+        salt_col=F.col("segment_id"),
+    ).select("case_id", "term", "term_bucket",
+             F.col("df").cast("long"), F.col("cf").cast("long"))
+
+
+def _write_corpus_stats_from_term_stats(spark, layout: IndexLayout) -> None:
+    """Rewrite corpus_stats from manifest doc counts + the term_stats table.
+
+    sum(cf) per case over term_stats == total analyzed tokens == sum of doc
+    lengths (exact integer identity), so avgdl never needs a postings or
+    docs re-scan — an O(vocabulary) narrow column scan at most.  Fully
+    deterministic from committed state, hence idempotent across crashes."""
+    from pyspark.sql import functions as F
+
+    from pysearch.schema import TERM_STATS
+
+    n_per_case = _n_per_case_df(spark, layout)
+    ts = layout.read_commits(spark, layout.term_stats, schema=TERM_STATS)
+    dl_per_case = ts.groupBy("case_id").agg(
+        F.sum("cf").cast("long").alias("sum_dl")
+    )
+    corpus_stats = (
+        n_per_case.join(dl_per_case, "case_id", "left")
+        .fillna({"sum_dl": 0})
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+    )
+    staging = layout.staging_dir("corpus_stats")
+    corpus_stats.coalesce(1).write.mode("overwrite").parquet(staging)
+    layout.commit_batch(staging, layout.corpus_stats, 0, replace=True)
+
+
+def build_finalize_stage(spark, layout: IndexLayout) -> None:
+    """Full-index stats recompute (fresh builds).  Appends and streaming
+    micro-batches use ``build_finalize_delta`` instead, which touches only
+    the new postings batches — O(delta), not O(index)."""
+    from pyspark.sql import functions as F
+
+    from pysearch.schema import POSTING_BLOCKS
 
     t0 = time.time()
     blocks = layout.read_commits(
@@ -628,32 +778,12 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
         "case_id", F.col("case_id").cast("string")
     ).withColumn("term_bucket", F.col("term_bucket").cast("int"))
 
-    term_stats = salted_sum(
-        blocks.select("case_id", "term", "term_bucket", "n", "sum_tf", "segment_id"),
-        ["case_id", "term", "term_bucket"],
-        {"n": "df", "sum_tf": "cf"},
-        salt_col=F.col("segment_id"),
-    ).select("case_id", "term", "term_bucket", F.col("df").cast("long"), F.col("cf").cast("long"))
+    term_stats = _term_stats_of(blocks)
 
     # avgdl from block metadata: sum(tf) over a doc's postings == its
     # analyzed token count, so sum(sum_tf) over blocks == sum(doc_len),
     # exactly (integer arithmetic) — saves a second analyzer pass over text.
-    # Per-case doc counts come from the manifest (recorded by the docs
-    # stage), so finalize never re-scans the docs table; legacy indexes
-    # without case_counts fall back to the scan.
-    cc = layout.read_manifest().get("stages", {}).get("docs", {}).get("case_counts")
-    if cc:
-        n_per_case = spark.createDataFrame(
-            [(str(k), int(v)) for k, v in cc.items()],
-            schema="case_id string, n_docs long",
-        )
-    else:
-        docs = layout.read_commits(spark, layout.docs, schema=DOCS).withColumn(
-            "case_id", F.col("case_id").cast("string")
-        )
-        n_per_case = docs.groupBy("case_id").agg(
-            F.count("*").cast("long").alias("n_docs")
-        )
+    n_per_case = _n_per_case_df(spark, layout)
     dl_per_case = blocks.groupBy("case_id").agg(
         F.sum("sum_tf").cast("long").alias("sum_dl")
     )
@@ -673,6 +803,11 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
         term_stats.repartition("term_bucket").write.mode("overwrite").partitionBy(
             "term_bucket"
         ).parquet(staging)
+        # a full recompute covers everything: clear any delta commits a
+        # previous append left, then install as the single commit-00000
+        import shutil
+
+        shutil.rmtree(layout.term_stats, ignore_errors=True)
         layout.commit_batch(staging, layout.term_stats, 0, replace=True)
 
     def _write_corpus_stats():
@@ -690,7 +825,61 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
         "stage": "finalize", "partition_key": "all", "status": "done",
         "wall_sec": time.time() - t0,
     }])
-    layout.mark_stage("finalize")
+    layout.mark_stage("finalize", folded=_postings_disk_batches(layout))
+
+
+def build_finalize_delta(spark, layout: IndexLayout) -> None:
+    """O(delta) stats maintenance for appends/streaming micro-batches.
+
+    The full recompute re-aggregated term_stats over ALL posting blocks per
+    append — an O(index) metadata scan per streaming micro-batch (the r2
+    scale flaw).  Delta finalize instead:
+
+    - reads ONLY the postings commit batches not yet folded into term_stats
+      (the fold set lives in the manifest's finalize entry);
+    - writes each new batch's per-term (df, cf) aggregate as term_stats
+      commit ``commit-<postings_batch>`` — df/cf are additive, so readers
+      SUM across stats commits (query-side: Searcher._term_dfs; offline:
+      compact_index consolidates);
+    - rewrites corpus_stats (one row per case) from manifest doc counts +
+      a sum over term_stats' cf column.
+
+    Crash-safe by construction: the stats commit for postings batch B is a
+    pure function of batch B's blocks and is named after it, so a rerun
+    rewrites the same content in place (``replace=True``) — double-folding
+    is impossible, whatever step a previous attempt died at.  Falls back to
+    the full recompute for legacy indexes with no fold bookkeeping."""
+    from pyspark.sql import functions as F
+
+    fin = layout.read_manifest().get("stages", {}).get("finalize", {})
+    folded = fin.get("folded")
+    if folded is None:
+        build_finalize_stage(spark, layout)
+        return
+    t0 = time.time()
+    folded = set(int(b) for b in folded)
+    disk = _postings_disk_batches(layout)
+    new = [b for b in disk if b not in folded]
+    from pysearch.lineage import _has_parquet
+
+    for b in new:
+        commit_dir = os.path.join(layout.postings, f"commit-{b:05d}")
+        if not _has_parquet(commit_dir):
+            continue  # zero-block batch (all tokens stopped out)
+        blocks = spark.read.parquet(commit_dir).withColumn(
+            "case_id", F.col("case_id").cast("string")
+        ).withColumn("term_bucket", F.col("term_bucket").cast("int"))
+        staging = layout.staging_dir("term_stats")
+        _term_stats_of(blocks).repartition("term_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("term_bucket").parquet(staging)
+        layout.commit_batch(staging, layout.term_stats, b, replace=True)
+    _write_corpus_stats_from_term_stats(spark, layout)
+    layout.append_lineage(spark, [{
+        "stage": "finalize", "partition_key": f"delta:{new}",
+        "status": "done", "wall_sec": time.time() - t0,
+    }])
+    layout.mark_stage("finalize", folded=sorted(folded | set(new)))
 
 
 # --------------------------------------------------------------------------
@@ -703,7 +892,8 @@ def build_index(spark, webtext_df, index_dir: str, *,
                 resume: bool = False,
                 append: bool = False,
                 n_partitions: int | None = None,
-                analyzer: str = "en") -> IndexLayout:
+                analyzer: str = "en",
+                store_positions: bool = False) -> IndexLayout:
     """Build (or resume, or append to) the full index at ``index_dir``.
 
     Resume semantics: stage-level markers in the manifest; the postings stage
@@ -732,14 +922,19 @@ def build_index(spark, webtext_df, index_dir: str, *,
             "segment_size": segment_size,
             "n_buckets": n_buckets,
             "analyzer": analyzer,
+            "positions": bool(store_positions),
         })
     else:
         if m.get("format_version") != INDEX_FORMAT_VERSION:
             raise RuntimeError("index format version mismatch; rebuild required")
         segment_size = m.get("segment_size", segment_size)
         n_buckets = m.get("n_buckets", n_buckets)
+        store_positions = bool(m.get("positions", False))
     layout.gc_staging()
     if resume:
+        from pysearch.compact import recover_compaction
+
+        recover_compaction(layout)
         orphans = layout.gc_orphan_postings_commits(spark)
         if orphans:
             print(f"pysearch: removed {len(orphans)} orphan postings commit(s) "
@@ -749,7 +944,8 @@ def build_index(spark, webtext_df, index_dir: str, *,
     if not layout.stage_done("docs"):
         docs_df, finish_docs, n_new = build_docs_stage(
             spark, webtext_df, layout, segment_size, n_partitions,
-            defer_commit=True,
+            defer_commit=True, store_positions=store_positions,
+            analyzer=analyzer_m,
         )
         # Overlap the docs/doc_map disk writes with the postings compute:
         # both consume the same cached docs partitions (BlockManager block
@@ -764,6 +960,7 @@ def build_index(spark, webtext_df, index_dir: str, *,
                 build_postings_stage, spark, layout, n_buckets,
                 resume=resume, docs_df=docs_df, analyzer=analyzer_m,
                 defer_commit=True, nonempty_hint=n_new > 0,
+                store_positions=store_positions,
             )
             f_docs = ex.submit(finish_docs)
             finish_postings = f_post.result()
@@ -772,7 +969,8 @@ def build_index(spark, webtext_df, index_dir: str, *,
         docs_df.unpersist()
     elif not layout.stage_done("postings"):
         build_postings_stage(spark, layout, n_buckets, resume=resume,
-                             analyzer=analyzer_m)
+                             analyzer=analyzer_m,
+                             store_positions=store_positions)
     if not layout.stage_done("finalize"):
         build_finalize_stage(spark, layout)
     return layout
@@ -789,9 +987,10 @@ def _append_index(spark, webtext_df, layout: IndexLayout,
       — the (case, segment) postings done-granularity stays valid at the
       cost of at most one segment's worth of id space per append per case.
     - Postings build only the new segments (incremental commit batch);
-      term_stats/corpus_stats/doc_map are recomputed from block metadata
-      and the docs table (full recompute — correct and simple; a delta
-      merge is a later optimization).
+      term_stats gains one delta commit aggregated from ONLY the new
+      batch's block metadata and corpus_stats is rewritten from manifest
+      counts + term_stats (``build_finalize_delta`` — O(delta) per append,
+      not O(index); readers sum df/cf across stats commits).
     - Crash-safe: the postings/finalize done-flags are cleared BEFORE the
       docs commit, and the docs lineage append is the docs commit point
       (orphan batches are GC'd), so an interrupted append is completed by
@@ -809,6 +1008,16 @@ def _append_index(spark, webtext_df, layout: IndexLayout,
     segment_size = int(m["segment_size"])
     n_buckets = int(m["n_buckets"])
     analyzer = m.get("analyzer", "en")
+    store_positions = bool(m.get("positions", False))
+    # a crashed compaction swap must be finished (or its staging discarded)
+    # BEFORE any batch bookkeeping runs: half-swapped tables alias batch
+    # numbers against stale lineage, which silently mis-drives the orphan
+    # GC below.  After the sweep, fail fast if lineage still references
+    # postings batches absent on disk.
+    from pysearch.compact import check_consistent, recover_compaction
+
+    recover_compaction(layout)
+    check_consistent(spark, layout)
     layout.gc_staging()
     layout.gc_orphan_docs_commits(spark)
     layout.gc_orphan_postings_commits(spark)
@@ -820,7 +1029,8 @@ def _append_index(spark, webtext_df, layout: IndexLayout,
         # missing segments) BEFORE appending new rows, so the fast path
         # below (postings from the cached new-docs frame only) stays valid.
         build_postings_stage(spark, layout, n_buckets, resume=True,
-                             analyzer=analyzer)
+                             analyzer=analyzer,
+                             store_positions=store_positions)
 
     existing = layout.read_commits(spark, layout.docs, schema=DOCS).select(
         F.col("case_id").cast("string").alias("case_id"),
@@ -833,11 +1043,13 @@ def _append_index(spark, webtext_df, layout: IndexLayout,
     docs_df, finish_docs, n_new = build_docs_stage(
         spark, webtext_df, layout, segment_size, n_partitions,
         existing=existing, batch=batch, defer_commit=True,
+        store_positions=store_positions, analyzer=analyzer,
     )
     finish_docs()
     build_postings_stage(spark, layout, n_buckets, resume=True,
                          docs_df=docs_df, analyzer=analyzer,
-                         nonempty_hint=n_new > 0)
+                         nonempty_hint=n_new > 0,
+                         store_positions=store_positions)
     docs_df.unpersist()
-    build_finalize_stage(spark, layout)
+    build_finalize_delta(spark, layout)
     return layout

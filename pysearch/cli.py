@@ -42,6 +42,7 @@ def cmd_index(args) -> None:
         spark, df, args.output,
         segment_size=args.segment_size, n_buckets=args.buckets,
         resume=args.resume, analyzer=args.analyzer,
+        store_positions=args.store_positions,
     )
     print(f"index built at {args.output}")
     spark.stop()
@@ -106,6 +107,11 @@ def main(argv=None) -> None:
     pi.add_argument("--buckets", type=int, default=64)
     pi.add_argument("--resume", action="store_true")
     pi.add_argument("--analyzer", default="en", choices=["en", "simple"])
+    pi.add_argument("--store-positions", action="store_true",
+                    help="store per-term token positions in posting blocks "
+                         "and a token-offset sidecar on docs (index-side "
+                         "phrase spans; larger index, one extra analyzer "
+                         "pass at build)")
     pi.add_argument("--master", default=None)
     pi.set_defaults(fn=cmd_index)
 

@@ -163,3 +163,27 @@ def unpack_blocks_batch(ns, doc_ids_bins, tfs_bins, dls_bins):
     base = cs[starts] - gaps[starts]  # cumsum carried in from prior blocks
     ids = cs - np.repeat(base, ns)
     return ids, tfs, dls
+
+
+def unpack_positions_batch(counts, pos_bins):
+    """Decode packed term positions for many postings in one pass.
+
+    ``counts``: int64 array — positions per posting (== each posting's tf),
+    concatenated across blocks in input order; ``pos_bins``: the blocks'
+    ``pos_bin`` payloads in the same order.  Positions are delta-gapped with
+    an absolute base per POSTING (each doc's position list restarts), so the
+    decode is the same segmented-cumsum rebase as doc ids — resets at
+    posting boundaries instead of block boundaries.  Returns one flat int64
+    array; slice it with ``np.cumsum(counts)``.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    gaps = varint_decode(b"".join(pos_bins), total).astype(np.int64)
+    keep = counts > 0  # tf is >= 1 in practice, but stay total
+    starts = np.zeros(int(keep.sum()), dtype=np.int64)
+    np.cumsum(counts[keep][:-1], out=starts[1:])
+    cs = np.cumsum(gaps)
+    base = cs[starts] - gaps[starts]
+    return cs - np.repeat(base, counts[keep])

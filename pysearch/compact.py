@@ -7,66 +7,166 @@ scans per query after many appends (the scale risk called out in the r1
 review of ``lineage.read_commits``).  ``compact_index`` rewrites every
 multi-commit table into a single consolidated ``commit-00000`` with the same
 partition layout the build writes (docs/doc_map by ``case_id``, postings by
-``term_bucket`` — query partition pruning survives), renumbers lineage
-bookkeeping to the consolidated batch, and records the compaction as a
-lineage event.  Query results are unchanged (same rows, same layout); the
+``term_bucket`` — query partition pruning survives), consolidates the
+term_stats delta commits by SUMMING per-term df/cf (delta finalize appends
+one stats commit per postings batch, see build.finalize_delta), renumbers
+lineage bookkeeping to the consolidated batch, and records the compaction as
+a lineage event.  Query results are unchanged (same rows, same layout); the
 reference has no analog because its index is a single serial file — this is
 the maintenance operation its model never needs but a distributed
 commit-log layout does.
 
-Crash safety: consolidated trees are staged per table as ``<table>.compact``
-and swapped in with two renames; an interrupted run is completed (or its
-leftovers cleared) by simply re-running ``compact_index``, which starts with
-a recovery sweep.  Compaction is offline maintenance — run it without
-concurrent readers, like any snapshot-expire/rewrite job.
+Crash safety — cross-TABLE atomicity via a write-ahead swap marker
+(r2 ADVICE: per-table swaps alone leave a half-swapped index that aliases
+batch numbers if an append runs before recovery):
+
+1. consolidated trees are staged per table as ``<table>.compact`` with the
+   live index untouched (heavy, restartable);
+2. a marker file ``_compact_swap.json`` listing the tables to swap is
+   written atomically — this is the commit point;
+3. tables are swapped in with two renames each; the marker is removed last.
+
+Recovery (``recover_compaction``) is driven by the marker: present means the
+swap was committed, so every listed table's swap is FINISHED (idempotent
+per-table state machine in ``_finish_swap``); absent means any leftover
+``.compact``/``.old`` trees belong to an uncommitted run and are discarded.
+``build_index(append=True)`` runs this sweep before touching the index, so a
+crashed compaction can never alias batch numbers against stale lineage.
+Compaction is offline maintenance — run it without concurrent readers, like
+any snapshot-expire/rewrite job.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import json
 import os
 import shutil
 import time
+import uuid
 
 from pysearch.lineage import IndexLayout
 
+SWAP_MARKER = "_compact_swap.json"
 
-def _recover(table_dir: str) -> None:
-    """Finish or discard a previous run's partial swap for one table."""
+
+def _marker_path(layout: IndexLayout) -> str:
+    return os.path.join(layout.root, SWAP_MARKER)
+
+
+def _write_marker(layout: IndexLayout, tables: list[str]) -> None:
+    tmp = _marker_path(layout) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"tables": tables}, f)
+    os.replace(tmp, _marker_path(layout))
+
+
+def _finish_swap(table_dir: str) -> None:
+    """Idempotently drive one table's swap to completion.  Valid only when
+    the swap was COMMITTED (marker present): a ``.compact`` tree here is the
+    new truth and must be installed, whatever rename the crash interrupted."""
     compact, old = table_dir + ".compact", table_dir + ".old"
     if os.path.isdir(compact):
-        if not os.path.isdir(table_dir):
-            os.rename(compact, table_dir)  # crashed between the two renames
-        else:
-            shutil.rmtree(compact)  # staged but never swapped: discard
+        if os.path.isdir(table_dir):
+            os.rename(table_dir, old)
+        os.rename(compact, table_dir)
     if os.path.isdir(old):
         shutil.rmtree(old)
 
 
-def _swap(table_dir: str) -> None:
-    old = table_dir + ".old"
-    os.rename(table_dir, old)
-    os.rename(table_dir + ".compact", table_dir)
-    shutil.rmtree(old)
+def _discard_staging(table_dir: str) -> None:
+    """Drop leftovers of an UNcommitted run (no marker): the live table is
+    intact and authoritative; staged trees may be stale."""
+    for d in (table_dir + ".compact", table_dir + ".old"):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
+def _all_tables(layout: IndexLayout) -> list[str]:
+    return [layout.docs, layout.doc_map, layout.postings,
+            layout.term_stats, layout.corpus_stats, layout.lineage]
+
+
+def recover_compaction(layout: IndexLayout) -> str | None:
+    """Finish a committed-but-interrupted compaction swap, or discard an
+    uncommitted one.  Returns ``"finished"`` / ``"discarded"`` / ``None``
+    (nothing to do).  Safe to call any time the index is quiescent; append
+    and streaming ingestion call it before touching the index."""
+    marker = _marker_path(layout)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            tables = json.load(f)["tables"]
+        for name in tables:
+            _finish_swap(os.path.join(layout.root, name))
+        # tables not in the marker may still hold uncommitted staging
+        listed = {os.path.join(layout.root, n) for n in tables}
+        for t in _all_tables(layout):
+            if t not in listed:
+                _discard_staging(t)
+        os.remove(marker)
+        # the committed lineage/batch renumbering is now fully installed;
+        # re-pin the finalize fold bookkeeping to the consolidated batch
+        _mark_folded_consolidated(layout)
+        return "finished"
+    leftovers = False
+    for t in _all_tables(layout):
+        if os.path.isdir(t + ".compact") or os.path.isdir(t + ".old"):
+            leftovers = True
+            _discard_staging(t)
+    return "discarded" if leftovers else None
+
+
+def _mark_folded_consolidated(layout: IndexLayout) -> None:
+    """After a swap that renumbered postings to batch 0, the delta-finalize
+    fold set must reference the consolidated batch only."""
+    m = layout.read_manifest()
+    fin = m.get("stages", {}).get("finalize")
+    if fin and fin.get("done"):
+        fin["folded"] = [0]
+        layout.write_manifest(m)
+
+
+def check_consistent(spark, layout: IndexLayout) -> None:
+    """Fail fast when lineage references postings batches absent on disk
+    (r2 ADVICE: a half-recovered state silently mis-drives orphan GC and
+    resume).  Run AFTER recover_compaction; raises with a repair hint."""
+    commits = {
+        int(os.path.basename(d).split("-", 1)[1])
+        for d in layout.list_commits(layout.postings)
+    }
+    lin = layout.read_lineage(spark)
+    covered = {
+        int(r["batch"])
+        for r in lin.filter(lin.stage == "postings")
+        .select("batch").distinct().collect()
+    }
+    missing = covered - commits
+    if missing:
+        raise RuntimeError(
+            f"lineage references postings batches {sorted(missing)} absent "
+            f"on disk at {layout.postings} — index is inconsistent; run "
+            "compact_index (recovery sweep) or restore the missing commits "
+            "before appending"
+        )
 
 
 def compact_index(spark, index_dir: str) -> dict:
     """Consolidate every multi-commit table of a COMPLETE index.
 
-    Returns ``{table: n_commits_before}`` for the tables rewritten (empty
-    dict == nothing to do).  Raises if the index is incomplete — compacting
-    mid-build would race the builder's resume bookkeeping.
+    Returns ``{table: n_commits_before}`` for the tables rewritten —
+    including a ``"lineage"`` entry when only the lineage table needed
+    consolidation (empty dict == nothing to do at all).  Raises if the
+    index is incomplete — compacting mid-build would race the builder's
+    resume bookkeeping.
     """
     from pyspark.sql import functions as F
 
-    from pysearch.schema import DOCS, POSTING_BLOCKS
+    from pysearch.schema import DOCS, POSTING_BLOCKS, TERM_STATS
 
     layout = IndexLayout(index_dir)
+    recover_compaction(layout)
     if not layout.stage_done("finalize"):
         raise RuntimeError(f"index at {index_dir} is not complete")
-
-    for t in (layout.docs, layout.doc_map, layout.postings, layout.lineage):
-        _recover(t)
 
     # per table: schema, partition columns, within-partition sort (mirrors
     # the build's write layout so parquet row-group pruning keeps working)
@@ -80,8 +180,9 @@ def compact_index(spark, index_dir: str) -> dict:
         n = len(layout.list_commits(t))
         if n > 1:
             plan[t] = (schema, parts, sort, n)
+    n_tstats = len(layout.list_commits(layout.term_stats))
     n_lineage = len(layout.list_commits(layout.lineage))
-    if not plan and n_lineage <= 1:
+    if not plan and n_tstats <= 1 and n_lineage <= 1:
         return {}
 
     t0 = time.time()
@@ -94,6 +195,22 @@ def compact_index(spark, index_dir: str) -> dict:
             .write.mode("overwrite")
             .partitionBy(*parts)
             .parquet(os.path.join(t + ".compact", "commit-00000"))
+        )
+    if n_tstats > 1:
+        # delta finalize appends one stats commit per postings batch; the
+        # consolidated table SUMS them (df/cf are additive per term)
+        ts = layout.read_commits(spark, layout.term_stats, schema=TERM_STATS)
+        (
+            ts.groupBy("case_id", "term", "term_bucket")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("cf").cast("long").alias("cf"))
+            .select("case_id", "term", "term_bucket", "df", "cf")
+            .repartition("term_bucket")
+            .sortWithinPartitions("term_bucket", "case_id", "term")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(layout.term_stats + ".compact",
+                                  "commit-00000"))
         )
 
     # 2. consolidated lineage: same history, but done docs/postings rows
@@ -120,8 +237,23 @@ def compact_index(spark, index_dir: str) -> dict:
         os.path.join(layout.lineage + ".compact", "commit-00000")
     )
 
-    # 3. swap everything in (cheap renames), lineage last
-    for t in plan:
-        _swap(t)
-    _swap(layout.lineage)
-    return {os.path.basename(t): n for t, (_s, _p, _sort, n) in plan.items()}
+    # 3. commit point: write-ahead marker naming every table to swap, then
+    #    the swaps themselves (cheap renames), then drop the marker.  A
+    #    crash anywhere in this window is finished by recover_compaction —
+    #    the marker makes the multi-table swap atomic-on-recovery.
+    swap_tables = list(plan) + (
+        [layout.term_stats] if n_tstats > 1 else []
+    ) + [layout.lineage]
+    _write_marker(layout, [os.path.basename(t) for t in swap_tables])
+    for t in swap_tables:
+        _finish_swap(t)
+    os.remove(_marker_path(layout))
+    _mark_folded_consolidated(layout)
+    out = {os.path.basename(t): n for t, (_s, _p, _sort, n) in plan.items()}
+    if n_tstats > 1:
+        out["term_stats"] = n_tstats
+    if not out and n_lineage > 1:
+        # lineage-only consolidation still rewrote a table — report it
+        # (r2 ADVICE: '{}' here read as "nothing to compact" in the CLI)
+        out["lineage"] = n_lineage
+    return out

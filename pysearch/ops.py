@@ -290,6 +290,34 @@ def t1_engine_conj_top10(spark, sf_dir):
     return _engine_search(spark, sf_dir, mode="all")
 
 
+@op("st_arrival_bm25_top10", _BM25_SQL)
+def st_arrival_bm25_top10(spark, sf_dir):
+    """The scored in-memory ARRIVAL index (reference use case 2: short-lived
+    index over just-arrived docs, GOPHERCON.md:56) run as a batch: full BM25
+    top-10 over the documents table with NO persistent index — same dedupe,
+    idf, and summation semantics as the engine, value-checked against the
+    same independent DuckDB BM25 oracle as t1_engine_bm25_top10."""
+    from pyspark.sql import functions as F
+
+    from pysearch.session import _ensure_pythonpath, ship_package
+    from pysearch.streaming import score_arriving_batch
+
+    _ensure_pythonpath()
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    webtext = docs.select(
+        F.format_string("doc://docs/%09d", F.col("doc_id")).alias("url"),
+        "text",
+    )
+    res = score_arriving_batch(
+        webtext, {"q": " ".join(_BM25_TERMS)}, k=10, analyzer="simple"
+    )
+    return res.select(
+        F.substring("url", len("doc://docs/") + 1, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score_r"),
+    )
+
+
 @op("j1_term_doc_join", f"""
 {_TOK_CTE},
 q(term) AS (VALUES ('spark'),('vector'),('stream'))

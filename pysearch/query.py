@@ -53,6 +53,8 @@ class Searcher:
         if not m.get("stages", {}).get("finalize", {}).get("done"):
             raise RuntimeError(f"index at {index_dir} is not complete")
         self.n_buckets = int(m["n_buckets"])
+        self.segment_size = int(m.get("segment_size", 4096))
+        self.positions_stored = bool(m.get("positions", False))
         from pysearch.analyze import get_analyzer
 
         self.analyzer_name = m.get("analyzer", "en")
@@ -123,7 +125,9 @@ class Searcher:
                     & F.col("term_bucket").isin(self._bucket_lit(buckets))
                     & F.col("term").isin(missing)
                 )
-                .select("term", "df")
+                # delta finalize appends one stats commit per append batch;
+                # df is additive, so a term's df is the SUM over commits
+                .groupBy("term").agg(F.sum("df").alias("df"))
                 .collect()
             )
             found = {r["term"]: int(r["df"]) for r in rows}
@@ -444,19 +448,99 @@ class Searcher:
         return phase2, p1
 
     # ------------------------------------------------------------------
+    def _hit_positions(self, case_id: str, terms: List[str],
+                       hit_ids: List[int]) -> Dict[int, Dict[str, list]]:
+        """Per-hit-doc term positions read from the INDEX (pos_bin), not by
+        re-analyzing text: one partition+segment-pruned metadata-sized scan
+        over the hit docs' segments.  Returns doc_id -> term -> [positions].
+        """
+        from pyspark.sql import functions as F
+
+        if not hit_ids:
+            return {}
+        segs = sorted({(int(i) - 1) // self.segment_size for i in hit_ids})
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        lo, hi = min(hit_ids), max(hit_ids)
+        blocks = self.postings.filter(
+            (F.col("case_id") == case_id)
+            & F.col("term_bucket").isin(self._bucket_lit(buckets))
+            & F.col("term").isin(list(terms))
+            & F.col("segment_id").isin(segs)
+            & (F.col("min_doc_id") <= hi) & (F.col("max_doc_id") >= lo)
+            & F.col("pos_bin").isNotNull()
+        )
+        hit_set = set(int(i) for i in hit_ids)
+
+        def extract(batches):
+            import zlib
+
+            from pysearch import codec
+
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    if zlib.crc32(r.pos_bin) != r.pos_crc32:
+                        raise IOError("position payload CRC mismatch")
+                    ids, tfs, _dls = codec.unpack_block(
+                        r.n, r.doc_ids_bin, r.tfs_bin, r.dls_bin
+                    )
+                    pos = codec.unpack_positions_batch(tfs, [r.pos_bin])
+                    ends = np.cumsum(tfs)
+                    starts = ends - tfs
+                    for j in np.flatnonzero(np.isin(ids, list(hit_set))):
+                        rows.append((
+                            r.term, int(ids[j]),
+                            [int(p) for p in pos[starts[j]:ends[j]]],
+                        ))
+                yield pd.DataFrame(
+                    rows, columns=["term", "doc_id", "positions"]
+                )
+
+        out: Dict[int, Dict[str, list]] = {}
+        for r in blocks.select(
+            "term", "n", "doc_ids_bin", "tfs_bin", "dls_bin",
+            "pos_bin", "pos_crc32"
+        ).mapInPandas(
+            extract, schema="term string, doc_id long, positions array<long>"
+        ).collect():
+            out.setdefault(int(r["doc_id"]), {}).setdefault(
+                r["term"], []
+            ).extend(int(p) for p in r["positions"])
+        return out
+
     def search(self, query: str, k: int = DEFAULT_MAX_RESULTS,
                case_id: str = "0", prune: bool = True,
                best_filter: bool = True, max_spans: int = 100,
-               mode: str = "any"):
+               mode: str = "any", spans: str = "auto"):
         """Full search: top-k + phrase spans + Best filter + line numbers.
 
         Returns a Spark DataFrame with MATCHES schema (SURVEY §1.1 match-set
         mapping of PdfMatchSet, search_pdfs.go:29-60).  ``max_spans`` caps
         spans per match (reference P6 caps: modify_pdf.go:74-96).
+
+        ``spans`` selects how phrase spans are constructed:
+        - ``"reanalyze"``: tokenize each hit's text at query time (the only
+          option for indexes built without positions; span cost scales with
+          doc length);
+        - ``"index"``: read term positions from the index (pos_bin) and
+          char offsets from the docs table's token sidecar — reference
+          parity with bleve term-vector Locations (search_pdfs.go:382-484),
+          span cost O(query-term postings + matched tokens) per hit;
+        - ``"auto"`` (default): ``"index"`` when the index stores
+          positions, else ``"reanalyze"``.  Both paths produce identical
+          spans (pinned by test).
         """
         from pyspark.sql import functions as F
 
         from pysearch.schema import MATCHES
+
+        if spans not in ("auto", "index", "reanalyze"):
+            raise ValueError(f"spans must be auto|index|reanalyze, got {spans!r}")
+        use_index_pos = (
+            self.positions_stored if spans == "auto" else spans == "index"
+        )
+        if use_index_pos and not self.positions_stored:
+            raise ValueError("index was built without store_positions=True")
 
         hits = self.search_ids(query, k, case_id, prune, mode)
         spark = self.spark
@@ -466,18 +550,52 @@ class Searcher:
         offsets_fn = self._analyze_offsets
 
         hits_df = spark.createDataFrame(hits, schema="doc_id long, score double")
-        docs = self.docs.filter(F.col("case_id") == case_id).select(
-            "case_id", "doc_id", "url", "text"
-        )
+        doc_cols = ["case_id", "doc_id", "url", "text"]
+        pos_by_doc: Dict[int, Dict[str, list]] = {}
+        if use_index_pos:
+            doc_cols += ["n_tokens", "tok_starts_bin", "tok_lens_bin",
+                         "offs_crc32"]
+            pos_by_doc = self._hit_positions(
+                case_id, sorted(set(qterms)), [int(i) for i in hits["doc_id"]]
+            )
+        docs = self.docs.filter(F.col("case_id") == case_id).select(*doc_cols)
         joined = docs.join(F.broadcast(hits_df), "doc_id")
+
+        def _spans_reanalyze(r):
+            toks = offsets_fn(r.text)
+            doc_terms = [t for t, _, _ in toks]
+            offsets = [(s, e) for _, s, e in toks]
+            return sc.align_phrase(doc_terms, offsets, qterms)
+
+        def _spans_from_index(r):
+            import zlib
+
+            from pysearch import codec
+
+            tok_spans = sc.align_phrase_positions(
+                qterms, pos_by_doc.get(int(r.doc_id), {})
+            )
+            if not tok_spans:
+                return []
+            if zlib.crc32(r.tok_starts_bin) ^ zlib.crc32(r.tok_lens_bin) \
+                    != r.offs_crc32:
+                raise IOError("token-offset sidecar CRC mismatch")
+            n = int(r.n_tokens)
+            starts = np.cumsum(
+                codec.varint_decode(r.tok_starts_bin, n).astype(np.int64)
+            )
+            lens = codec.varint_decode(r.tok_lens_bin, n).astype(np.int64)
+            return [
+                (int(starts[f]), int(starts[last] + lens[last]), score)
+                for f, last, score in tok_spans
+            ]
+
+        span_fn = _spans_from_index if use_index_pos else _spans_reanalyze
 
         def build_matches(pdf: pd.DataFrame) -> pd.DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
-                toks = offsets_fn(r.text)
-                doc_terms = [t for t, _, _ in toks]
-                offsets = [(s, e) for _, s, e in toks]
-                spans = sc.align_phrase(doc_terms, offsets, qterms)[:max_spans]
+                spans = span_fn(r)[:max_spans]
                 line_nums, lines = [], []
                 for (cs, _ce, _s) in spans:
                     ln, line = sc.line_lookup(r.text, cs)

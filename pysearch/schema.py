@@ -33,6 +33,15 @@ DOCS = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("content_hash", T.StringType(), False),
     T.StructField("text", T.StringType(), False),
+    # token-offset sidecar (build_index(store_positions=True)) — the S9
+    # positions-store analog (reference: flatbuffers offset->bbox sidecars,
+    # doc_positions.go:33-49): char start (delta+varint) and length
+    # (varint) of every surviving token, so query-time span construction
+    # decodes O(n_tokens) varints instead of re-analyzing the text
+    T.StructField("n_tokens", T.IntegerType(), True),
+    T.StructField("tok_starts_bin", T.BinaryType(), True),
+    T.StructField("tok_lens_bin", T.BinaryType(), True),
+    T.StructField("offs_crc32", T.LongType(), True),
 ])
 
 POSTING_BLOCKS = T.StructType([
@@ -54,6 +63,14 @@ POSTING_BLOCKS = T.StructType([
     # re-read the packed binary columns (column pruning stays effective)
     T.StructField("n_bytes", T.LongType(), False),
     T.StructField("crc32", T.LongType(), False),
+    # optional index-side term positions (store_positions=True): per posting
+    # the tf token positions, delta+varint packed with an absolute base per
+    # posting (reference parity: bleve term vectors enabled by the highlight
+    # field mapping, bleve_glue.go:42-61, consumed as Locations at
+    # search_pdfs.go:382-484).  CRC'd separately so readers that never touch
+    # positions keep the existing 3-buffer check unchanged.
+    T.StructField("pos_bin", T.BinaryType(), True),
+    T.StructField("pos_crc32", T.LongType(), True),
 ])
 
 TERM_STATS = T.StructType([

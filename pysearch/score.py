@@ -162,42 +162,45 @@ def score_segment_blocks_multi(
     return out_q, out_ids, out_scores
 
 
-def align_phrase(
-    doc_terms: List[str],
-    offsets: List[Tuple[int, int]],
+def align_phrase_positions(
     query_terms: List[str],
+    pos_of_term: Dict[str, Sequence[int]],
 ) -> List[Tuple[int, int, float]]:
-    """Reference bestPhrases semantics (search_pdfs.go:382-484): for every
-    candidate alignment start, the phrase score is the number of query terms
-    found at their expected consecutive positions; only max-score phrases
-    survive.  Returns [(char_start, char_end, score)] spans."""
-    if not query_terms or not doc_terms:
+    """Reference bestPhrases semantics (search_pdfs.go:382-484) computed
+    from per-QUERY-term position sets — the shape the index's term
+    positions (pos_bin) provide, so span construction never needs the full
+    token stream: for every candidate alignment start, the phrase score is
+    the number of query terms found at their expected consecutive
+    positions; only max-score phrases survive.  Returns
+    [(first_token_pos, last_token_pos, score)] in (first, last) order.
+
+    Token position p holds query term qt  iff  p ∈ pos_of_term[qt], which
+    is exactly the ``doc_terms[p] == qt`` test of the token-stream form —
+    the two entry points are behaviorally identical by construction (and
+    pinned so by test)."""
+    if not query_terms or not pos_of_term:
         return []
-    positions: dict = {}
-    for p, t in enumerate(doc_terms):
-        positions.setdefault(t, []).append(p)
+    possets = {t: set(map(int, ps)) for t, ps in pos_of_term.items()}
 
     cand_starts = set()
     for i, qt in enumerate(query_terms):
-        for p in positions.get(qt, ()):  # noqa: B905
+        for p in possets.get(qt, ()):
             cand_starts.add(p - i)
-
     if not cand_starts:
         return []
-    n = len(doc_terms)
     best: List[Tuple[int, int, int]] = []  # (score, first_pos, last_pos)
     for s0 in cand_starts:
         aligned = [
             s0 + i
             for i, qt in enumerate(query_terms)
-            if 0 <= s0 + i < n and doc_terms[s0 + i] == qt
+            if s0 + i in possets.get(qt, ())
         ]
         if aligned:
             best.append((len(aligned), aligned[0], aligned[-1]))
     if not best:
         return []
     max_score = max(b[0] for b in best)
-    spans = []
+    spans: List[Tuple[int, int, float]] = []
     seen = set()
     for score, first, last in sorted(best, key=lambda b: (b[1], b[2])):
         if score != max_score:
@@ -206,8 +209,27 @@ def align_phrase(
         if key in seen:
             continue
         seen.add(key)
-        spans.append((offsets[first][0], offsets[last][1], float(score)))
+        spans.append((first, last, float(score)))
     return spans
+
+
+def align_phrase(
+    doc_terms: List[str],
+    offsets: List[Tuple[int, int]],
+    query_terms: List[str],
+) -> List[Tuple[int, int, float]]:
+    """Token-stream form of bestPhrases (used when the index stores no
+    positions): builds the per-term position sets from the analyzed doc and
+    maps the winning token spans to [(char_start, char_end, score)]."""
+    if not query_terms or not doc_terms:
+        return []
+    positions: dict = {}
+    for p, t in enumerate(doc_terms):
+        positions.setdefault(t, []).append(p)
+    return [
+        (offsets[first][0], offsets[last][1], score)
+        for first, last, score in align_phrase_positions(query_terms, positions)
+    ]
 
 
 def line_lookup(text: str, char_start: int) -> Tuple[int, str]:

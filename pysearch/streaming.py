@@ -120,7 +120,193 @@ def foreach_batch_matcher(watch_terms: List[str], out_dir: str):
     return handle
 
 
-def foreach_batch_indexer(index_dir: str, **build_kwargs):
+def score_arriving_batch(batch_df, queries: dict, k: int = 10,
+                         analyzer: str = "en", mode: str = "any"):
+    """Scored in-memory arrival index — reference use case 2
+    (/root/reference/GOPHERCON.md:56: "Check for terms in a PDF as it
+    arrives. (Short-lived in-memory index.)", served there by the in-memory
+    bleve index, bleve_glue.go:35-38): run a full BM25 ranked search over
+    JUST the arriving micro-batch, no persistent index.
+
+    ``queries``: qid -> query string.  Returns a DataFrame
+    (qid, url, score) with each query's top-k over the batch, RANK-IDENTICAL
+    to building a real index over the same batch and searching it (same
+    analyzer, same P1/P3/P4 dedupe rules, same idf/BM25 arithmetic summed in
+    ascending term order, ties by url ascending == the engine's doc_id
+    ascending since doc_ids are url ranks) — pinned by test.
+
+    The batch is treated as ONE corpus (batch-local N/avgdl/df, the
+    reference's short-lived-index semantics).  Scale shape: one tokenize
+    pass emitting only query-term tfs plus one stats row per doc, two tiny
+    aggregates, then a groupBy(url) scoring pass — nothing corpus-sized
+    ever reaches the driver.
+
+    ``mode="all"`` requires every analyzed query term to occur in the doc
+    (conjunctive), matching ``Searcher.search_ids(mode="all")``."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pysearch import B, K1
+    from pysearch.analyze import get_analyzer
+
+    if mode not in ("any", "all"):
+        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    an, _, _ = get_analyzer(analyzer)
+    analyzed = {qid: an(q) for qid, q in queries.items()}
+    union_terms = sorted({t for ts in analyzed.values() for t in ts})
+
+    spark = batch_df.sparkSession
+    empty = spark.createDataFrame([], schema="qid string, url string, score double")
+    if not union_terms:
+        return empty
+
+    # engine-parity corpus shaping (build_docs_stage semantics): derive the
+    # content hash, drop empty texts (P1), content-dedupe keeping the min
+    # url per hash (P4), then url-dedupe keeping the min content hash (P3)
+    df = batch_df.filter(F.col("text").isNotNull())
+    text_hash = F.sha2(F.encode(F.col("text"), "utf-8"), 256)
+    if "html" in df.columns:
+        content_hash = F.when(
+            F.col("html").isNotNull(), F.sha2(F.col("html"), 256)
+        ).otherwise(text_hash)
+    else:
+        content_hash = text_hash
+    df = (
+        df.withColumn("content_hash", content_hash)
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("url", "content_hash", "text")
+    )
+    w_hash = Window.partitionBy("content_hash").orderBy("url")
+    df = df.withColumn("_r", F.row_number().over(w_hash)).filter("_r = 1")
+    w_url = Window.partitionBy("url").orderBy("content_hash")
+    df = (
+        df.withColumn("_r2", F.row_number().over(w_url)).filter("_r2 = 1")
+        .select("url", "text")
+    )
+
+    qset = set(union_terms)
+
+    def tok(batches):
+        for pdf in batches:
+            urls, dls, terms, tfs = [], [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                toks = an(text)
+                urls.append(url)
+                dls.append(len(toks))
+                terms.append(None)  # per-doc stats row
+                tfs.append(0)
+                counts: dict = {}
+                for t in toks:
+                    if t in qset:
+                        counts[t] = counts.get(t, 0) + 1
+                for t, c in counts.items():
+                    urls.append(url)
+                    dls.append(len(toks))
+                    terms.append(t)
+                    tfs.append(c)
+            yield pd.DataFrame(
+                {"url": urls, "dl": dls, "term": terms, "tf": tfs}
+            )
+
+    toks = df.mapInPandas(
+        tok, schema="url string, dl long, term string, tf long"
+    ).persist()
+    try:
+        stats = toks.filter(F.col("term").isNull()).agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+        ).collect()[0]
+        n_docs, sum_dl = int(stats["n"]), int(stats["s"])
+        if n_docs == 0:
+            return empty
+        avgdl = sum_dl / n_docs
+        dfs = {
+            r["term"]: int(r["n"])
+            for r in toks.filter(F.col("term").isNotNull())
+            .groupBy("term").agg(F.count("*").alias("n")).collect()
+        }
+
+        plans = {}
+        for qid, terms in analyzed.items():
+            live = sorted({t for t in terms if dfs.get(t, 0) > 0})
+            if not live or (mode == "all" and len(live) < len(set(terms))):
+                continue
+            qtf = {}
+            for t in terms:
+                qtf[t] = qtf.get(t, 0) + 1
+            idfs = {
+                t: math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                for t in live
+            }
+            plans[qid] = (live, idfs, qtf,
+                          len(live) if mode == "all" else 0)
+        if not plans:
+            return empty
+
+        def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            url = key[0]
+            have = dict(zip(pdf["term"], zip(pdf["tf"], pdf["dl"])))
+            have.pop(None, None)
+            out_q, out_s = [], []
+            for qid, (live, idfs, qtf, require) in plans.items():
+                present = [t for t in live if t in have]
+                if not present or (require and len(present) < require):
+                    continue
+                s = 0.0
+                for t in present:  # live is sorted -> ascending term order
+                    tf, dl = have[t]
+                    tf = np.float64(tf)
+                    denom = tf + K1 * (1.0 - B + B * np.float64(dl) / avgdl)
+                    s += float(idfs[t] * (tf * (K1 + 1.0)) / denom * qtf[t])
+                out_q.append(qid)
+                out_s.append(s)
+            return pd.DataFrame({"qid": out_q, "url": url, "score": out_s})
+
+        scored = (
+            toks.filter(F.col("term").isNotNull())
+            .groupBy("url")
+            .applyInPandas(score_group, schema="qid string, url string, score double")
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("url").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .orderBy("qid", F.col("score").desc(), "url")
+            .localCheckpoint()  # materialize before the persist below ends
+        )
+    finally:
+        toks.unpersist()
+
+
+def foreach_batch_scored_matcher(queries: dict, out_dir: str, k: int = 10,
+                                 analyzer: str = "en", mode: str = "any"):
+    """Streaming sink for the scored arrival index: per micro-batch, run
+    ``score_arriving_batch`` and append the per-query top-k to parquet,
+    idempotent by epoch (overwrite-by-epoch partition)."""
+
+    def handle(batch_df, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        res = score_arriving_batch(batch_df, queries, k=k,
+                                   analyzer=analyzer, mode=mode)
+        (
+            res.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    return handle
+
+
+def foreach_batch_indexer(index_dir: str, compact_every: int = 16,
+                          **build_kwargs):
     """Continuous index maintenance: append each micro-batch to a
     persistent index via ``build_index(append=True)`` — the streaming face
     of incremental append (reference open-existing parity,
@@ -131,14 +317,29 @@ def foreach_batch_indexer(index_dir: str, **build_kwargs):
     append dedupes against the existing docs table by (case_id, url) and
     content hash, so re-processing a batch appends nothing.  The first
     batch against an empty directory is a fresh build.
-    """
+
+    Compaction policy (the r2 scale flaw: commits accumulated unboundedly
+    between MANUAL compactions, degrading query planning linearly in batch
+    count on a long-running stream): once the postings table holds more
+    than ``compact_every`` commit batches, the sink compacts the index
+    in-line before the next batch — the stream is the index's only writer
+    inside foreachBatch, so the offline-maintenance precondition holds by
+    construction.  Query cost is thereby bounded at O(compact_every)
+    commit scans regardless of stream lifetime.  ``compact_every=0``
+    disables the policy (operator-run CLI compaction only)."""
 
     def handle(batch_df, epoch_id: int) -> None:
         from pysearch.build import build_index
+        from pysearch.compact import compact_index
+        from pysearch.lineage import IndexLayout
 
         if batch_df.isEmpty():
             return
-        build_index(batch_df.sparkSession, batch_df, index_dir,
-                    append=True, **build_kwargs)
+        spark = batch_df.sparkSession
+        build_index(spark, batch_df, index_dir, append=True, **build_kwargs)
+        if compact_every:
+            layout = IndexLayout(index_dir)
+            if len(layout.list_commits(layout.postings)) > compact_every:
+                compact_index(spark, index_dir)
 
     return handle

@@ -39,6 +39,24 @@ def verify_index(spark, index_dir: str, check_crcs: bool = True) -> list[str]:
     m = layout.read_manifest()
     if not m:
         return [f"no manifest at {layout.manifest_path}"]
+    # half-finished compaction swap (r2 ADVICE): marker present means some
+    # tables may already hold the consolidated tree while others don't —
+    # report it rather than validating a mixed state
+    from pysearch.compact import SWAP_MARKER
+
+    if os.path.exists(os.path.join(index_dir, SWAP_MARKER)):
+        return [
+            f"compaction swap marker {SWAP_MARKER} present — run "
+            "pysearch.compact.recover_compaction (or compact-index) first"
+        ]
+    for t in (layout.docs, layout.doc_map, layout.postings,
+              layout.term_stats, layout.corpus_stats, layout.lineage):
+        for suffix in (".compact", ".old"):
+            if os.path.isdir(t + suffix):
+                problems.append(
+                    f"leftover compaction dir {os.path.basename(t)}{suffix} "
+                    "(uncommitted staging; recover_compaction clears it)"
+                )
     if m.get("format_version") != INDEX_FORMAT_VERSION:
         problems.append(
             f"format_version {m.get('format_version')} != {INDEX_FORMAT_VERSION}"
@@ -129,6 +147,8 @@ def verify_index(spark, index_dir: str, check_crcs: bool = True) -> list[str]:
         )
 
     if check_crcs:
+        has_pos = "pos_bin" in blocks.columns
+
         def check(batches):
             for pdf in batches:
                 bad = 0
@@ -137,15 +157,47 @@ def verify_index(spark, index_dir: str, check_crcs: bool = True) -> list[str]:
                     got = zlib.crc32(ib) ^ zlib.crc32(tb) ^ zlib.crc32(db)
                     if got != crc:
                         bad += 1
+                if "pos_bin" in pdf.columns:
+                    for pb, pcrc in zip(pdf["pos_bin"], pdf["pos_crc32"]):
+                        if pb is not None and zlib.crc32(pb) != pcrc:
+                            bad += 1
                 yield pd.DataFrame({"bad": [bad]})
 
+        cols = ["doc_ids_bin", "tfs_bin", "dls_bin", "crc32"]
+        if has_pos:
+            cols += ["pos_bin", "pos_crc32"]
         bad = (
-            blocks.select("doc_ids_bin", "tfs_bin", "dls_bin", "crc32")
+            blocks.select(*cols)
             .mapInPandas(check, schema="bad long")
             .agg(F.coalesce(F.sum("bad"), F.lit(0)).alias("bad"))
             .collect()[0]["bad"]
         )
         if bad:
             problems.append(f"{bad} posting blocks failed CRC32 verification")
+
+        # token-offset sidecar CRCs (store_positions builds only)
+        if "offs_crc32" in docs.columns and m.get("positions"):
+            def check_offs(batches):
+                for pdf in batches:
+                    bad = 0
+                    for sb, lb, crc in zip(pdf["tok_starts_bin"],
+                                           pdf["tok_lens_bin"],
+                                           pdf["offs_crc32"]):
+                        if sb is None:
+                            bad += 1  # positions index must carry offsets
+                        elif zlib.crc32(sb) ^ zlib.crc32(lb) != crc:
+                            bad += 1
+                    yield pd.DataFrame({"bad": [bad]})
+
+            bad_o = (
+                docs.select("tok_starts_bin", "tok_lens_bin", "offs_crc32")
+                .mapInPandas(check_offs, schema="bad long")
+                .agg(F.coalesce(F.sum("bad"), F.lit(0)).alias("bad"))
+                .collect()[0]["bad"]
+            )
+            if bad_o:
+                problems.append(
+                    f"{bad_o} docs failed token-offset sidecar verification"
+                )
 
     return problems

@@ -289,6 +289,74 @@ def test_compact_index(spark, tmp_path):
     assert len(h) == 10
 
 
+def test_delta_finalize_matches_full_recompute(spark, tmp_path):
+    """Appends maintain term_stats/corpus_stats via O(delta) stats commits
+    (build_finalize_delta).  The SUM over delta commits must equal a full
+    from-scratch recompute over the union corpus — same df/cf per term,
+    same corpus stats — and the fold bookkeeping must cover every postings
+    batch."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "delta_ix")
+    # same-case append: shared terms land in MULTIPLE stats commits, so the
+    # reader-side sum is actually exercised (cross-case appends alone would
+    # never overlap terms within a case)
+    full = corpus.webtext_df(spark, cases=[(6, "in the realm of", 80, 200)])
+    first = full.filter("url <= 'doc://6/0040'")
+    second = full.filter("url > 'doc://6/0040'")
+    build_index(spark, first, d, segment_size=16)
+    build_index(spark, second, d, append=True)
+
+    lay = IndexLayout(d)
+    # delta behavior really happened: one stats commit per postings batch
+    post_batches = sorted(
+        int(os.path.basename(c).split("-", 1)[1])
+        for c in lay.list_commits(lay.postings)
+    )
+    ts_batches = sorted(
+        int(os.path.basename(c).split("-", 1)[1])
+        for c in lay.list_commits(lay.term_stats)
+    )
+    assert len(post_batches) >= 2
+    assert ts_batches == post_batches
+    m = lay.read_manifest()
+    assert sorted(m["stages"]["finalize"]["folded"]) == post_batches
+
+    def stats_of(ix):
+        la = IndexLayout(ix)
+        ts = (
+            la.read_commits(spark, la.term_stats)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        rows = {r["term"]: (int(r["df"]), int(r["cf"]))
+                for r in ts.collect()}
+        cs = la.read_commits(spark, la.corpus_stats).collect()
+        return rows, {str(r["case_id"]): (int(r["n_docs"]), int(r["sum_dl"]),
+                                          float(r["avgdl"])) for r in cs}
+
+    d2 = str(tmp_path / "full_ix")
+    build_index(spark, full, d2, segment_size=16)
+    assert stats_of(d) == stats_of(d2)
+
+
+def test_append_fails_fast_on_missing_postings_batch(spark, tmp_path):
+    """Lineage referencing a postings batch absent on disk (the r2-ADVICE
+    aliasing hazard) must abort an append with a repair hint, not silently
+    mis-drive orphan GC."""
+    d = str(tmp_path / "inconsistent_ix")
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[0]]), d,
+                segment_size=64)
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[1]]), d,
+                append=True)
+    lay = IndexLayout(d)
+    victim = lay.list_commits(lay.postings)[-1]
+    shutil.rmtree(victim)
+    with pytest.raises(RuntimeError, match="absent on disk"):
+        build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[2]]),
+                    d, append=True)
+
+
 def test_append_crash_recovery(spark, tmp_path):
     """An append that crashed after its docs commit but before postings is
     completed by simply re-running append: the catch-up pass builds the

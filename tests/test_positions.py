@@ -1,0 +1,168 @@
+"""Index-side term positions (store_positions=True): the reference stores
+term vectors in the index (highlight fields at bleve_glue.go:42-61) and
+consumes per-term Locations for span construction (search_pdfs.go:382-484).
+Our analog: pos_bin in posting blocks + a token-offset sidecar on docs.
+
+The contract pinned here: the index-positions span path produces spans
+BYTE-IDENTICAL to the re-analyze path on the fixture corpus, ranks are
+unchanged vs a positions-free index, positions survive append, and the two
+align_phrase entry points are behaviorally equal on randomized streams.
+"""
+
+import random
+import shutil
+
+import numpy as np
+import pytest
+
+from pysearch import corpus
+from pysearch import score as sc
+from pysearch.build import build_index
+from pysearch.query import Searcher
+
+POS_CASES = corpus.CASES[:5]
+QUERIES = [
+    ("1", "be the person who"),
+    ("3", "be the person who"),
+    ("3", "person who"),           # sub-phrase
+    ("4", "with good intentions for"),
+    ("4", "good intentions"),
+    ("5", "but I prefer Python when"),
+    ("2", "python"),               # single term
+    ("3", "person banana who"),    # partial match inside phrase
+]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark):
+    d = "/tmp/pysearch_test_pos_index"
+    shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, corpus.webtext_df(spark, cases=POS_CASES), d,
+                segment_size=64, store_positions=True)
+    return d
+
+
+@pytest.fixture(scope="module")
+def pos_searcher(spark, pos_index):
+    return Searcher(spark, pos_index)
+
+
+def _snap(df):
+    rows = df.collect()
+    return sorted(
+        (
+            r["doc_id"], round(r["score"], 10),
+            tuple((s["start"], s["end"], s["score"]) for s in r["spans"]),
+            tuple(r["line_nums"]), tuple(r["lines"]), r["fragment"],
+        )
+        for r in rows
+    )
+
+
+@pytest.mark.parametrize("case_id,q", QUERIES)
+def test_index_spans_identical_to_reanalyze(pos_searcher, case_id, q):
+    a = _snap(pos_searcher.search(q, k=10, case_id=case_id, spans="index",
+                                  best_filter=False))
+    b = _snap(pos_searcher.search(q, k=10, case_id=case_id,
+                                  spans="reanalyze", best_filter=False))
+    assert a == b and a  # identical AND non-trivial
+
+
+def test_best_filter_identical_across_span_paths(pos_searcher):
+    a = _snap(pos_searcher.search("with good intentions for", k=10,
+                                  case_id="4", spans="index"))
+    b = _snap(pos_searcher.search("with good intentions for", k=10,
+                                  case_id="4", spans="reanalyze"))
+    assert a == b and a
+
+
+def test_ranks_unchanged_by_positions(spark, pos_searcher, tmp_path):
+    d = str(tmp_path / "nopos_ix")
+    build_index(spark, corpus.webtext_df(spark, cases=POS_CASES), d,
+                segment_size=64, store_positions=False)
+    plain = Searcher(spark, d)
+    for case_id, q in QUERIES:
+        a = pos_searcher.search_ids(q, k=10, case_id=case_id)
+        b = plain.search_ids(q, k=10, case_id=case_id)
+        assert a.values.tolist() == b.values.tolist()
+
+
+def test_positions_survive_append(spark, tmp_path):
+    d = str(tmp_path / "pos_append_ix")
+    build_index(spark, corpus.webtext_df(spark, cases=POS_CASES[:2]), d,
+                segment_size=64, store_positions=True)
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[3]]), d,
+                append=True)
+    s = Searcher(spark, d)
+    assert s.positions_stored
+    a = _snap(s.search("with good intentions for", k=10, case_id="4",
+                       spans="index", best_filter=False))
+    b = _snap(s.search("with good intentions for", k=10, case_id="4",
+                       spans="reanalyze", best_filter=False))
+    assert a == b and a
+
+
+def test_verify_index_passes_with_positions(spark, pos_index):
+    from pysearch.verify import verify_index
+
+    assert verify_index(spark, pos_index) == []
+
+
+def test_spans_index_rejected_without_positions(spark, tmp_path):
+    d = str(tmp_path / "nopos2_ix")
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[0]]), d,
+                segment_size=64)
+    s = Searcher(spark, d)
+    with pytest.raises(ValueError, match="store_positions"):
+        s.search("be the person who", case_id="1", spans="index")
+
+
+def test_align_phrase_entry_points_agree_randomized():
+    """Property: align_phrase (token stream) == align_phrase_positions
+    (per-term position sets) + offset mapping, over randomized streams."""
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d", "e"]
+    for _ in range(300):
+        n = rng.randrange(0, 30)
+        doc_terms = [rng.choice(vocab) for _ in range(n)]
+        offsets = []
+        pos = 0
+        for t in doc_terms:
+            offsets.append((pos, pos + len(t)))
+            pos += len(t) + 1
+        qlen = rng.randrange(1, 5)
+        query = [rng.choice(vocab + ["z"]) for _ in range(qlen)]
+
+        via_stream = sc.align_phrase(doc_terms, offsets, query)
+        positions: dict = {}
+        for p, t in enumerate(doc_terms):
+            positions.setdefault(t, []).append(p)
+        via_pos = [
+            (offsets[f][0], offsets[last][1], s)
+            for f, last, s in sc.align_phrase_positions(query, positions)
+        ]
+        assert via_stream == via_pos
+
+
+def test_positions_codec_roundtrip():
+    """pos encode (builder arithmetic) -> unpack_positions_batch inverse."""
+    from pysearch import codec
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n_post = int(rng.integers(1, 40))
+        counts = rng.integers(1, 9, size=n_post).astype(np.int64)
+        pos_lists = [
+            np.sort(rng.choice(np.arange(200), size=int(c), replace=False))
+            for c in counts
+        ]
+        flat = np.concatenate(pos_lists).astype(np.int64)
+        starts = np.zeros(n_post, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        gaps = np.empty_like(flat)
+        gaps[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=gaps[1:])
+        gaps[starts] = flat[starts]
+        buf = codec.varint_encode(gaps.astype(np.uint64))
+        out = codec.unpack_positions_batch(counts, [buf])
+        assert np.array_equal(out, flat)

@@ -122,6 +122,143 @@ def test_foreach_batch_indexer(spark, tmp_path):
     assert sorted(hits["score"]) == sorted(fresh["score"])
 
 
+def test_scored_arrival_matches_engine(spark, tmp_path):
+    """The scored in-memory arrival index (reference use case 2: short-lived
+    in-memory index over arriving docs) is rank- AND score-identical to
+    building a real persistent index over the same batch and searching it —
+    including the P3/P4 dedupe rules and conjunctive mode."""
+    from pyspark.sql import functions as F
+
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+    from pysearch.streaming import score_arriving_batch
+
+    batch = corpus.webtext_df(spark, cases=[(6, "in the realm of", 60, 200)])
+    # duplicate rows exercise the dedupe parity (engine drops them too)
+    batch = batch.unionByName(batch.limit(5))
+    queries = {"q0": "in the realm of", "q1": "realm", "q2": "banana"}
+
+    for mode in ("any", "all"):
+        res = score_arriving_batch(batch, queries, k=10, mode=mode)
+        got = {
+            qid: [(r["url"], r["score"]) for r in rows]
+            for qid, rows in __import__("itertools").groupby(
+                res.collect(), key=lambda r: r["qid"]
+            )
+        }
+        ix = str(tmp_path / f"arrival_ix_{mode}")
+        build_index(spark, batch, ix, segment_size=16)
+        s = Searcher(spark, ix)
+        url_of = {r["doc_id"]: r["url"]
+                  for r in s.docs.select("doc_id", "url").collect()}
+        for qid, q in queries.items():
+            hits = s.search_ids(q, k=10, case_id="6", mode=mode)
+            want = [(url_of[i], float(sc))
+                    for i, sc in zip(hits["doc_id"], hits["score"])]
+            assert got.get(qid, []) == want, (mode, qid)
+
+
+def test_foreach_batch_scored_matcher(spark, tmp_path):
+    """Streaming plumbing for the scored arrival index: per-epoch top-k
+    parquet, each epoch scored against its own batch only."""
+    import glob
+
+    from pysearch.streaming import foreach_batch_scored_matcher
+
+    src = str(tmp_path / "arrival_src")
+    df = corpus.webtext_df(spark, cases=[(6, "in the realm of", 40, 200)])
+    df.filter("url <= 'doc://6/0020'").coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    df.filter("url > 'doc://6/0020'").coalesce(1).write.mode(
+        "append").parquet(src)
+
+    out = str(tmp_path / "arrival_out")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(foreach_batch_scored_matcher(
+            {"q0": "in the realm of"}, out, k=5))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    epochs = sorted(glob.glob(f"{out}/epoch=*"))
+    assert len(epochs) == 2
+    res = spark.read.parquet(out)
+    rows = res.collect()
+    assert {r["qid"] for r in rows} == {"q0"}
+    per_epoch = {}
+    for r in rows:
+        per_epoch.setdefault(r["epoch"], set()).add(r["url"])
+    assert all(len(v) == 5 for v in per_epoch.values())
+    # batches are disjoint url ranges -> so are their per-epoch hits
+    eps = sorted(per_epoch)
+    assert per_epoch[eps[0]].isdisjoint(per_epoch[eps[1]])
+
+
+def test_foreach_batch_indexer_auto_compaction(spark, tmp_path):
+    """A long-running ingest stream stays bounded: with compact_every=2 the
+    sink compacts in-line whenever postings commits exceed the cap, so the
+    commit count never grows with stream lifetime (the r2 scale flaw) — and
+    ranks still match a one-shot batch build of the same corpus."""
+    from pysearch.lineage import IndexLayout
+    from pysearch.query import Searcher
+    from pysearch.streaming import foreach_batch_indexer
+
+    src = str(tmp_path / "ingest_src")
+    df = corpus.webtext_df(spark, cases=[(6, "in the realm of", 80, 200)])
+    bounds = ["doc://6/0020", "doc://6/0040", "doc://6/0060"]
+    splits = [
+        df.filter(f"url <= '{bounds[0]}'"),
+        df.filter(f"url > '{bounds[0]}' and url <= '{bounds[1]}'"),
+        df.filter(f"url > '{bounds[1]}' and url <= '{bounds[2]}'"),
+        df.filter(f"url > '{bounds[2]}'"),
+    ]
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode("overwrite" if i == 0 else "append"
+                                    ).parquet(src)
+
+    ix = str(tmp_path / "ingest_ix")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(foreach_batch_indexer(ix, compact_every=2,
+                                            segment_size=16))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    lay = IndexLayout(ix)
+    assert len(lay.list_commits(lay.postings)) <= 2
+    assert len(lay.list_commits(lay.term_stats)) <= 2
+    from pysearch.verify import verify_index
+
+    assert verify_index(spark, ix, check_crcs=False) == []
+    s = Searcher(spark, ix)
+    hits = s.search_ids("in the realm of", k=80, case_id="6")
+    ix2 = str(tmp_path / "oneshot_ix")
+    from pysearch.build import build_index
+
+    build_index(spark, df, ix2, segment_size=16)
+    fresh = Searcher(spark, ix2).search_ids("in the realm of", k=80,
+                                            case_id="6")
+    assert sorted(hits["score"]) == sorted(fresh["score"])
+
+
 def test_streaming_dedup(spark, tmp_path):
     """Stateful cross-batch dedup: duplicate content arriving in a later
     file is suppressed by the state store."""
