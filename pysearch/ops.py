@@ -192,11 +192,12 @@ SELECT doc_id, round(s, 4) AS score_r FROM sc ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
-def _engine_search(spark, sf_dir, mode: str):
+def _engine_search(spark, sf_dir, mode: str, terms=None):
     """Build-or-reuse the on-disk engine index over `documents` (simple
-    analyzer, content-fingerprint staleness guard) and run the _BM25_TERMS
-    query through the REAL engine in the given match mode, mapping engine
-    doc_ids back to source doc_ids via the catalog url."""
+    analyzer, positions stored, content-fingerprint staleness guard) and run
+    the given query terms (default _BM25_TERMS) through the REAL engine in
+    the given match mode, mapping engine doc_ids back to source doc_ids via
+    the catalog url."""
     import os
 
     from pyspark.sql import functions as F
@@ -238,17 +239,19 @@ def _engine_search(spark, sf_dir, mode: str):
     layout = IndexLayout(index_dir)
     m = layout.read_manifest()
     if m and (m.get("format_version") != INDEX_FORMAT_VERSION
-              or m.get("analyzer") != "simple" or m.get("source_fp") != fp):
+              or m.get("analyzer") != "simple" or m.get("source_fp") != fp
+              or not m.get("positions")):
         import shutil
 
         shutil.rmtree(index_dir, ignore_errors=True)
     build_index(spark, webtext, index_dir, segment_size=128,
-                analyzer="simple", resume=True)
+                analyzer="simple", resume=True, store_positions=True)
     m2 = layout.read_manifest()
     if m2.get("source_fp") != fp:
         layout.write_manifest({**m2, "source_fp": fp})
     s = Searcher(spark, index_dir)
-    hits = s.search_ids(" ".join(_BM25_TERMS), k=10, case_id="0", mode=mode)
+    hits = s.search_ids(" ".join(terms or _BM25_TERMS), k=10, case_id="0",
+                        mode=mode)
     # map engine doc_ids back to the source table's doc_id via the catalog
     # url (robust even when content dedupe dropped duplicate texts)
     hits_df = spark.createDataFrame(
@@ -288,6 +291,51 @@ def t1_engine_conj_top10(spark, sf_dir):
     engine (north-rule: "posting-list intersection"), value-checked against
     a conjunctive DuckDB BM25."""
     return _engine_search(spark, sf_dir, mode="all")
+
+
+_PHRASE_TERMS = ("spark", "join")
+
+# exact-phrase oracle: the full BM25 chain over the phrase's terms,
+# conjunctive (both terms present), restricted to docs whose text contains
+# the terms CONSECUTIVELY — expressible in SQL because the simple analyzer
+# is split-by-single-space and the synthetic texts are single-spaced with
+# no leading/trailing spaces (so ' '||text||' ' LIKE '% spark join %' is an
+# exact token-phrase test)
+_BM25_PHRASE_SQL = f"""
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        x -> x <> '')) AS term FROM dedup),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES {",".join(f"('{t}')" for t in _PHRASE_TERMS)}),
+dfq AS (SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN q ON tf.term = q.term GROUP BY tf.term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN dfq ON tf.term = dfq.term
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id HAVING count(*) = {len(_PHRASE_TERMS)})
+SELECT sc.doc_id, round(sc.s, 4) AS score_r
+FROM sc JOIN dedup ON sc.doc_id = dedup.doc_id
+WHERE contains(' ' || dedup.text || ' ', ' {" ".join(_PHRASE_TERMS)} ')
+ORDER BY sc.s DESC, sc.doc_id LIMIT 10
+"""
+
+
+@op("t1_engine_phrase_top10", _BM25_PHRASE_SQL)
+def t1_engine_phrase_top10(spark, sf_dir):
+    """mode="phrase": exact-phrase top-10 through the REAL engine —
+    posting-list intersection + position adjacency from the index-side term
+    positions (pos_bin), value-checked against an independent DuckDB BM25
+    restricted to docs containing the phrase consecutively."""
+    return _engine_search(spark, sf_dir, mode="phrase", terms=_PHRASE_TERMS)
 
 
 @op("st_arrival_bm25_top10", _BM25_SQL)
@@ -632,32 +680,49 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 def dd_simhash(spark, sf_dir):
     """32-bit SimHash per doc over distinct terms (portable md5 bit source).
 
-    Spark plan: ONE groupBy(doc_id) with 32 generated conditional-sum
-    columns, then a driver-side bit-fold expression — no 32x row explosion
-    and a single shuffle (the oracle SQL keeps the readable explode form;
-    oracles don't need to scale)."""
-    from functools import reduce
-
+    Spark plan: ONE narrow shuffle of (doc_id, hv) rows (repartition by
+    doc_id co-locates each doc), then the whole 32-bit ±1 fold runs
+    vectorized in numpy inside mapInPandas.  Chosen by measurement
+    (tools/simhash_ab.py, same-session A/B/C at sf0.1): this beats both the
+    32-conditional-sum codegen aggregate (r2 version, median 2.02s) and the
+    32x explode+sum form (r1 version, 2.00s) at 1.44s, with identical
+    values.  Scale shape: shuffle volume is one 12-byte row per distinct
+    (doc, term); per-partition state is 32 int64 per doc in the partition,
+    bounded by the shuffle partition count."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
 
     terms = _tokens(spark, sf_dir).distinct()
     th = terms.select("doc_id", F.expr(_HEX_SPARK.format(x="term")).alias("hv"))
-    bit_sums = [
-        F.sum(
-            F.when(F.expr(f"(hv >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s{b}")
-        for b in range(32)
-    ]
-    bits = th.groupBy("doc_id").agg(*bit_sums)
-    simhash = reduce(
-        lambda acc, b: acc + b,
-        [
-            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-            for b in range(32)
-        ],
+
+    def fold(batches):
+        from collections import defaultdict
+
+        acc = defaultdict(lambda: np.zeros(32, dtype=np.int64))
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            hv = pdf["hv"].to_numpy(dtype=np.uint32)
+            bits = ((hv[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+                    ).astype(np.int64) * 2 - 1
+            order = np.argsort(ids, kind="stable")
+            ids_s, bits_s = ids[order], bits[order]
+            uniq, start = np.unique(ids_s, return_index=True)
+            sums = np.add.reduceat(bits_s, start, axis=0)
+            for d, s in zip(uniq, sums):
+                acc[int(d)] += s
+        if acc:
+            docs = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+            mat = np.stack([acc[int(d)] for d in docs])
+            sh = ((mat > 0).astype(np.int64)
+                  * (1 << np.arange(32, dtype=np.int64))).sum(axis=1)
+            yield pd.DataFrame({"doc_id": docs, "simhash": sh})
+
+    return (
+        th.repartition("doc_id")
+        .mapInPandas(fold, schema="doc_id long, simhash long")
+        .orderBy("doc_id")
     )
-    return bits.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

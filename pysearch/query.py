@@ -150,11 +150,22 @@ class Searcher:
         ``mode="all"`` requires every analyzed query term to occur in the
         doc — BM25-scored posting-list intersection (north-rule: "top-k
         query engine using posting-list intersection").  A query term absent
-        from the whole corpus makes the conjunctive result empty."""
+        from the whole corpus makes the conjunctive result empty.
+        ``mode="phrase"`` (requires an index built with
+        ``store_positions=True``) additionally requires the analyzed terms
+        at CONSECUTIVE positions — posting-list intersection plus
+        position-adjacency from the index's pos_bin; phrase hits score
+        bit-identically to their mode="all" scores.  Phrase queries skip
+        WAND pruning: their candidate volume is already the (small)
+        conjunctive intersection of the query terms."""
         from pyspark.sql import functions as F
 
-        if mode not in ("any", "all"):
-            raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+        if mode not in ("any", "all", "phrase"):
+            raise ValueError(f"mode must be any|all|phrase, got {mode!r}")
+        if mode == "phrase" and not self.positions_stored:
+            raise ValueError(
+                "mode='phrase' needs an index built with store_positions=True"
+            )
         if k is None or k < 0:
             k = DEFAULT_MAX_RESULTS
         terms, qtf = self._analyze_query(query)
@@ -163,7 +174,8 @@ class Searcher:
         n_docs, avgdl = self._corpus[case_id]
         dfs = self._term_dfs(case_id, terms)
         live = [t for t in set(terms) if t in dfs]
-        if not live or (mode == "all" and len(live) < len(set(terms))):
+        if not live or (mode in ("all", "phrase")
+                        and len(live) < len(set(terms))):
             return pd.DataFrame(columns=["doc_id", "score"])
         idfs = {t: sc.idf(n_docs, dfs[t]) for t in live}
         require = len(live) if mode == "all" else 0
@@ -174,6 +186,10 @@ class Searcher:
             & F.col("term_bucket").isin(self._bucket_lit(buckets))
             & F.col("term").isin(live)
         )
+
+        if mode == "phrase":
+            return self._score_blocks_phrase(blocks, idfs, terms, qtf,
+                                             avgdl, k)
 
         # pruning pays for itself only when there is real volume to skip;
         # df is already known, so gate on total candidate postings
@@ -330,6 +346,50 @@ class Searcher:
         )
         from pyspark.sql import functions as F
 
+        return (
+            sdf.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .toPandas()
+        )
+
+    def _score_blocks_phrase(self, blocks_df, idfs, qterms, qtf, avgdl,
+                             k) -> pd.DataFrame:
+        """Distributed exact-phrase scoring: per segment, posting-list
+        intersection + position adjacency (score.score_segment_blocks_phrase)
+        then the usual union-of-local-top-ks.  Payloads are CRC-checked
+        (3-buffer xor AND the separate positions CRC)."""
+        from pyspark.sql import functions as F
+
+        out_schema = "doc_id long, score double"
+
+        def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            import zlib
+
+            for ib, tb, db, crc, pb, pcrc in zip(
+                pdf["doc_ids_bin"], pdf["tfs_bin"], pdf["dls_bin"],
+                pdf["crc32"], pdf["pos_bin"], pdf["pos_crc32"]
+            ):
+                got = zlib.crc32(ib) ^ zlib.crc32(tb) ^ zlib.crc32(db)
+                if got != crc or zlib.crc32(pb) != pcrc:
+                    raise IOError(
+                        f"posting block CRC mismatch in segment {key[0]}"
+                    )
+            rows = list(
+                zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"], pdf["tfs_bin"],
+                    pdf["dls_bin"], pdf["pos_bin"])
+            )
+            ids, scores = sc.score_segment_blocks_phrase(
+                rows, idfs, qterms, qtf, avgdl, k
+            )
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        sdf = (
+            blocks_df.select("segment_id", "term", "n", "doc_ids_bin",
+                             "tfs_bin", "dls_bin", "pos_bin", "pos_crc32",
+                             "crc32")
+            .groupBy("segment_id")
+            .applyInPandas(score_one, schema=out_schema)
+        )
         return (
             sdf.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)

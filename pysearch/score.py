@@ -162,6 +162,96 @@ def score_segment_blocks_multi(
     return out_q, out_ids, out_scores
 
 
+def score_segment_blocks_phrase(
+    block_rows: Sequence[tuple],
+    idfs: Dict[str, float],
+    qterms: List[str],
+    qtf: Dict[str, int],
+    avgdl: float,
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact-PHRASE top-k over one segment: posting-list intersection plus
+    position-adjacency from the index's term positions (pos_bin) — the
+    match-phrase capability bleve's term vectors enable in the reference's
+    engine, here as a first-class query mode.
+
+    ``block_rows``: (term, n, doc_ids_bin, tfs_bin, dls_bin, pos_bin).
+    ``qterms``: the analyzed query terms IN ORDER (duplicates kept — the
+    phrase must match them at consecutive positions).  A doc matches iff
+    some position p has qterms[i] at p+i for every i.  Matching docs are
+    scored with the SAME arithmetic as conjunctive BM25 (ascending-term
+    concatenation + reduceat), so a phrase hit's score is bit-identical to
+    its mode="all" score (pinned by test)."""
+    per_term: dict = {}
+    for term, n, ib, tb, db, pb in block_rows:
+        per_term.setdefault(term, []).append((n, ib, tb, db, pb))
+
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    distinct_terms = sorted(idfs)
+    if any(t not in per_term for t in distinct_terms):
+        return empty  # a term absent from this segment -> no phrase hit
+
+    decoded: Dict[str, tuple] = {}
+    for term in distinct_terms:
+        rows_t = per_term[term]
+        ids, tfs, dls = codec.unpack_blocks_batch(
+            [r[0] for r in rows_t], [r[1] for r in rows_t],
+            [r[2] for r in rows_t], [r[3] for r in rows_t],
+        )
+        pos = codec.unpack_positions_batch(tfs, [r[4] for r in rows_t])
+        decoded[term] = (ids, tfs, dls, pos)
+
+    # posting-list intersection: docs containing every distinct term
+    common = decoded[distinct_terms[0]][0]
+    for t in distinct_terms[1:]:
+        common = np.intersect1d(common, decoded[t][0], assume_unique=True)
+    if common.size == 0:
+        return empty
+
+    posmap: Dict[str, tuple] = {}
+    for t in distinct_terms:
+        ids, tfs, _dls, pos = decoded[t]
+        ends = np.cumsum(tfs)
+        starts = ends - tfs
+        posmap[t] = ({int(d): i for i, d in enumerate(ids)}, starts, ends, pos)
+
+    matched: List[int] = []
+    for d in common:
+        d = int(d)
+        idx0, st0, en0, p0 = posmap[qterms[0]]
+        j = idx0[d]
+        cand = p0[st0[j]:en0[j]]
+        for i, t in enumerate(qterms[1:], 1):
+            idxt, st, en, pt = posmap[t]
+            jt = idxt[d]
+            cand = cand[np.isin(cand + i, pt[st[jt]:en[jt]])]
+            if cand.size == 0:
+                break
+        if cand.size:
+            matched.append(d)
+    if not matched:
+        return empty
+    mset = np.asarray(matched, dtype=np.int64)
+
+    ids_all: List[np.ndarray] = []
+    scores_all: List[np.ndarray] = []
+    for term in distinct_terms:  # deterministic sum order (== conjunctive)
+        ids, tfs, dls, _pos = decoded[term]
+        keep = np.isin(ids, mset, assume_unique=True)
+        ids_all.append(ids[keep])
+        scores_all.append(
+            bm25(tfs[keep], dls[keep], idfs[term], avgdl) * qtf.get(term, 1)
+        )
+    ids = np.concatenate(ids_all)
+    scores = np.concatenate(scores_all)
+    order = np.argsort(ids, kind="stable")
+    ids, scores = ids[order], scores[order]
+    uniq, start = np.unique(ids, return_index=True)
+    sums = np.add.reduceat(scores, start)
+    o = np.lexsort((uniq, -sums))[:k]
+    return uniq[o], sums[o]
+
+
 def align_phrase_positions(
     query_terms: List[str],
     pos_of_term: Dict[str, Sequence[int]],

@@ -117,6 +117,63 @@ def test_spans_index_rejected_without_positions(spark, tmp_path):
         s.search("be the person who", case_id="1", spans="index")
 
 
+def test_phrase_mode_matches_brute_force(pos_searcher):
+    """mode="phrase" == brute force: docs whose analyzed token stream
+    contains the analyzed query as a consecutive sublist; each hit's score
+    bit-equals its conjunctive (mode="all") score."""
+    from pysearch.analyze import analyze
+
+    for case_id, q in [("4", "good intentions"), ("3", "person who"),
+                       ("5", "prefer python"), ("1", "be the person who")]:
+        qt = analyze(q)
+        docs = (
+            pos_searcher.docs.filter(f"case_id = '{case_id}'")
+            .select("doc_id", "text").collect()
+        )
+        want = sorted(
+            int(r["doc_id"]) for r in docs
+            if any(
+                analyze(r["text"])[i:i + len(qt)] == qt
+                for i in range(len(analyze(r["text"])) - len(qt) + 1)
+            )
+        )
+        hits = pos_searcher.search_ids(q, k=100000, case_id=case_id,
+                                       mode="phrase")
+        assert sorted(int(d) for d in hits["doc_id"]) == want, (case_id, q)
+        assert want  # non-trivial
+        conj = pos_searcher.search_ids(q, k=100000, case_id=case_id,
+                                       mode="all")
+        cscore = dict(zip(conj["doc_id"], conj["score"]))
+        assert all(cscore[d] == s
+                   for d, s in zip(hits["doc_id"], hits["score"]))
+        # ordering: score desc, doc_id asc
+        key = sorted(zip(hits["score"], hits["doc_id"]),
+                     key=lambda t: (-t[0], t[1]))
+        assert [d for _, d in key] == list(hits["doc_id"])
+
+
+def test_phrase_mode_no_false_positives(pos_searcher):
+    """Terms present but never consecutive -> phrase returns empty while
+    conjunctive does not."""
+    # reversed phrase order: both terms exist in case 4 docs, but
+    # 'intentions good' never occurs consecutively
+    hits = pos_searcher.search_ids("intentions good", k=100, case_id="4",
+                                   mode="phrase")
+    assert len(hits) == 0
+    conj = pos_searcher.search_ids("intentions good", k=100, case_id="4",
+                                   mode="all")
+    assert len(conj) > 0
+
+
+def test_phrase_mode_requires_positions(spark, tmp_path):
+    d = str(tmp_path / "nopos3_ix")
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[0]]), d,
+                segment_size=64)
+    s = Searcher(spark, d)
+    with pytest.raises(ValueError, match="store_positions"):
+        s.search_ids("be the person who", case_id="1", mode="phrase")
+
+
 def test_align_phrase_entry_points_agree_randomized():
     """Property: align_phrase (token stream) == align_phrase_positions
     (per-term position sets) + offset mapping, over randomized streams."""
