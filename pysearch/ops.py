@@ -725,6 +725,94 @@ def dd_simhash(spark, sf_dir):
     )
 
 
+@op("dd_simhash_band_pairs", f"""
+WITH {_TOK_CTE.split("WITH ", 1)[1]},
+terms AS (SELECT DISTINCT doc_id, term FROM tok),
+th AS (SELECT doc_id, (('0x' || substr(md5(term), 1, 15))::BIGINT) AS hv
+       FROM terms),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, range(60) AS b(bit) GROUP BY doc_id, b.bit),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS h
+  FROM bits GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, h, b.band, (h >> (15 * b.band)) & 32767 AS key
+  FROM sh, range(4) AS b(band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.h AS ha, b.h AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand ORDER BY hamming, doc_a, doc_b LIMIT 50
+""")
+def dd_simhash_band_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs via banded LSH — the scale path for
+    simhash dedup (the all-pairs hamming join is quadratic; banding is how
+    production near-dup pipelines bound it): 60-bit portable simhash
+    (15 md5 hex chars, signed-BIGINT-safe in both engines) split into
+    4 x 15-bit bands; docs sharing any band become candidates; candidates
+    are verified with an exact popcount hamming distance and the 50 closest
+    pairs returned (deterministic: both engines enumerate the identical
+    banded candidate set).  Shuffle shape: the band self-join groups by a
+    (band, 15-bit key) — ~131k buckets — so candidate volume is
+    sum-of-squares over buckets, never n^2."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    terms = _tokens(spark, sf_dir).distinct()
+    th = terms.select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint)").alias("hv"),
+    )
+
+    def fold(batches):
+        from collections import defaultdict
+
+        acc = defaultdict(lambda: np.zeros(60, dtype=np.int64))
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            hv = pdf["hv"].to_numpy(dtype=np.uint64)
+            bits = ((hv[:, None] >> np.arange(60, dtype=np.uint64)) & 1
+                    ).astype(np.int64) * 2 - 1
+            order = np.argsort(ids, kind="stable")
+            ids_s, bits_s = ids[order], bits[order]
+            uniq, start = np.unique(ids_s, return_index=True)
+            sums = np.add.reduceat(bits_s, start, axis=0)
+            for d, s in zip(uniq, sums):
+                acc[int(d)] += s
+        if acc:
+            docs = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+            mat = np.stack([acc[int(d)] for d in docs])
+            sh = ((mat > 0).astype(np.int64)
+                  * (1 << np.arange(60, dtype=np.int64))).sum(axis=1)
+            yield pd.DataFrame({"doc_id": docs, "h": sh})
+
+    sh = th.repartition("doc_id").mapInPandas(fold, schema="doc_id long, h long")
+    bands = sh.select(
+        "doc_id", "h", F.explode(F.expr("sequence(0, 3)")).alias("band")
+    ).withColumn("key", F.expr("(h >> (15 * band)) & 32767"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"),
+                     "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"),
+                     "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("ha ^ hb")))
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------

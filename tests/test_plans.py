@@ -67,3 +67,56 @@ def test_term_filter_reaches_scan(searcher):
     plan = _plan(blocks)
     scan = [l for l in plan.splitlines() if "FileScan" in l][0]
     assert "cornucopia" in scan  # DataFilters/PushedFilters carry the term
+
+
+@pytest.fixture(scope="module")
+def pos_plan_searcher(spark, tmp_path_factory):
+    """Small positions index for plan guards on the new read paths."""
+    from pysearch import corpus
+    from pysearch.build import build_index
+
+    d = str(tmp_path_factory.mktemp("plans") / "pos_ix")
+    build_index(spark, corpus.webtext_df(spark, cases=[corpus.CASES[3]]), d,
+                segment_size=16, store_positions=True)
+    return Searcher(spark, d)
+
+
+def test_hit_positions_scan_prunes_partitions(pos_plan_searcher):
+    """The span-construction positions read must partition-prune on
+    term_bucket and push the segment/doc-range filters — it is a metadata-
+    sized read, not an index scan."""
+    from pyspark.sql import functions as F
+
+    s = pos_plan_searcher
+    from pysearch.build import term_bucket
+
+    terms = ["good", "intent"]
+    buckets = sorted({term_bucket(t, s.n_buckets) for t in terms})
+    blocks = s.postings.filter(
+        (F.col("case_id") == "4")
+        & F.col("term_bucket").isin(s._bucket_lit(buckets))
+        & F.col("term").isin(terms)
+        & F.col("segment_id").isin([0, 1])
+        & (F.col("min_doc_id") <= 40) & (F.col("max_doc_id") >= 1)
+        & F.col("pos_bin").isNotNull()
+    )
+    plan = _plan(blocks)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1), plan[:2000]
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "segment_id" in plan  # pushed or filtered post-scan, but present
+
+
+def test_phrase_blocks_select_only_needed_columns(pos_plan_searcher):
+    """The phrase scorer's scan must not read the dls-independent columns
+    it doesn't use (n_bytes, min/max metadata beyond filters)."""
+    from pyspark.sql import functions as F
+
+    s = pos_plan_searcher
+    blocks = s.postings.filter(
+        (F.col("case_id") == "4") & F.col("term").isin(["good", "intent"])
+    ).select("segment_id", "term", "n", "doc_ids_bin", "tfs_bin",
+             "dls_bin", "pos_bin", "pos_crc32", "crc32")
+    plan = _plan(blocks)
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "n_bytes" not in scan, scan
