@@ -60,6 +60,7 @@ OPS_QUERIES = [
     "a2_term_df_top50",
     "dd_minhash_pairs",
     "dd_simhash",
+    "dd_simhash_band_pairs",
     "dd_embed_lsh_verify",
     "ann_cosine_top5",
     "tx_quality",
