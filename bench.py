@@ -95,10 +95,47 @@ def calibrate(seconds: float = 2.0) -> float:
     return n / (_time.time() - t0)
 
 
+def calibrate_mt(threads: int = 16, seconds: float = 2.0) -> float:
+    """Aggregate sha256 ops/s across ``threads`` concurrent threads (hashlib
+    releases the GIL).  This sandbox intermittently penalizes processes with
+    many concurrently-syscalling threads ~3-12x (measured: 32 threads in one
+    process hash SLOWER than 1 thread; back-to-back local[32] benches on the
+    same code at the same single-core cal differed 3.3x).  The single-core
+    sample cannot see that regime, so this probes it directly.  Interpret as
+    a raw regime sample, not a binary flag: the penalty depth itself drifts
+    (observed 41k -> 15k agg ops/s within one 90s bench, vs ~233k
+    single-core), so compare mt/st ratios ACROSS bench lines before
+    attributing cross-round deltas to code."""
+    import hashlib
+    import threading
+    import time as _time
+
+    h = b"x" * 4096
+    counts = [0] * threads
+    stop = _time.time() + seconds
+
+    def worker(i):
+        n = 0
+        while _time.time() < stop:
+            for _ in range(300):
+                hashlib.sha256(h).digest()
+            n += 300
+        counts[i] = n
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(threads)]
+    t0 = _time.time()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return sum(counts) / (_time.time() - t0)
+
+
 def main() -> None:
     from pysearch.session import build_spark
 
     cal_start = calibrate()
+    cal_mt_start = calibrate_mt()
     t_all = time.time()
     # PYSEARCH_TASK_CPUS=2 charges each task for its Python worker too —
     # used by the scaling harness so local[N] really consumes ~N cores;
@@ -229,6 +266,10 @@ def main() -> None:
         # attributing wall-time deltas to code
         "host_cal_start": round(cal_start),
         "host_cal_end": round(calibrate()),
+        # 16-thread aggregate sha256 ops/s — a sample of the host's
+        # many-thread penalty regime at bench time (see calibrate_mt)
+        "host_cal_mt_start": round(cal_mt_start),
+        "host_cal_mt_end": round(calibrate_mt()),
     }
     print(json.dumps(out))
 
