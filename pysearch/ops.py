@@ -727,9 +727,9 @@ def dd_simhash(spark, sf_dir):
 
 @op("dd_simhash_band_pairs", f"""
 WITH {_TOK_CTE.split("WITH ", 1)[1]},
-terms AS (SELECT DISTINCT doc_id, term FROM tok),
-th AS (SELECT doc_id, (('0x' || substr(md5(term), 1, 15))::BIGINT) AS hv
-       FROM terms),
+th AS (SELECT DISTINCT doc_id,
+              (('0x' || substr(md5(term), 1, 15))::BIGINT) AS hv
+       FROM tok),
 bits AS (
   SELECT doc_id, b.bit,
          sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -756,18 +756,23 @@ def dd_simhash_band_pairs(spark, sf_dir):
     4 x 15-bit bands; docs sharing any band become candidates; candidates
     are verified with an exact popcount hamming distance and the 50 closest
     pairs returned (deterministic: both engines enumerate the identical
-    banded candidate set).  Shuffle shape: the band self-join groups by a
-    (band, 15-bit key) — ~131k buckets — so candidate volume is
-    sum-of-squares over buckets, never n^2."""
+    banded candidate set).  Shuffle shape: terms are hashed BEFORE the
+    distinct, so the dedup shuffle carries (long, long) rows — the
+    map-side partial aggregate collapses Zipf-head term repeats before any
+    data moves, and no term string is ever shuffled (distinct-by-hv ==
+    distinct-by-term up to 60-bit within-doc collisions, ~1e-13 for 400-term
+    docs; the oracle mirrors the same semantics so the comparison is exact
+    either way).  The band self-join then groups by a (band, 15-bit key) —
+    ~131k buckets — so candidate volume is sum-of-squares over buckets,
+    never n^2."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
 
-    terms = _tokens(spark, sf_dir).distinct()
-    th = terms.select(
+    th = _tokens(spark, sf_dir).select(
         "doc_id",
         F.expr("cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint)").alias("hv"),
-    )
+    ).distinct()
 
     def fold(batches):
         from collections import defaultdict
