@@ -103,10 +103,15 @@ def recover_compaction(layout: IndexLayout) -> str | None:
         for t in _all_tables(layout):
             if t not in listed:
                 _discard_staging(t)
-        os.remove(marker)
         # the committed lineage/batch renumbering is now fully installed;
         # re-pin the finalize fold bookkeeping to the consolidated batch
+        # BEFORE dropping the marker: a crash between the two leaves the
+        # marker in place, so the next recovery re-runs both idempotent
+        # steps.  (The reverse order left a window where folded still
+        # listed pre-compaction batch numbers that the next append would
+        # reuse, silently skipping their term_stats delta commits.)
         _mark_folded_consolidated(layout)
+        os.remove(marker)
         return "finished"
     leftovers = False
     for t in _all_tables(layout):
@@ -247,8 +252,12 @@ def compact_index(spark, index_dir: str) -> dict:
     _write_marker(layout, [os.path.basename(t) for t in swap_tables])
     for t in swap_tables:
         _finish_swap(t)
-    os.remove(_marker_path(layout))
+    # fold re-pin happens INSIDE the marker window (idempotent): a crash
+    # before the marker removal re-runs it via recover_compaction, so the
+    # manifest can never pair a consolidated postings table with a stale
+    # pre-compaction fold set.
     _mark_folded_consolidated(layout)
+    os.remove(_marker_path(layout))
     out = {os.path.basename(t): n for t, (_s, _p, _sort, n) in plan.items()}
     if n_tstats > 1:
         out["term_stats"] = n_tstats

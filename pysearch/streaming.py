@@ -163,13 +163,39 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
     if not union_terms:
         return empty
 
-    # engine-parity corpus shaping (build_docs_stage semantics): derive the
+    # engine-parity corpus shaping (build_docs_stage semantics): S4 text
+    # extraction for html-only rows FIRST (r3 ADVICE: dropping text-null
+    # rows here silently diverged from the persistent-index path, which
+    # extracts text from html — build.py build_docs_stage), then derive the
     # content hash, drop empty texts (P1), content-dedupe keeping the min
     # url per hash (P4), then url-dedupe keeping the min content hash (P3).
     # The dedupe windows run on a TEXT-FREE projection (docs-stage rule: no
     # shuffle carries document bodies for id/dedupe work); winners join
     # back broadcast/AQE-sized.
-    df = batch_df.filter(F.col("text").isNotNull())
+    df = batch_df
+    if "text" not in df.columns or "html" in df.columns:
+        from pyspark.sql import types as T
+
+        from pysearch.corpus import extract_text_series
+
+        @F.pandas_udf(T.StringType())
+        def extract_udf(htmls: pd.Series) -> pd.Series:
+            return extract_text_series(htmls)
+
+        if "text" not in df.columns:
+            df = df.withColumn("text", extract_udf("html"))
+        else:
+            # extraction UDF only on the rows that need it (same split as
+            # build_docs_stage — a blanket when/otherwise would push every
+            # row through the Python worker)
+            with_text = df.filter(F.col("text").isNotNull())
+            need = df.filter(
+                F.col("text").isNull() & F.col("html").isNotNull()
+            )
+            df = with_text.unionByName(
+                need.withColumn("text", extract_udf("html"))
+            )
+    df = df.filter(F.col("text").isNotNull())
     text_hash = F.sha2(F.encode(F.col("text"), "utf-8"), 256)
     if "html" in df.columns:
         content_hash = F.when(
@@ -346,11 +372,21 @@ def foreach_batch_indexer(index_dir: str, compact_every: int = 16,
     between MANUAL compactions, degrading query planning linearly in batch
     count on a long-running stream): once the postings table holds more
     than ``compact_every`` commit batches, the sink compacts the index
-    in-line before the next batch — the stream is the index's only writer
-    inside foreachBatch, so the offline-maintenance precondition holds by
+    in-line before the next batch — the stream is the index's only WRITER
+    inside foreachBatch, so the single-writer precondition holds by
     construction.  Query cost is thereby bounded at O(compact_every)
-    commit scans regardless of stream lifetime.  ``compact_every=0``
-    disables the policy (operator-run CLI compaction only)."""
+    commit scans regardless of stream lifetime.
+
+    .. warning:: compaction also requires **no concurrent readers**: the
+       swap renames/removes the table trees a live ``Searcher``'s cached
+       DataFrames point at, so queries in flight during the swap can fail
+       with FileNotFound (and a Searcher created before the swap must be
+       refreshed — it detects the manifest change and refuses/refreshes,
+       see ``Searcher.refresh``).  In a serve-while-ingest deployment set
+       ``compact_every=0`` (the operator compacts during a maintenance
+       window via the CLI) or route queries to a replica while the
+       ingesting index compacts.  ``compact_every=0`` disables the
+       policy."""
 
     def handle(batch_df, epoch_id: int) -> None:
         from pysearch.build import build_index

@@ -134,6 +134,41 @@ def test_discard_staging_keeps_live(tmp_path):
     assert not os.path.isdir(t + ".compact") and not os.path.isdir(t + ".old")
 
 
+def test_fold_repin_is_inside_marker_window(tmp_path, monkeypatch):
+    """r3-ADVICE crash window: a crash BETWEEN the table swaps and the
+    marker removal must never leave (marker gone, folded stale).  The fold
+    re-pin therefore runs BEFORE os.remove(marker): simulate the crash by
+    making the marker removal raise — folded must already be [0] with the
+    marker still present, and a second (uncrashed) recovery completes."""
+    import pysearch.compact as C
+
+    lay = _layout_with_marker(tmp_path, ["postings", "lineage"])
+    _mk(lay.postings, "new")
+    _mk(lay.lineage + ".compact", "new")
+    lay.write_manifest({"stages": {"finalize": {"done": True,
+                                                "folded": [0, 1, 2]}}})
+    marker = os.path.join(lay.root, SWAP_MARKER)
+    real_remove = os.remove
+
+    def crash_on_marker(path, *a, **kw):
+        if path == marker:
+            raise OSError("simulated crash before marker removal")
+        return real_remove(path, *a, **kw)
+
+    monkeypatch.setattr(C.os, "remove", crash_on_marker)
+    try:
+        recover_compaction(lay)
+    except OSError:
+        pass
+    # invariant: fold set already consolidated while the marker survives
+    assert lay.read_manifest()["stages"]["finalize"]["folded"] == [0]
+    assert os.path.exists(marker)
+    monkeypatch.setattr(C.os, "remove", real_remove)
+    assert recover_compaction(lay) == "finished"
+    assert not os.path.exists(marker)
+    assert lay.read_manifest()["stages"]["finalize"]["folded"] == [0]
+
+
 def test_recovery_repins_folded_batches(tmp_path):
     """A finished recovery must reset the delta-finalize fold set to the
     consolidated batch 0 — the swapped lineage renumbered every done batch."""

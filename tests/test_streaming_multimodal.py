@@ -158,6 +158,45 @@ def test_scored_arrival_matches_engine(spark, tmp_path):
             assert got.get(qid, []) == want, (mode, qid)
 
 
+def test_scored_arrival_html_only_rows(spark, tmp_path):
+    """r3 ADVICE: micro-batches with html-only rows (text IS NULL) must go
+    through the same S4 text extraction as the persistent-index path — the
+    arrival scorer may not silently drop documents build_docs_stage would
+    index and rank."""
+    from pyspark.sql import functions as F
+
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+    from pysearch.streaming import score_arriving_batch
+
+    batch = corpus.webtext_df(spark, cases=[(6, "in the realm of", 40, 200)])
+    # null out text on half the rows: those docs exist only as html
+    batch = batch.withColumn(
+        "text",
+        F.when(F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8"),
+               F.col("text")),
+    )
+    queries = {"q0": "in the realm of", "q1": "realm"}
+    res = score_arriving_batch(batch, queries, k=15)
+    got = {
+        qid: [(r["url"], r["score"]) for r in rows]
+        for qid, rows in __import__("itertools").groupby(
+            res.collect(), key=lambda r: r["qid"]
+        )
+    }
+    ix = str(tmp_path / "arrival_html_ix")
+    build_index(spark, batch, ix, segment_size=16)
+    s = Searcher(spark, ix)
+    url_of = {r["doc_id"]: r["url"]
+              for r in s.docs.select("doc_id", "url").collect()}
+    for qid, q in queries.items():
+        hits = s.search_ids(q, k=15, case_id="6")
+        want = [(url_of[i], float(sc))
+                for i, sc in zip(hits["doc_id"], hits["score"])]
+        assert len(want) > 10  # proves html-only docs are being ranked
+        assert got.get(qid, []) == want, qid
+
+
 def test_foreach_batch_scored_matcher(spark, tmp_path):
     """Streaming plumbing for the scored arrival index: per-epoch top-k
     parquet, each epoch scored against its own batch only."""
