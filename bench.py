@@ -215,36 +215,58 @@ def main() -> None:
     docs_per_sec = n_docs / dt_build
 
     # ---- engine query latencies (warm) ----------------------------------
+    # every query runs QUERY_REPEATS times and reports the MEDIAN (r3
+    # verdict: one sample per query per round left r2-vs-r3 per-query
+    # deltas host-noise-hostage on a host whose single-process thread
+    # penalty flips between back-to-back runs; the median of 3 in-line
+    # samples is decidable against that regime).  Raw samples ride along
+    # in query_samples so outlier legs stay auditable.
+    import statistics
+
+    repeats = max(1, int(os.environ.get("PYSEARCH_QUERY_REPEATS", "3")))
+    samples: dict = {}
+
+    def timed_median(name: str, fn):
+        ts = []
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        samples[name] = [round(t, 3) for t in ts]
+        med = statistics.median(ts)
+        timings[name] = round(med, 3)
+        return med
+
     searcher = Searcher(spark, index_dir)
     searcher.search_ids("cornucopia", k=10, case_id="7")  # warm caches
     q_times = []
     for i, q in enumerate(ENGINE_QUERIES):
-        t0 = time.time()
-        searcher.search_ids(q, k=10, case_id="7")
-        dt = time.time() - t0
-        q_times.append(dt)
-        timings[f"q_engine_{i}"] = round(dt, 3)
+        q_times.append(timed_median(
+            f"q_engine_{i}",
+            lambda q=q: searcher.search_ids(q, k=10, case_id="7"),
+        ))
     # linear-interpolated p95 (ADVICE r1: the old index clamped to the max)
     import numpy as _np
 
     p95 = float(_np.percentile(q_times, 95))
 
-    # batched query-log scoring: all 8 engine queries in ONE postings scan
+    # batched query-log scoring: all engine queries in ONE postings scan
     # (search_ids_many) — the offline-eval pattern; compare to sum(q_engine_*)
-    t0 = time.time()
-    searcher.search_ids_many(
-        {f"q{i}": q for i, q in enumerate(ENGINE_QUERIES)}, k=10, case_id="7"
+    timed_median(
+        "q_engine_batch8",
+        lambda: searcher.search_ids_many(
+            {f"q{i}": q for i, q in enumerate(ENGINE_QUERIES)}, k=10,
+            case_id="7",
+        ),
     )
-    timings["q_engine_batch8"] = round(time.time() - t0, 3)
 
     # ---- ops queries over the sf tables ---------------------------------
     from pysearch.ops import OPS
 
     for name in OPS_QUERIES:
         fn, _ = OPS[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        timings[f"q_{name}"] = round(time.time() - t0, 3)
+        timed_median(f"q_{name}",
+                     lambda fn=fn: fn(spark, SF_DIR).collect())
 
     total = time.time() - t_all
     spark.stop()
@@ -261,6 +283,9 @@ def main() -> None:
         "index_docs_per_sec": round(docs_per_sec, 2),
         "query_p95_sec": round(p95, 3),
         "n_engine_queries": len(ENGINE_QUERIES),
+        # per-query values above are medians of this many in-line samples
+        "query_repeats": repeats,
+        "query_samples": samples,
         # host-speed guard: single-core sha256 ops/s sampled before the
         # JVM starts and after it stops; compare across runs/rounds before
         # attributing wall-time deltas to code

@@ -192,6 +192,26 @@ SELECT doc_id, round(s, 4) AS score_r FROM sc ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+# (applicationId, sf_dir) -> source content fingerprint; see _engine_search
+_ENGINE_FP_CACHE: dict = {}
+
+
+def _source_fingerprint(docs) -> str:
+    """Content fingerprint of the engine source table: count + an
+    order-insensitive row hash.  One full scan — callers cache the result
+    per (application, sf_dir)."""
+    from pyspark.sql import functions as F
+
+    fp_row = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.crc32(F.encode(F.concat_ws("|", F.col("doc_id").cast("string"),
+                                         "text"), "utf-8"))
+        ).alias("h"),
+    ).collect()[0]
+    return f"{fp_row['n']}:{fp_row['h']}"
+
+
 def _engine_search(spark, sf_dir, mode: str, terms=None):
     """Build-or-reuse the on-disk engine index over `documents` (simple
     analyzer, positions stored, content-fingerprint staleness guard) and run
@@ -226,14 +246,16 @@ def _engine_search(spark, sf_dir, mode: str, terms=None):
     # silently reused a stale index)
     from pysearch.lineage import IndexLayout
 
-    fp_row = docs.agg(
-        F.count("*").alias("n"),
-        F.sum(
-            F.crc32(F.encode(F.concat_ws("|", F.col("doc_id").cast("string"),
-                                         "text"), "utf-8"))
-        ).alias("h"),
-    ).collect()[0]
-    fp = f"{fp_row['n']}:{fp_row['h']}"
+    # the fingerprint scan is itself a full source read — cache it per
+    # (spark application, sf_dir) so the engine-backed ops queries don't
+    # re-scan the source table once per invocation (three redundant scans
+    # per bench/correctness run before r4).  A new SparkSession (new app id)
+    # re-fingerprints, so regenerated test data is still detected.
+    fp_key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _ENGINE_FP_CACHE.get(fp_key)
+    if fp is None:
+        fp = _source_fingerprint(docs)
+        _ENGINE_FP_CACHE[fp_key] = fp
     from pysearch.version import INDEX_FORMAT_VERSION
 
     layout = IndexLayout(index_dir)

@@ -120,3 +120,25 @@ def test_phrase_blocks_select_only_needed_columns(pos_plan_searcher):
     plan = _plan(blocks)
     scan = [l for l in plan.splitlines() if "FileScan" in l][0]
     assert "n_bytes" not in scan, scan
+
+
+def test_engine_source_fingerprint_cached_per_session(spark, monkeypatch):
+    """The engine-backed ops queries share ONE source-fingerprint scan per
+    (application, sf_dir) — before r4 each invocation re-scanned the source
+    table to decide index freshness."""
+    from pysearch import ops
+
+    calls = {"n": 0}
+    real = ops._source_fingerprint
+
+    def counting(docs):
+        calls["n"] += 1
+        return real(docs)
+
+    monkeypatch.setattr(ops, "_source_fingerprint", counting)
+    ops._ENGINE_FP_CACHE.clear()
+    sf = "/root/testdata/sf0.001"
+    a = ops._engine_search(spark, sf, "any").collect()
+    b = ops._engine_search(spark, sf, "all").collect()
+    assert calls["n"] == 1
+    assert len(a) == 10 and len(b) == 10
