@@ -42,16 +42,45 @@ PRUNE_MIN_POSTINGS = 1_000_000  # below this, one-pass scoring beats the
 
 
 class Searcher:
-    def __init__(self, spark, index_dir: str, cache_postings: bool = False):
+    def __init__(self, spark, index_dir: str, cache_postings: bool = False,
+                 on_stale: str = "refresh"):
         """``cache_postings=True`` persists the postings table in executor
         memory for repeated-query workloads (right on a warm serving
         cluster; leave off for one-shot jobs or indexes larger than cluster
-        memory — partition pruning into parquet is lost under a cache)."""
+        memory — partition pruning into parquet is lost under a cache).
+
+        ``on_stale`` controls what a search does when the index changed
+        underneath this Searcher (another writer appended, compacted, or
+        deleted — detected by a cheap manifest-stat check per search):
+        ``"refresh"`` (default) reloads the cached corpus/term stats and
+        table frames; ``"raise"`` refuses with a RuntimeError (serving
+        deployments that pin a snapshot); ``"ignore"`` preserves the old
+        (pre-r4) silently-stale behavior for callers that manage refresh
+        themselves.  Never silently stale by default."""
         self.spark = spark
         self.layout = IndexLayout(index_dir)
+        self.cache_postings = cache_postings
+        if on_stale not in ("refresh", "raise", "ignore"):
+            raise ValueError(
+                f"on_stale must be refresh|raise|ignore, got {on_stale!r}"
+            )
+        self.on_stale = on_stale
+        self._load()
+
+    def _index_sig(self):
+        """Cheap change signature of the index: the manifest file's
+        (mtime_ns, size).  Every mutation — append finalize, compaction,
+        delete — rewrites the manifest via an atomic replace, so its stat
+        changes iff the index changed."""
+        st = os.stat(self.layout.manifest_path)
+        return (st.st_mtime_ns, st.st_size)
+
+    def _load(self):
+        spark, index_dir = self.spark, self.layout.root
         m = self.layout.read_manifest()
         if not m.get("stages", {}).get("finalize", {}).get("done"):
             raise RuntimeError(f"index at {index_dir} is not complete")
+        cache_postings = self.cache_postings
         self.n_buckets = int(m["n_buckets"])
         self.segment_size = int(m.get("segment_size", 4096))
         self.positions_stored = bool(m.get("positions", False))
@@ -59,8 +88,13 @@ class Searcher:
 
         self.analyzer_name = m.get("analyzer", "en")
         self._analyze, self._analyze_offsets, _ = get_analyzer(self.analyzer_name)
-        self._df_cache: Dict[tuple, int] = {}
-        self.prune_min_postings = PRUNE_MIN_POSTINGS  # tests set 0 to force
+        self._df_cache = {}
+        if not hasattr(self, "prune_min_postings"):
+            self.prune_min_postings = PRUNE_MIN_POSTINGS  # tests: 0 forces
+            # diagnostics: when True, _prune_blocks records candidate-vs-
+            # scored block counts (extra metadata jobs; test-only)
+            self.count_scored_blocks = False
+            self.last_block_counts: Optional[dict] = None
         from pyspark.sql import functions as F
 
         def _norm(df):
@@ -100,6 +134,36 @@ class Searcher:
         )
         # partition-column literal type for bucket pruning filters
         self._bucket_is_str = dict(self.postings.dtypes).get("term_bucket") == "string"
+        self._manifest_sig = self._index_sig()
+
+    def stale(self) -> bool:
+        """True when the on-disk index changed since this Searcher loaded
+        (or its manifest vanished mid-rewrite)."""
+        try:
+            return self._index_sig() != self._manifest_sig
+        except FileNotFoundError:
+            return True
+
+    def refresh(self) -> None:
+        """Reload corpus/term stats and table frames from the current index
+        state (after an external append/compaction/delete)."""
+        if self.cache_postings:
+            try:
+                self.postings.unpersist()
+            except Exception:
+                pass
+        self._load()
+
+    def _check_fresh(self) -> None:
+        if self.on_stale == "ignore" or not self.stale():
+            return
+        if self.on_stale == "raise":
+            raise RuntimeError(
+                f"index at {self.layout.root} changed underneath this "
+                "Searcher (append/compaction/delete by another writer); "
+                "call refresh() or construct with on_stale='refresh'"
+            )
+        self.refresh()
 
     def _bucket_lit(self, buckets):
         return [str(b) for b in buckets] if self._bucket_is_str else list(buckets)
@@ -160,6 +224,7 @@ class Searcher:
         conjunctive intersection of the query terms."""
         from pyspark.sql import functions as F
 
+        self._check_fresh()
         if mode not in ("any", "all", "phrase"):
             raise ValueError(f"mode must be any|all|phrase, got {mode!r}")
         if mode == "phrase" and not self.positions_stored:
@@ -214,7 +279,12 @@ class Searcher:
         (qid, doc_id, score) with each query's top-k, bit-identical to
         per-query ``search_ids(prune=False)`` (same decode, weights, sum
         order, tie-breaks — enforced by test).  Queries with no live terms
-        (or, under ``mode="all"``, any corpus-absent term) yield no rows.
+        (or, under ``mode="all"``/``"phrase"``, any corpus-absent term)
+        yield no rows.  ``mode="phrase"`` (index built with
+        ``store_positions=True``) batches exact-phrase queries: postings
+        AND positions are decoded once per segment and shared across the
+        whole query log, bit-identical to per-query
+        ``search_ids(mode="phrase")``.
 
         Scale shape: the scan is filtered to the UNION of live terms
         (partition pruning on their buckets still applies), each posting
@@ -225,8 +295,13 @@ class Searcher:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
-        if mode not in ("any", "all"):
-            raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+        self._check_fresh()
+        if mode not in ("any", "all", "phrase"):
+            raise ValueError(f"mode must be any|all|phrase, got {mode!r}")
+        if mode == "phrase" and not self.positions_stored:
+            raise ValueError(
+                "mode='phrase' needs an index built with store_positions=True"
+            )
         if k is None or k < 0:
             k = DEFAULT_MAX_RESULTS
         empty = pd.DataFrame(columns=["qid", "doc_id", "score"])
@@ -241,14 +316,19 @@ class Searcher:
         plans: Dict[str, tuple] = {}
         for qid, (terms, qtf) in analyzed.items():
             live = [t for t in set(terms) if t in dfs]
-            if not live or (mode == "all" and len(live) < len(set(terms))):
+            if not live or (mode in ("all", "phrase")
+                            and len(live) < len(set(terms))):
                 continue
             idfs = {t: sc.idf(n_docs, dfs[t]) for t in live}
-            plans[qid] = (idfs, dict(qtf), len(live) if mode == "all" else 0)
+            if mode == "phrase":
+                plans[qid] = (idfs, list(terms), dict(qtf))
+            else:
+                plans[qid] = (idfs, dict(qtf),
+                              len(live) if mode == "all" else 0)
         if not plans:
             return empty
 
-        all_terms = sorted({t for idfs, _, _ in plans.values() for t in idfs})
+        all_terms = sorted({t for p in plans.values() for t in p[0]})
         buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
         blocks = self.postings.filter(
             (F.col("case_id") == case_id)
@@ -257,6 +337,7 @@ class Searcher:
         )
 
         out_schema = "qid string, doc_id long, score double"
+        phrase = mode == "phrase"
 
         def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
             import zlib
@@ -268,13 +349,28 @@ class Searcher:
                     raise IOError(
                         f"posting block CRC mismatch in segment {key[0]}"
                     )
-            rows = list(
-                zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"], pdf["tfs_bin"],
-                    pdf["dls_bin"])
-            )
-            qids, ids_l, scores_l = sc.score_segment_blocks_multi(
-                rows, plans, avgdl, k
-            )
+            if phrase:
+                for pb, pcrc in zip(pdf["pos_bin"], pdf["pos_crc32"]):
+                    if zlib.crc32(pb) != pcrc:
+                        raise IOError(
+                            f"position payload CRC mismatch in segment "
+                            f"{key[0]}"
+                        )
+                rows = list(
+                    zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"],
+                        pdf["tfs_bin"], pdf["dls_bin"], pdf["pos_bin"])
+                )
+                qids, ids_l, scores_l = sc.score_segment_blocks_multi_phrase(
+                    rows, plans, avgdl, k
+                )
+            else:
+                rows = list(
+                    zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"],
+                        pdf["tfs_bin"], pdf["dls_bin"])
+                )
+                qids, ids_l, scores_l = sc.score_segment_blocks_multi(
+                    rows, plans, avgdl, k
+                )
             if not qids:
                 return pd.DataFrame(columns=["qid", "doc_id", "score"])
             return pd.DataFrame({
@@ -283,9 +379,12 @@ class Searcher:
                 "score": np.concatenate(scores_l),
             })
 
+        cols = ["segment_id", "term", "n", "doc_ids_bin", "tfs_bin",
+                "dls_bin", "crc32"]
+        if phrase:
+            cols += ["pos_bin", "pos_crc32"]
         sdf = (
-            blocks.select("segment_id", "term", "n", "doc_ids_bin",
-                          "tfs_bin", "dls_bin", "crc32")
+            blocks.select(*cols)
             .groupBy("segment_id")
             .applyInPandas(score_one, schema=out_schema)
         )
@@ -436,10 +535,10 @@ class Searcher:
             .toPandas()
         )
 
-    def _segment_upper_bounds(self, blocks_df, idfs, qtf, avgdl):
-        """Per-segment summed BM25 upper bound, computed in Spark from block
-        *metadata* only (the packed binary columns are never read — column
-        pruning keeps this a metadata scan)."""
+    def _ub_expr(self, idfs, qtf, avgdl, tf_col="max_tf", dl_col="min_dl"):
+        """BM25 upper-bound Column for a (max_tf, min_dl) metadata pair:
+        tf-normalization is increasing in tf and decreasing in dl, so
+        (max_tf, min_dl) bounds every posting the metadata covers."""
         from pyspark.sql import functions as F
 
         from pysearch import B, K1
@@ -448,30 +547,65 @@ class Searcher:
             *[x for t, v in idfs.items()
               for x in (F.lit(t), F.lit(v * qtf.get(t, 1)))]
         )
-        per_term = blocks_df.groupBy("segment_id", "term").agg(
-            F.max("max_tf").alias("mtf"), F.min("min_dl").alias("mdl")
-        )
-        ub = (
+        return (
             widf[F.col("term")]
-            * (F.col("mtf") * (K1 + 1.0))
-            / (F.col("mtf") + K1 * (1.0 - B + B * F.col("mdl") / avgdl))
+            * (F.col(tf_col) * (K1 + 1.0))
+            / (F.col(tf_col) + K1 * (1.0 - B + B * F.col(dl_col) / avgdl))
         )
-        return per_term.withColumn("ub", ub).groupBy("segment_id").agg(
-            F.sum("ub").alias("seg_ub"),
-            F.count("*").alias("n_terms"),  # distinct by construction
+
+    def _per_term_ub(self, blocks_df, idfs, qtf, avgdl):
+        """(segment_id, term, ub) — each query term's max BM25 upper bound
+        within each segment, computed in Spark from block *metadata* only
+        (the packed binary columns are never read — column pruning keeps
+        this a metadata scan)."""
+        from pyspark.sql import functions as F
+
+        per_term = blocks_df.groupBy("segment_id", "term").agg(
+            F.max("max_tf").alias("max_tf"), F.min("min_dl").alias("min_dl")
+        )
+        return per_term.select(
+            "segment_id", "term",
+            self._ub_expr(idfs, qtf, avgdl).alias("ub"),
         )
 
     def _prune_blocks(self, blocks_df, idfs, qtf, avgdl, k, require: int = 0):
-        """Lossless WAND-style segment pruning, fully distributed.
+        """Lossless WAND-style pruning, fully distributed, two granularities.
 
         Phase 1 exactly scores the PRUNE_FIRST_SEGMENTS segments with the
         highest upper bounds to establish θ = running kth score; phase 2
-        keeps only segments whose upper bound exceeds θ (their true scores
-        cannot otherwise reach the top-k).  Only O(PRUNE_FIRST_SEGMENTS + k)
-        rows ever reach the driver."""
+        keeps only segments whose summed per-term upper bound reaches θ
+        (their true scores cannot otherwise reach the top-k), then — the
+        block-max refinement — drops individual BLOCKS inside surviving
+        segments that cannot matter: block b of term t is kept only when
+
+            ub(b) + Σ_{t' ≠ t} seg_max_ub(t')  >=  θ
+
+        Lossless: every doc in b scores at most ub(b) from t and at most
+        seg_max_ub(t') from each other term (all of a doc's postings live in
+        one segment), so when the sum is < θ every doc in b has true score
+        < θ.  Dropping b only SUBTRACTS contributions, so an affected doc's
+        computed score is ≤ its true score < θ = the running kth score — it
+        can neither enter the final top-k nor tie the kth score, and every
+        unaffected doc keeps its exact score.  The same argument covers
+        mode="all": losing an appearance can only drop sub-θ docs from the
+        intersection, never add one.  >= not >, as with segments: a bound
+        EQUAL to θ could produce a doc that ties the kth score and wins the
+        doc_id-ascending tie-break.
+
+        Only O(PRUNE_FIRST_SEGMENTS + k) rows ever reach the driver; the
+        bound aggregates are metadata-only scans and the surviving
+        (segment, term) bound table is broadcast, so pruned blocks' packed
+        payloads are dropped at the scan — they neither shuffle to the
+        scorer nor decode (the remaining 100×-scale lever on the query
+        path: hot segments keep cold blocks, e.g. long-tail docs of a
+        skewed term, out of the decode entirely)."""
         from pyspark.sql import functions as F
 
-        seg_ub = self._segment_upper_bounds(blocks_df, idfs, qtf, avgdl)
+        ptu = self._per_term_ub(blocks_df, idfs, qtf, avgdl)
+        seg_ub = ptu.groupBy("segment_id").agg(
+            F.sum("ub").alias("seg_ub"),
+            F.count("*").alias("n_terms"),  # distinct by construction
+        )
         if require > 0:
             # conjunctive: a segment missing any query term cannot hold a
             # hit (all of a doc's postings live in its segment) — drop it
@@ -497,14 +631,34 @@ class Searcher:
         if len(p1) < k:
             return blocks_df, None  # too few hits to establish θ; score all
         theta = float(p1["score"].iloc[k - 1])
-        # >= not >: a pruned segment whose bound EQUALS θ could hold a doc
-        # that ties the kth score and wins the doc_id-ascending tie-break —
-        # strict > would break the lossless/rank-identity contract.
-        # phase-1 segments are excluded (their scores are already in p1).
-        survivors = seg_ub.filter(
-            (F.col("seg_ub") >= theta) & ~F.col("segment_id").isin(phase1)
-        ).select("segment_id")
-        phase2 = blocks_df.join(F.broadcast(survivors), "segment_id", "left_semi")
+        # surviving segments' per-term bounds + each segment's summed bound;
+        # phase-1 segments are excluded (their scores are already in p1)
+        surv = (
+            seg_ub.filter(
+                (F.col("seg_ub") >= theta)
+                & ~F.col("segment_id").isin(phase1)
+            ).select("segment_id", "seg_ub")
+        )
+        meta = ptu.join(surv, "segment_id")
+        # block-max filter: ub(block) + (seg_ub - own term's seg max) >= θ.
+        # the (segment, term) join also subsumes the old segment semi-join.
+        phase2 = (
+            blocks_df.join(F.broadcast(meta), ["segment_id", "term"])
+            .filter(
+                self._ub_expr(idfs, qtf, avgdl)
+                + F.col("seg_ub") - F.col("ub") >= theta
+            )
+            .drop("ub", "seg_ub")
+        )
+        if self.count_scored_blocks:
+            # test/diagnostic hook: how many blocks survive to decode vs
+            # the unpruned candidate set (two extra metadata-only jobs)
+            self.last_block_counts = {
+                "candidate": blocks_df.count(),
+                "scored": phase2.count()
+                + blocks_df.filter(
+                    F.col("segment_id").isin(phase1)).count(),
+            }
         return phase2, p1
 
     # ------------------------------------------------------------------

@@ -71,37 +71,105 @@ def score_segment_blocks(
     for term, n, ib, tb, db in block_rows:
         per_term.setdefault(term, []).append((n, ib, tb, db))
 
-    ids_all: List[np.ndarray] = []
-    scores_all: List[np.ndarray] = []
-    for term in sorted(per_term):  # deterministic sum order
-        rows_t = per_term[term]
-        ids, tfs, dls = codec.unpack_blocks_batch(
+    decoded: Dict[str, tuple] = {}
+    for term, rows_t in per_term.items():
+        decoded[term] = codec.unpack_blocks_batch(
             [r[0] for r in rows_t], [r[1] for r in rows_t],
             [r[2] for r in rows_t], [r[3] for r in rows_t],
         )
-        s = bm25(tfs, dls, idfs[term], avgdl) * qtf.get(term, 1)
-        ids_all.append(ids)
-        scores_all.append(s)
-
-    if not ids_all:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    ids = np.concatenate(ids_all)
-    scores = np.concatenate(scores_all)
-    # sum per doc_id: sort by doc_id (stable keeps term-order within doc)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    scores = scores[order]
-    uniq, start = np.unique(ids, return_index=True)
-    sums = np.add.reduceat(scores, start)
-    if require_terms > 0:
-        counts = np.diff(np.append(start, ids.size))
-        keep = counts == require_terms
-        uniq, sums = uniq[keep], sums[keep]
     # local top-k by (score desc, doc_id asc); a full lexsort is cheap at
     # segment granularity (uniq.size <= segment_size) and keeps tie-breaks
     # exact even when many docs share the kth score
+    return _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
+                              require=require_terms)
+
+
+def _topk_from_decoded(
+    decoded: Dict[str, tuple],
+    idfs: Dict[str, float],
+    qtf: Dict[str, int],
+    avgdl: float,
+    k: int,
+    restrict: np.ndarray | None = None,
+    require: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shared top-k arithmetic over already-decoded posting arrays: per-term
+    BM25, ascending-term concatenation, per-doc reduceat sum, optional
+    conjunctive ``require`` filter, optional ``restrict`` doc set (phrase
+    hits), (score desc, doc_id asc) lexsort.  Every entry point (single,
+    batched, phrase, batched-phrase) funnels through this function, so their
+    scores are bit-identical by construction."""
+    ids_all: List[np.ndarray] = []
+    scores_all: List[np.ndarray] = []
+    for term in sorted(idfs):  # deterministic sum order
+        if term not in decoded:
+            continue
+        ids, tfs, dls = decoded[term][:3]
+        if restrict is not None:
+            keep = np.isin(ids, restrict, assume_unique=True)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        ids_all.append(ids)
+        scores_all.append(bm25(tfs, dls, idfs[term], avgdl) * qtf.get(term, 1))
+    if not ids_all:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    ids = np.concatenate(ids_all)
+    if ids.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    scores = np.concatenate(scores_all)
+    order = np.argsort(ids, kind="stable")
+    ids, scores = ids[order], scores[order]
+    uniq, start = np.unique(ids, return_index=True)
+    sums = np.add.reduceat(scores, start)
+    if require > 0:
+        counts = np.diff(np.append(start, ids.size))
+        keep = counts == require
+        uniq, sums = uniq[keep], sums[keep]
     o = np.lexsort((uniq, -sums))[:k]
     return uniq[o], sums[o]
+
+
+def _phrase_matched_docs(
+    decoded: Dict[str, tuple],
+    qterms: List[str],
+) -> np.ndarray:
+    """Docs of one segment matching ``qterms`` at consecutive positions.
+
+    ``decoded``: term -> (ids, tfs, dls, positions) with positions flat per
+    posting (length tf runs).  Posting-list intersection over the distinct
+    terms, then position adjacency: doc matches iff some p has qterms[i] at
+    p+i for all i.  Returns a sorted int64 doc array (possibly empty)."""
+    distinct_terms = sorted(set(qterms))
+    empty = np.empty(0, dtype=np.int64)
+    if any(t not in decoded for t in distinct_terms):
+        return empty  # a term absent from this segment -> no phrase hit
+    common = decoded[distinct_terms[0]][0]
+    for t in distinct_terms[1:]:
+        common = np.intersect1d(common, decoded[t][0], assume_unique=True)
+    if common.size == 0:
+        return empty
+
+    posmap: Dict[str, tuple] = {}
+    for t in distinct_terms:
+        ids, tfs, _dls, pos = decoded[t]
+        ends = np.cumsum(tfs)
+        starts = ends - tfs
+        posmap[t] = ({int(d): i for i, d in enumerate(ids)}, starts, ends, pos)
+
+    matched: List[int] = []
+    for d in common:
+        d = int(d)
+        idx0, st0, en0, p0 = posmap[qterms[0]]
+        j = idx0[d]
+        cand = p0[st0[j]:en0[j]]
+        for i, t in enumerate(qterms[1:], 1):
+            idxt, st, en, pt = posmap[t]
+            jt = idxt[d]
+            cand = cand[np.isin(cand + i, pt[st[jt]:en[jt]])]
+            if cand.size == 0:
+                break
+        if cand.size:
+            matched.append(d)
+    return np.asarray(matched, dtype=np.int64)
 
 
 def score_segment_blocks_multi(
@@ -135,30 +203,59 @@ def score_segment_blocks_multi(
     out_ids: List[np.ndarray] = []
     out_scores: List[np.ndarray] = []
     for qid, (idfs, qtf, require) in plans.items():
-        ids_all, scores_all = [], []
-        for term in sorted(idfs):  # deterministic sum order
-            if term not in decoded:
-                continue
-            ids, tfs, dls = decoded[term]
-            ids_all.append(ids)
-            scores_all.append(bm25(tfs, dls, idfs[term], avgdl)
-                              * qtf.get(term, 1))
-        if not ids_all:
+        ids, sums = _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
+                                       require=require)
+        if ids.size == 0:
             continue
-        ids = np.concatenate(ids_all)
-        scores = np.concatenate(scores_all)
-        order = np.argsort(ids, kind="stable")
-        ids, scores = ids[order], scores[order]
-        uniq, start = np.unique(ids, return_index=True)
-        sums = np.add.reduceat(scores, start)
-        if require > 0:
-            counts = np.diff(np.append(start, ids.size))
-            keep = counts == require
-            uniq, sums = uniq[keep], sums[keep]
-        o = np.lexsort((uniq, -sums))[:k]
         out_q.append(qid)
-        out_ids.append(uniq[o])
-        out_scores.append(sums[o])
+        out_ids.append(ids)
+        out_scores.append(sums)
+    return out_q, out_ids, out_scores
+
+
+def score_segment_blocks_multi_phrase(
+    block_rows: Sequence[tuple],
+    plans: Dict[str, tuple],
+    avgdl: float,
+    k: int,
+) -> Tuple[List[str], List[np.ndarray], List[np.ndarray]]:
+    """Batched EXACT-PHRASE scoring over one segment: decode every term
+    (postings + positions) exactly once, then run each query's posting-list
+    intersection + position adjacency + scoring over the shared arrays.
+
+    ``block_rows``: (term, n, doc_ids_bin, tfs_bin, dls_bin, pos_bin).
+    ``plans``: qid -> (idfs, qterms, qtf) with ``qterms`` the analyzed terms
+    IN ORDER (duplicates kept).  Bit-identical to per-query
+    ``score_segment_blocks_phrase`` by construction: same decode, same
+    ``_phrase_matched_docs`` intersection, same ``_topk_from_decoded``
+    arithmetic (pinned by test)."""
+    per_term: dict = {}
+    for term, n, ib, tb, db, pb in block_rows:
+        per_term.setdefault(term, []).append((n, ib, tb, db, pb))
+
+    decoded: Dict[str, tuple] = {}
+    for term, rows_t in per_term.items():
+        ids, tfs, dls = codec.unpack_blocks_batch(
+            [r[0] for r in rows_t], [r[1] for r in rows_t],
+            [r[2] for r in rows_t], [r[3] for r in rows_t],
+        )
+        pos = codec.unpack_positions_batch(tfs, [r[4] for r in rows_t])
+        decoded[term] = (ids, tfs, dls, pos)
+
+    out_q: List[str] = []
+    out_ids: List[np.ndarray] = []
+    out_scores: List[np.ndarray] = []
+    for qid, (idfs, qterms, qtf) in plans.items():
+        mset = _phrase_matched_docs(decoded, qterms)
+        if mset.size == 0:
+            continue
+        ids, sums = _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
+                                       restrict=mset)
+        if ids.size == 0:
+            continue
+        out_q.append(qid)
+        out_ids.append(ids)
+        out_scores.append(sums)
     return out_q, out_ids, out_scores
 
 
@@ -201,55 +298,12 @@ def score_segment_blocks_phrase(
         pos = codec.unpack_positions_batch(tfs, [r[4] for r in rows_t])
         decoded[term] = (ids, tfs, dls, pos)
 
-    # posting-list intersection: docs containing every distinct term
-    common = decoded[distinct_terms[0]][0]
-    for t in distinct_terms[1:]:
-        common = np.intersect1d(common, decoded[t][0], assume_unique=True)
-    if common.size == 0:
+    mset = _phrase_matched_docs(decoded, qterms)
+    if mset.size == 0:
         return empty
-
-    posmap: Dict[str, tuple] = {}
-    for t in distinct_terms:
-        ids, tfs, _dls, pos = decoded[t]
-        ends = np.cumsum(tfs)
-        starts = ends - tfs
-        posmap[t] = ({int(d): i for i, d in enumerate(ids)}, starts, ends, pos)
-
-    matched: List[int] = []
-    for d in common:
-        d = int(d)
-        idx0, st0, en0, p0 = posmap[qterms[0]]
-        j = idx0[d]
-        cand = p0[st0[j]:en0[j]]
-        for i, t in enumerate(qterms[1:], 1):
-            idxt, st, en, pt = posmap[t]
-            jt = idxt[d]
-            cand = cand[np.isin(cand + i, pt[st[jt]:en[jt]])]
-            if cand.size == 0:
-                break
-        if cand.size:
-            matched.append(d)
-    if not matched:
-        return empty
-    mset = np.asarray(matched, dtype=np.int64)
-
-    ids_all: List[np.ndarray] = []
-    scores_all: List[np.ndarray] = []
-    for term in distinct_terms:  # deterministic sum order (== conjunctive)
-        ids, tfs, dls, _pos = decoded[term]
-        keep = np.isin(ids, mset, assume_unique=True)
-        ids_all.append(ids[keep])
-        scores_all.append(
-            bm25(tfs[keep], dls[keep], idfs[term], avgdl) * qtf.get(term, 1)
-        )
-    ids = np.concatenate(ids_all)
-    scores = np.concatenate(scores_all)
-    order = np.argsort(ids, kind="stable")
-    ids, scores = ids[order], scores[order]
-    uniq, start = np.unique(ids, return_index=True)
-    sums = np.add.reduceat(scores, start)
-    o = np.lexsort((uniq, -sums))[:k]
-    return uniq[o], sums[o]
+    # scoring restricted to phrase hits, same arithmetic as conjunctive —
+    # a phrase hit's score is bit-identical to its mode="all" score
+    return _topk_from_decoded(decoded, idfs, qtf, avgdl, k, restrict=mset)
 
 
 def align_phrase_positions(

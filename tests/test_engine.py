@@ -552,3 +552,88 @@ def test_exact_duplicate_docs_deduped(spark):
     n_docs, _ = s._corpus["1"]
     assert n_docs == 6
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_block_max_pruning_skips_cold_blocks(spark, tmp_path):
+    """Block-max WAND: inside segments that survive θ, blocks whose BM25
+    upper bound cannot reach θ are dropped BEFORE decode — and the results
+    stay bit-identical to the unpruned path.
+
+    Skewed corpus: 16 segments x 4 posting blocks of the query term; only
+    the 2 lowest-doc-id docs per segment carry tf=20 (they land in block 0,
+    postings being doc-sorted), the rest tf=1.  Phase 2 must keep block 0
+    of each surviving segment and prune the three tf=1 blocks."""
+    import pandas as pd
+
+    n, seg = 8192, 512
+    rows = []
+    for i in range(n):
+        local = i % seg
+        body = ("hotword " * 20) if local < 2 else "hotword"
+        # unique token per doc prevents P4 content dedupe from collapsing
+        # identical texts; filler stabilizes dl
+        rows.append((f"doc{i:06d}", f"{body} u{i:06d} " + "pad " * 10))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text"])
+    )
+    ix = str(tmp_path / "skew_ix")
+    build_index(spark, df, ix, segment_size=seg, analyzer="simple")
+
+    s = Searcher(spark, ix)
+    s.prune_min_postings = 0
+    s.count_scored_blocks = True
+    pruned = s.search_ids("hotword", k=10, case_id="0")
+    counts = s.last_block_counts
+    unpruned = s.search_ids("hotword", k=10, case_id="0", prune=False)
+    # bit-identical results
+    assert list(pruned["doc_id"]) == list(unpruned["doc_id"])
+    assert list(pruned["score"]) == list(unpruned["score"])
+    # decode-volume evidence: 64 candidate blocks; 8 phase-1 segments score
+    # all 4 of their blocks, the other 8 segments keep only the hot block
+    assert counts is not None, "pruning phase did not run"
+    assert counts["candidate"] == 64, counts
+    assert counts["scored"] <= 44, counts  # 32 phase-1 + 8 hot + slack
+    assert counts["scored"] < counts["candidate"]
+
+
+def test_searcher_staleness_guard(spark, tmp_path):
+    """A Searcher whose index is appended/compacted by ANOTHER writer is
+    never silently stale: default on_stale="refresh" returns post-append
+    results; on_stale="raise" refuses until refresh()."""
+    d = str(tmp_path / "stale_ix")
+    df = corpus.webtext_df(spark, cases=[(6, "in the realm of", 30, 200)])
+    build_index(spark, df, d, segment_size=16)
+
+    s_refresh = Searcher(spark, d)                      # default: refresh
+    s_raise = Searcher(spark, d, on_stale="raise")
+    before = s_refresh.search_ids("realm", k=100, case_id="6")
+    assert not s_refresh.stale() and not s_raise.stale()
+
+    # second writer appends 30 more docs under different urls
+    from pyspark.sql import functions as F
+
+    # doc_len 300 (not 200) makes the appended texts content-distinct, so
+    # append's content dedupe doesn't drop them as duplicates
+    more = corpus.webtext_df(spark, cases=[(6, "in the realm of", 30, 300)])
+    more = more.withColumn("url", F.concat(F.lit("x"), "url"))
+    build_index(spark, more, d, append=True, segment_size=16)
+
+    assert s_refresh.stale() and s_raise.stale()
+    with pytest.raises(RuntimeError, match="changed underneath"):
+        s_raise.search_ids("realm", k=100, case_id="6")
+    after = s_refresh.search_ids("realm", k=100, case_id="6")
+    assert len(after) == 2 * len(before)  # sees the appended docs
+    assert not s_refresh.stale()
+    # the refusing Searcher recovers via explicit refresh()
+    s_raise.refresh()
+    again = s_raise.search_ids("realm", k=100, case_id="6")
+    assert list(again["doc_id"]) == list(after["doc_id"])
+    assert list(again["score"]) == list(after["score"])
+
+    # compaction is also detected (manifest rewrite)
+    from pysearch.compact import compact_index
+
+    compact_index(spark, d)
+    assert s_refresh.stale()
+    post = s_refresh.search_ids("realm", k=100, case_id="6")
+    assert list(post["score"]) == list(after["score"])

@@ -223,3 +223,39 @@ def test_positions_codec_roundtrip():
         buf = codec.varint_encode(gaps.astype(np.uint64))
         out = codec.unpack_positions_batch(counts, [buf])
         assert np.array_equal(out, flat)
+
+
+def test_search_many_phrase_matches_single(pos_searcher):
+    """Batched exact-phrase query-log scoring (search_ids_many
+    mode="phrase") == per-query search_ids(mode="phrase"), bit-equal;
+    queries with a corpus-absent term or no phrase hits yield no rows."""
+    s = pos_searcher
+    qs = {
+        "q1": "be the person who",
+        "q2": "in the realm of",
+        "q3": "person who",
+        "q4": "zzzmissingterm person",
+        "q5": "person be",  # terms present, phrase (likely) absent
+    }
+    for case_id in ("1", "6"):
+        batch = s.search_ids_many(qs, k=10, case_id=case_id, mode="phrase")
+        for qid, q in qs.items():
+            single = s.search_ids(q, k=10, case_id=case_id, mode="phrase")
+            sub = batch[batch["qid"] == qid]
+            assert list(sub["doc_id"]) == list(single["doc_id"]), (qid, case_id)
+            assert list(sub["score"]) == list(single["score"]), (qid, case_id)
+
+
+def test_search_many_phrase_requires_positions(spark, tmp_path):
+    import pytest as _pytest
+
+    from pysearch import corpus
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+
+    d = str(tmp_path / "nopos_many")
+    df = corpus.webtext_df(spark, cases=[(1, "be the person who", 30, 120)])
+    build_index(spark, df, d, segment_size=64, store_positions=False)
+    s = Searcher(spark, d)
+    with _pytest.raises(ValueError, match="store_positions"):
+        s.search_ids_many({"q": "be the person"}, case_id="1", mode="phrase")
