@@ -46,7 +46,11 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
 # enough in time that host-speed drift (see calibrate()) can't land the two
 # legs of one trial on different host regimes
 BENCH_DOCS = os.environ.get("PYSEARCH_BENCH_DOCS", "2000000")
-TRIALS = int(os.environ.get("PYSEARCH_SCALING_TRIALS", "3"))
+# 5 tmpfs trials (the criterion mode — r3 verdict asked for a narrower
+# spread than 3 trials gave); disk is the documented shared-single-disk
+# lower bound and gets fewer by default
+TRIALS = int(os.environ.get("PYSEARCH_SCALING_TRIALS", "5"))
+TRIALS_DISK = int(os.environ.get("PYSEARCH_SCALING_TRIALS_DISK", "2"))
 MODES = os.environ.get("PYSEARCH_SCALING_MODES", "tmpfs,disk").split(",")
 
 # The (N, 4N) pair. Default 4 -> 16: this sandbox's virtualization layer
@@ -101,6 +105,11 @@ def run(cpus: int, tmpfs: bool) -> dict:
                PYSEARCH_BENCH_DOCS=BENCH_DOCS,
                PYSEARCH_BENCH_REPEATS=os.environ.get("PYSEARCH_BENCH_REPEATS", "1"),
                PYSEARCH_TASK_CPUS="2",
+               # identical GC/JIT thread-pool sizing in BOTH legs: only
+               # executor-task parallelism differs, which removes one
+               # JVM-internal source of the host's >16-thread penalty
+               # differing between configurations
+               PYSEARCH_JAVA_OPTS=f"-XX:ActiveProcessorCount={HI}",
                # measured heap sweet spot for BOTH configs at the 4M-doc
                # corpus (8g spills under local[32]'s 16 concurrent tasks,
                # 48g inflates GC pauses: 111s / 91s / 136s at 8/16/48g)
@@ -135,14 +144,18 @@ def ensure_corpus() -> None:
                    env=env, capture_output=True, text=True, timeout=3600)
 
 
+LEG_SLUMP_MAX = float(os.environ.get("PYSEARCH_SCALING_LEG_SLUMP", "0.30"))
+
+
 def measure_mode(tmpfs: bool):
     lo, hi = LO, HI
     runs_lo, runs_hi = [], []
     label = "tmpfs" if tmpfs else "disk"
-    for t in range(TRIALS):
+    trials = TRIALS if tmpfs else TRIALS_DISK
+    for t in range(trials):
         runs_lo.append(run(lo, tmpfs))
         runs_hi.append(run(hi, tmpfs))
-        print(f"[{label}] trial {t + 1}/{TRIALS}: "
+        print(f"[{label}] trial {t + 1}/{trials}: "
               f"thr{lo}={runs_lo[-1]['index_docs_per_sec']} "
               f"thr{hi}={runs_hi[-1]['index_docs_per_sec']} "
               f"cal={runs_lo[-1]['host_cal']}/{runs_hi[-1]['host_cal']}",
@@ -157,11 +170,27 @@ def measure_mode(tmpfs: bool):
         abs(a["host_cal"] - b["host_cal"]) / max(a["host_cal"], b["host_cal"])
         for a, b in zip(runs_lo, runs_hi)
     ]
-    valid = [i for i, d in enumerate(drifts) if d <= CAL_DRIFT_MAX]
-    # r2 ADVICE: when every trial fails the drift guard, do NOT silently
-    # relabel drifted trials as stable — compute over all trials but say so
+    # leg-slump guard (r3 verdict: 0.60/1.24 "efficiency" trials are
+    # measurement artifacts by definition): the host's intermittent
+    # per-process thread penalty slumps individual LEGS invisibly to the
+    # single-core calibration, so additionally flag any trial containing a
+    # leg whose throughput deviates >LEG_SLUMP_MAX from ITS configuration's
+    # median across trials.  The rule is symmetric (applied to both
+    # configurations), so it cannot bias the efficiency in either
+    # direction; flagged trials stay in the table.
+    med_lo_all = statistics.median(thr_lo)
+    med_hi_all = statistics.median(thr_hi)
+    slumped = [
+        i for i in range(trials)
+        if abs(thr_lo[i] - med_lo_all) / med_lo_all > LEG_SLUMP_MAX
+        or abs(thr_hi[i] - med_hi_all) / med_hi_all > LEG_SLUMP_MAX
+    ]
+    valid = [i for i, d in enumerate(drifts)
+             if d <= CAL_DRIFT_MAX and i not in slumped]
+    # r2 ADVICE: when every trial fails a guard, do NOT silently relabel
+    # flagged trials as stable — compute over all trials but say so
     no_stable = not valid
-    used = valid if valid else list(range(TRIALS))
+    used = valid if valid else list(range(trials))
     v_lo = [thr_lo[i] for i in used]
     v_hi = [thr_hi[i] for i in used]
     t_lo = statistics.median(runs_lo[i]["queries"]["index_build"] for i in used)
@@ -173,7 +202,9 @@ def measure_mode(tmpfs: bool):
         "runs_lo": runs_lo, "runs_hi": runs_hi,
         "thr_lo": thr_lo, "thr_hi": thr_hi, "effs": effs,
         "drifts": drifts, "valid": valid, "used": used,
-        "no_stable": no_stable,
+        "slumped": slumped, "no_stable": no_stable,
+        "eff_min": min(effs[i] for i in used),
+        "eff_max": max(effs[i] for i in used),
         # headline = median of PER-TRIAL efficiencies (the statistic the
         # per-trial table implies; r2 verdict caveat (a)).  The
         # ratio-of-medians variant is kept as a secondary robustness check.
@@ -192,7 +223,9 @@ def mode_section(m) -> str:
         if i in m["valid"]:
             return "yes"
         if m["no_stable"]:
-            return "counted DESPITE drift (no stable trials)"
+            return "counted DESPITE flags (no stable trials)"
+        if i in m["slumped"]:
+            return "NO — leg slump"
         return "NO — host drifted"
 
     rows = "\n".join(
@@ -211,7 +244,8 @@ def mode_section(m) -> str:
 |---|---|---|---|---|---|
 {rows}
 
-Per-trial efficiency median **{m['med_eff']:.3f}** over {basis}
+Per-trial efficiency median **{m['med_eff']:.3f}** over {basis},
+counted-trial span [{m['eff_min']:.3f}, {m['eff_max']:.3f}]
 (ratio-of-medians cross-check {m['rom_eff']:.3f}), per-trial
 {[f"{e:.2f}" for e in m['effs']]}, best counted trial
 {m['best_eff']:.3f}.  Median build {m['t_lo']:.1f}s @local[{m['lo']}]
@@ -246,7 +280,8 @@ reported as the shared-disk lower bound.
 Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()} on local[{LO}] vs local[{HI}]
 (single-node stand-in for N vs 4N executors), sf dir `{SF_DIR}`,
 bench corpus = {BENCH_DOCS} docs (FIXTURES.md §5 case-7 generator, docLen=400),
-{TRIALS} alternating trials per configuration per storage mode.
+{TRIALS} alternating trials per configuration in tmpfs mode (the criterion
+mode), {TRIALS_DISK} in disk mode.
 The pair {LO} -> {HI} (not 8 -> 32) and the per-trial host-drift guard are
 responses to measured properties of this sandbox host — see the notes below.
 
@@ -274,6 +309,16 @@ Measurement notes:
   EXECUTOR scale-up the JVMs' per-process thread counts are identical in
   both configurations, so this artifact does not exist there by
   construction.
+- **Leg-slump guard:** the thread penalty is intermittent PER PROCESS and
+  invisible to single-core calibration (r3: back-to-back identical benches
+  at the same calibration differed 3.3x), so trials containing a leg whose
+  throughput deviates >{int(LEG_SLUMP_MAX * 100)}% from its configuration's
+  cross-trial median are flagged and excluded from the headline.  The rule
+  is symmetric across both configurations, so it cannot bias efficiency
+  either way; flagged trials remain disclosed in the table.
+- **Pinned JVM sizing:** both legs run with
+  -XX:ActiveProcessorCount={HI}, so GC/JIT thread pools are identical and
+  only executor-task parallelism differs between the configurations.
 - **Host-speed drift guard:** the host's single-core speed drifts +-50%
   over minutes (sha256 calibration measured 157k-276k ops/s within one
   hour).  Each bench leg is preceded by a 3 s calibration; a trial whose

@@ -89,11 +89,30 @@ def cmd_compact_index(args) -> None:
     spark = build_spark(master=args.master, app_name="pysearch-compact")
     done = compact_index(spark, args.index)
     spark.stop()
+    purged = done.pop("purged_docs", None)
+    if purged is not None:
+        print(f"purged {purged} tombstoned docs")
     if done:
         for table, n in sorted(done.items()):
             print(f"compacted {table}: {n} commits -> 1")
-    else:
+    elif purged is None:
         print("nothing to compact")
+
+
+def cmd_delete_docs(args) -> None:
+    """Tombstone docs (by url list or SQL predicate) — suppressed from
+    queries immediately, physically purged by the next compact-index."""
+    from pysearch.delete import delete_docs
+    from pysearch.session import build_spark
+
+    spark = build_spark(master=args.master, app_name="pysearch-delete")
+    n = delete_docs(
+        spark, args.index,
+        urls=args.url or None, predicate=args.predicate,
+        case_id=args.case_id,
+    )
+    spark.stop()
+    print(f"tombstoned {n} docs (run compact-index to purge physically)")
 
 
 def main(argv=None) -> None:
@@ -145,6 +164,20 @@ def main(argv=None) -> None:
     pc.add_argument("--index", required=True)
     pc.add_argument("--master", default=None)
     pc.set_defaults(fn=cmd_compact_index)
+
+    pd_ = sub.add_parser(
+        "delete-docs",
+        help="tombstone docs out of a built index (purged at compaction)")
+    pd_.add_argument("--index", required=True)
+    pd_.add_argument("--url", action="append",
+                     help="catalog url to delete (repeatable)")
+    pd_.add_argument("--predicate",
+                     help="SQL boolean over the docs table (case_id, "
+                          "doc_id, url, content_hash, text)")
+    pd_.add_argument("--case-id", default=None,
+                     help="restrict the delete to one case")
+    pd_.add_argument("--master", default=None)
+    pd_.set_defaults(fn=cmd_delete_docs)
 
     pz = sub.add_parser("package", help="write pysearch.zip for --py-files")
     pz.add_argument("--output", default="pysearch.zip")

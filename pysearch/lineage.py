@@ -39,6 +39,16 @@ class IndexLayout:
         self.term_stats = os.path.join(root, "term_stats")
         self.corpus_stats = os.path.join(root, "corpus_stats")
         self.lineage = os.path.join(root, "lineage")
+        self.tombstones = os.path.join(root, "tombstones")
+
+    def read_tombstones(self, spark):
+        """The pending (case_id, doc_id) delete set — empty DataFrame when
+        no deletes are outstanding (table absent or emptied by compaction)."""
+        from pysearch.schema import TOMBSTONES
+
+        if not self.list_commits(self.tombstones):
+            return spark.createDataFrame([], schema=TOMBSTONES)
+        return self.read_commits(spark, self.tombstones, schema=TOMBSTONES)
 
     # -- manifest ---------------------------------------------------------
     def read_manifest(self) -> dict:

@@ -132,6 +132,17 @@ class Searcher:
             self.layout.read_commits(spark, self.layout.term_stats,
                                      schema=TERM_STATS)
         )
+        # pending tombstoned deletes (delete.delete_docs): per-case sorted
+        # doc_id arrays, shipped to executors with the scoring closures and
+        # applied as a vectorized np.isin drop after block decode.  Size is
+        # O(deletes since last compaction) — compaction purges them
+        # physically and empties the table (delete.py docstring).
+        self._tombstones: Dict[str, np.ndarray] = {}
+        if self.layout.list_commits(self.layout.tombstones):
+            tpdf = self.layout.read_tombstones(spark).toPandas()
+            for cid, grp in tpdf.groupby("case_id"):
+                self._tombstones[str(cid)] = np.unique(
+                    grp["doc_id"].to_numpy(np.int64))
         # partition-column literal type for bucket pruning filters
         self._bucket_is_str = dict(self.postings.dtypes).get("term_bucket") == "string"
         self._manifest_sig = self._index_sig()
@@ -252,18 +263,20 @@ class Searcher:
             & F.col("term").isin(live)
         )
 
+        excl = self._tombstones.get(case_id)
         if mode == "phrase":
             return self._score_blocks_phrase(blocks, idfs, terms, qtf,
-                                             avgdl, k)
+                                             avgdl, k, exclude=excl)
 
         # pruning pays for itself only when there is real volume to skip;
         # df is already known, so gate on total candidate postings
         p1_pdf = None
         if prune and sum(dfs[t] for t in live) > self.prune_min_postings:
             blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl, k,
-                                                require)
+                                                require, exclude=excl)
 
-        pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k, require)
+        pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k, require,
+                                 exclude=excl)
         if p1_pdf is not None:
             pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
         pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
@@ -338,6 +351,7 @@ class Searcher:
 
         out_schema = "qid string, doc_id long, score double"
         phrase = mode == "phrase"
+        excl = self._tombstones.get(case_id)
 
         def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
             import zlib
@@ -361,7 +375,7 @@ class Searcher:
                         pdf["tfs_bin"], pdf["dls_bin"], pdf["pos_bin"])
                 )
                 qids, ids_l, scores_l = sc.score_segment_blocks_multi_phrase(
-                    rows, plans, avgdl, k
+                    rows, plans, avgdl, k, exclude=excl
                 )
             else:
                 rows = list(
@@ -369,7 +383,7 @@ class Searcher:
                         pdf["tfs_bin"], pdf["dls_bin"])
                 )
                 qids, ids_l, scores_l = sc.score_segment_blocks_multi(
-                    rows, plans, avgdl, k
+                    rows, plans, avgdl, k, exclude=excl
                 )
             if not qids:
                 return pd.DataFrame(columns=["qid", "doc_id", "score"])
@@ -404,7 +418,8 @@ class Searcher:
         )
 
     def _score_blocks(self, blocks_df, idfs, qtf, avgdl, k,
-                      require: int = 0) -> pd.DataFrame:
+                      require: int = 0,
+                      exclude: Optional[np.ndarray] = None) -> pd.DataFrame:
         """Distributed segment-local scoring -> union of local top-ks.
 
         Single-term queries take a shuffle-free fast path: with no cross-term
@@ -416,7 +431,8 @@ class Searcher:
         out_schema = "doc_id long, score double"
 
         if len(idfs) == 1:
-            return self._score_blocks_single_term(blocks_df, idfs, qtf, avgdl, k)
+            return self._score_blocks_single_term(blocks_df, idfs, qtf,
+                                                  avgdl, k, exclude=exclude)
 
         def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
             import zlib
@@ -434,7 +450,8 @@ class Searcher:
                     pdf["dls_bin"])
             )
             ids, scores = sc.score_segment_blocks(rows, idfs, qtf, avgdl, k,
-                                                  require_terms=require)
+                                                  require_terms=require,
+                                                  exclude=exclude)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
         sdf = (
@@ -452,7 +469,9 @@ class Searcher:
         )
 
     def _score_blocks_phrase(self, blocks_df, idfs, qterms, qtf, avgdl,
-                             k) -> pd.DataFrame:
+                             k,
+                             exclude: Optional[np.ndarray] = None
+                             ) -> pd.DataFrame:
         """Distributed exact-phrase scoring: per segment, posting-list
         intersection + position adjacency (score.score_segment_blocks_phrase)
         then the usual union-of-local-top-ks.  Payloads are CRC-checked
@@ -478,7 +497,7 @@ class Searcher:
                     pdf["dls_bin"], pdf["pos_bin"])
             )
             ids, scores = sc.score_segment_blocks_phrase(
-                rows, idfs, qterms, qtf, avgdl, k
+                rows, idfs, qterms, qtf, avgdl, k, exclude=exclude
             )
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
@@ -495,7 +514,9 @@ class Searcher:
             .toPandas()
         )
 
-    def _score_blocks_single_term(self, blocks_df, idfs, qtf, avgdl, k) -> pd.DataFrame:
+    def _score_blocks_single_term(self, blocks_df, idfs, qtf, avgdl, k,
+                                  exclude: Optional[np.ndarray] = None
+                                  ) -> pd.DataFrame:
         from pyspark.sql import functions as F
 
         import zlib
@@ -520,6 +541,9 @@ class Searcher:
                     pdf["n"].to_numpy(), list(pdf["doc_ids_bin"]),
                     list(pdf["tfs_bin"]), list(pdf["dls_bin"]),
                 )
+                if exclude is not None and exclude.size:
+                    keep = np.isin(ids, exclude, invert=True)
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                 if ids.size == 0:
                     continue
                 scores = ssc.bm25(tfs, dls, idf_val, avgdl) * w
@@ -568,7 +592,8 @@ class Searcher:
             self._ub_expr(idfs, qtf, avgdl).alias("ub"),
         )
 
-    def _prune_blocks(self, blocks_df, idfs, qtf, avgdl, k, require: int = 0):
+    def _prune_blocks(self, blocks_df, idfs, qtf, avgdl, k, require: int = 0,
+                      exclude: Optional[np.ndarray] = None):
         """Lossless WAND-style pruning, fully distributed, two granularities.
 
         Phase 1 exactly scores the PRUNE_FIRST_SEGMENTS segments with the
@@ -626,7 +651,7 @@ class Searcher:
         # every conjunctive score, so pruning on it stays lossless
         p1 = self._score_blocks(
             blocks_df.filter(F.col("segment_id").isin(phase1)), idfs, qtf,
-            avgdl, k, require
+            avgdl, k, require, exclude=exclude
         )
         if len(p1) < k:
             return blocks_df, None  # too few hits to establish θ; score all

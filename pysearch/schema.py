@@ -88,6 +88,14 @@ CORPUS_STATS = T.StructType([
     T.StructField("avgdl", T.DoubleType(), False),
 ])
 
+# tombstoned deletes (delete.delete_docs): docs suppressed at query time,
+# physically purged (and this table emptied) by compact.compact_index —
+# Lucene's deleted-docs model re-expressed over commit-batch tables
+TOMBSTONES = T.StructType([
+    T.StructField("case_id", T.StringType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+])
+
 LINEAGE = T.StructType([
     T.StructField("stage", T.StringType(), False),
     T.StructField("partition_key", T.StringType(), False),

@@ -53,6 +53,7 @@ def score_segment_blocks(
     avgdl: float,
     k: int,
     require_terms: int = 0,
+    exclude: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Score one segment's posting blocks; return its local top-k.
 
@@ -66,6 +67,8 @@ def score_segment_blocks(
     survive — the vectorized form of a sorted posting-list intersection
     (each term contributes a doc at most once per segment, so the
     per-doc appearance count IS the distinct-term count).
+
+    ``exclude``: sorted doc_id array (tombstones) to drop before scoring.
     """
     per_term: dict = {}
     for term, n, ib, tb, db in block_rows:
@@ -81,7 +84,7 @@ def score_segment_blocks(
     # segment granularity (uniq.size <= segment_size) and keeps tie-breaks
     # exact even when many docs share the kth score
     return _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
-                              require=require_terms)
+                              require=require_terms, exclude=exclude)
 
 
 def _topk_from_decoded(
@@ -92,13 +95,16 @@ def _topk_from_decoded(
     k: int,
     restrict: np.ndarray | None = None,
     require: int = 0,
+    exclude: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Shared top-k arithmetic over already-decoded posting arrays: per-term
     BM25, ascending-term concatenation, per-doc reduceat sum, optional
     conjunctive ``require`` filter, optional ``restrict`` doc set (phrase
-    hits), (score desc, doc_id asc) lexsort.  Every entry point (single,
-    batched, phrase, batched-phrase) funnels through this function, so their
-    scores are bit-identical by construction."""
+    hits), optional ``exclude`` doc set (tombstoned deletes, dropped from
+    every term before scoring so conjunctive counts stay exact), (score
+    desc, doc_id asc) lexsort.  Every entry point (single, batched, phrase,
+    batched-phrase) funnels through this function, so their scores are
+    bit-identical by construction."""
     ids_all: List[np.ndarray] = []
     scores_all: List[np.ndarray] = []
     for term in sorted(idfs):  # deterministic sum order
@@ -107,6 +113,9 @@ def _topk_from_decoded(
         ids, tfs, dls = decoded[term][:3]
         if restrict is not None:
             keep = np.isin(ids, restrict, assume_unique=True)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        if exclude is not None and exclude.size:
+            keep = np.isin(ids, exclude, assume_unique=True, invert=True)
             ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
         ids_all.append(ids)
         scores_all.append(bm25(tfs, dls, idfs[term], avgdl) * qtf.get(term, 1))
@@ -177,6 +186,7 @@ def score_segment_blocks_multi(
     plans: Dict[str, tuple],
     avgdl: float,
     k: int,
+    exclude: np.ndarray | None = None,
 ) -> Tuple[List[str], List[np.ndarray], List[np.ndarray]]:
     """Score MANY queries over one segment's blocks in a single pass.
 
@@ -204,7 +214,7 @@ def score_segment_blocks_multi(
     out_scores: List[np.ndarray] = []
     for qid, (idfs, qtf, require) in plans.items():
         ids, sums = _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
-                                       require=require)
+                                       require=require, exclude=exclude)
         if ids.size == 0:
             continue
         out_q.append(qid)
@@ -218,6 +228,7 @@ def score_segment_blocks_multi_phrase(
     plans: Dict[str, tuple],
     avgdl: float,
     k: int,
+    exclude: np.ndarray | None = None,
 ) -> Tuple[List[str], List[np.ndarray], List[np.ndarray]]:
     """Batched EXACT-PHRASE scoring over one segment: decode every term
     (postings + positions) exactly once, then run each query's posting-list
@@ -250,7 +261,7 @@ def score_segment_blocks_multi_phrase(
         if mset.size == 0:
             continue
         ids, sums = _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
-                                       restrict=mset)
+                                       restrict=mset, exclude=exclude)
         if ids.size == 0:
             continue
         out_q.append(qid)
@@ -266,6 +277,7 @@ def score_segment_blocks_phrase(
     qtf: Dict[str, int],
     avgdl: float,
     k: int,
+    exclude: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-PHRASE top-k over one segment: posting-list intersection plus
     position-adjacency from the index's term positions (pos_bin) — the
@@ -303,7 +315,8 @@ def score_segment_blocks_phrase(
         return empty
     # scoring restricted to phrase hits, same arithmetic as conjunctive —
     # a phrase hit's score is bit-identical to its mode="all" score
-    return _topk_from_decoded(decoded, idfs, qtf, avgdl, k, restrict=mset)
+    return _topk_from_decoded(decoded, idfs, qtf, avgdl, k, restrict=mset,
+                              exclude=exclude)
 
 
 def align_phrase_positions(

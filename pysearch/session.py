@@ -63,6 +63,12 @@ def build_spark(master: str | None = None, app_name: str = "pysearch",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
         .config("spark.driver.memory", os.environ.get("PYSEARCH_DRIVER_MEM", "8g"))
+        # PYSEARCH_JAVA_OPTS: extra driver-JVM flags (local mode: the one
+        # JVM).  The scaling harness pins -XX:ActiveProcessorCount across
+        # its two legs so GC/JIT thread pools are sized identically and
+        # only executor-task parallelism differs between configurations.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("PYSEARCH_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # partition dirs like case_id=6 must read back as strings, not ints

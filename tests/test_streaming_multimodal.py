@@ -371,5 +371,81 @@ def test_multimodal_features(spark):
 def test_multimodal_real_decode_gated():
     from pysearch.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):  # not a PNG, no PIL fallback
         decode_media(b"abc", "image", fake=False)
+    with pytest.raises(NotImplementedError):  # not RIFF/WAVE
+        decode_media(b"abc", "audio", fake=False)
+    with pytest.raises(NotImplementedError):  # video needs ffmpeg
+        decode_media(b"abc", "video", fake=False)
+
+
+def _png(w: int, h: int, color_type: int = 6) -> bytes:
+    """A fully valid PNG (correct chunk CRCs, zlib IDAT) built from stdlib,
+    so PIL — when present — decodes it to the same (w, h, channels)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + bytes(w * nch) for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _wav(frames: int, rate: int, channels: int) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * channels * frames)
+    return buf.getvalue()
+
+
+def test_multimodal_real_decode_png_wav(spark):
+    """Real (non-fake) decode works on real payloads without any optional
+    library: PNG via the stdlib IHDR path (PIL path when installed), WAV
+    via stdlib wave — end to end through the extract_features dataflow."""
+    from pysearch.multimodal import FEATURE_DIM, decode_media, extract_features
+
+    import pandas as pd
+
+    assert decode_media(_png(33, 21, 6), "image") == (33, 21, 4)
+    assert decode_media(_png(5, 7, 0), "image") == (5, 7, 1)
+    assert decode_media(_png(8, 2, 2), "image") == (8, 2, 3)
+    assert decode_media(_wav(100, 8000, 2), "audio") == (100, 8000, 2)
+
+    pdf = pd.DataFrame({
+        "media_id": [1, 2, 3],
+        "kind": ["image", "image", "audio"],
+        "payload": [_png(33, 21), _png(5, 7, 0), _wav(100, 8000, 2)],
+        "meta": [{}, {}, {}],
+    })
+    df = spark.createDataFrame(
+        pdf,
+        schema="media_id long, kind string, payload binary, "
+               "meta map<string,string>",
+    )
+    rows = {r.media_id: r for r in
+            extract_features(df, fake=False).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (33, 21, 4)
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (5, 7, 1)
+    assert (rows[3].width, rows[3].height, rows[3].channels) == (100, 8000, 2)
+    assert all(len(r.features) == FEATURE_DIM for r in rows.values())
+
+
+def test_multimodal_pil_path_matches_stdlib():
+    """When PIL is installed, the PIL branch must agree with the stdlib
+    IHDR parse on the same payload (auto-skips in PIL-free sandboxes)."""
+    pytest.importorskip("PIL")
+    from pysearch.multimodal import _decode_image, decode_media
+
+    p = _png(12, 9, 6)
+    assert decode_media(p, "image") == (12, 9, 4) == _decode_image(p)
