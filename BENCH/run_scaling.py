@@ -110,6 +110,13 @@ def run(cpus: int, tmpfs: bool) -> dict:
                # JVM-internal source of the host's >16-thread penalty
                # differing between configurations
                PYSEARCH_JAVA_OPTS=f"-XX:ActiveProcessorCount={HI}",
+               # scaling legs measure the N-vs-4N criterion (build
+               # throughput + engine-query p95): one query sample per leg
+               # (medians are the DRIVER bench's concern) and no ops/dd/tx
+               # analytics family, which p95 never included — at 5 tmpfs
+               # trials the full suite would triple the run's wall clock
+               PYSEARCH_QUERY_REPEATS="1",
+               PYSEARCH_BENCH_SKIP_OPS="1",
                # measured heap sweet spot for BOTH configs at the 4M-doc
                # corpus (8g spills under local[32]'s 16 concurrent tasks,
                # 48g inflates GC pauses: 111s / 91s / 136s at 8/16/48g)

@@ -261,12 +261,17 @@ def main() -> None:
     )
 
     # ---- ops queries over the sf tables ---------------------------------
-    from pysearch.ops import OPS
+    # PYSEARCH_BENCH_SKIP_OPS=1 (scaling harness): the ops/dd/tx family is
+    # Spark analytics over the sf tables, not the engine under the N-vs-4N
+    # criterion, and it does not feed query_p95_sec (engine queries only) —
+    # skipping it keeps scaling legs dominated by the measured build
+    if os.environ.get("PYSEARCH_BENCH_SKIP_OPS") != "1":
+        from pysearch.ops import OPS
 
-    for name in OPS_QUERIES:
-        fn, _ = OPS[name]
-        timed_median(f"q_{name}",
-                     lambda fn=fn: fn(spark, SF_DIR).collect())
+        for name in OPS_QUERIES:
+            fn, _ = OPS[name]
+            timed_median(f"q_{name}",
+                         lambda fn=fn: fn(spark, SF_DIR).collect())
 
     total = time.time() - t_all
     spark.stop()
