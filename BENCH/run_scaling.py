@@ -187,7 +187,10 @@ def measure_mode(tmpfs: bool):
     # direction; flagged trials stay in the table.
     med_lo_all = statistics.median(thr_lo)
     med_hi_all = statistics.median(thr_hi)
-    slumped = [
+    # below 3 trials the cross-trial median is the midpoint of the two
+    # values, so both trials deviate from it symmetrically and the guard
+    # degenerates to flagging everything — skip it there
+    slumped = [] if trials < 3 else [
         i for i in range(trials)
         if abs(thr_lo[i] - med_lo_all) / med_lo_all > LEG_SLUMP_MAX
         or abs(thr_hi[i] - med_hi_all) / med_hi_all > LEG_SLUMP_MAX

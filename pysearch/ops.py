@@ -212,18 +212,15 @@ def _source_fingerprint(docs) -> str:
     return f"{fp_row['n']}:{fp_row['h']}"
 
 
-def _engine_search(spark, sf_dir, mode: str, terms=None):
+def _ensure_engine_index(spark, sf_dir):
     """Build-or-reuse the on-disk engine index over `documents` (simple
-    analyzer, positions stored, content-fingerprint staleness guard) and run
-    the given query terms (default _BM25_TERMS) through the REAL engine in
-    the given match mode, mapping engine doc_ids back to source doc_ids via
-    the catalog url."""
+    analyzer, positions stored, content-fingerprint staleness guard);
+    returns (index_dir, fingerprint)."""
     import os
 
     from pyspark.sql import functions as F
 
     from pysearch.build import build_index
-    from pysearch.query import Searcher
     from pysearch.session import _ensure_pythonpath, ship_package
 
     # the driver may own this session: the build's pandas UDFs need the
@@ -271,11 +268,20 @@ def _engine_search(spark, sf_dir, mode: str, terms=None):
     m2 = layout.read_manifest()
     if m2.get("source_fp") != fp:
         layout.write_manifest({**m2, "source_fp": fp})
+    return index_dir, fp
+
+
+def _search_to_source_ids(spark, index_dir, mode: str, terms=None):
+    """Run the query through the engine at ``index_dir`` and map engine
+    doc_ids back to the source table's doc_id via the catalog url (robust
+    even when content dedupe dropped duplicate texts)."""
+    from pyspark.sql import functions as F
+
+    from pysearch.query import Searcher
+
     s = Searcher(spark, index_dir)
     hits = s.search_ids(" ".join(terms or _BM25_TERMS), k=10, case_id="0",
                         mode=mode)
-    # map engine doc_ids back to the source table's doc_id via the catalog
-    # url (robust even when content dedupe dropped duplicate texts)
     hits_df = spark.createDataFrame(
         hits.assign(score_r=hits["score"].round(4))[["doc_id", "score_r"]],
         schema="doc_id long, score_r double",
@@ -287,6 +293,13 @@ def _engine_search(spark, sf_dir, mode: str, terms=None):
             "score_r",
         )
     )
+
+
+def _engine_search(spark, sf_dir, mode: str, terms=None):
+    """The REAL engine end-to-end over `documents`: ensure the shared index,
+    search, map back to source doc_ids."""
+    index_dir, _fp = _ensure_engine_index(spark, sf_dir)
+    return _search_to_source_ids(spark, index_dir, mode, terms)
 
 
 @op("t1_engine_bm25_top10", _BM25_SQL)
@@ -358,6 +371,66 @@ def t1_engine_phrase_top10(spark, sf_dir):
     positions (pos_bin), value-checked against an independent DuckDB BM25
     restricted to docs containing the phrase consecutively."""
     return _engine_search(spark, sf_dir, mode="phrase", terms=_PHRASE_TERMS)
+
+
+# delete oracle: identical BM25 chain, but docs with doc_id % 7 == 0 are
+# REMOVED after the dedup step — mirroring the engine side, where those
+# docs are tombstoned out of a copy of the index (delete_docs) and
+# physically purged (compact_index's exact stats recompute), so n/avgdl/df
+# in the SQL are computed over the survivors exactly as the purge does
+_DEL_MOD = 7
+_BM25_DELETED_SQL = _BM25_SQL.replace(
+    "WHERE rn = 1),",
+    "WHERE rn = 1),\n"
+    f"del AS (SELECT doc_id, text FROM dedup WHERE doc_id % {_DEL_MOD} <> 0),",
+    1,
+).replace("AS term FROM dedup),", "AS term FROM del),")
+
+
+def _ensure_deleted_index(spark, sf_dir):
+    """A copy of the shared engine index with source doc_id % _DEL_MOD == 0
+    docs tombstoned (delete.delete_docs by url predicate) AND physically
+    purged (compact.compact_index) — the whole delete pipeline runs inside
+    the oracle gate.  Cached per source fingerprint like the base index."""
+    import shutil
+
+    from pysearch.compact import compact_index
+    from pysearch.delete import delete_docs
+    from pysearch.lineage import IndexLayout
+
+    base_dir, fp = _ensure_engine_index(spark, sf_dir)
+    del_dir = base_dir + "_del"
+    want = f"{fp}|del%{_DEL_MOD}"
+    layout = IndexLayout(del_dir)
+    if layout.read_manifest().get("source_fp") != want:
+        shutil.rmtree(del_dir, ignore_errors=True)
+        shutil.copytree(base_dir, del_dir)
+        # source doc_id rides in the catalog url (doc://docs/%09d)
+        n = delete_docs(
+            spark, del_dir,
+            predicate=("CAST(substring(url, 12, 9) AS LONG) "
+                       f"% {_DEL_MOD} = 0"),
+        )
+        res = compact_index(spark, del_dir)
+        if n == 0 or res.get("purged_docs") != n:
+            raise RuntimeError(f"delete oracle setup: deleted {n}, "
+                               f"purged {res.get('purged_docs')}")
+        m = layout.read_manifest()
+        layout.write_manifest({**m, "source_fp": want})
+    return del_dir
+
+
+@op("t1_engine_deleted_top10", _BM25_DELETED_SQL)
+def t1_engine_deleted_top10(spark, sf_dir):
+    """Tombstoned delete + compaction purge through the REAL engine: docs
+    with source doc_id % 7 == 0 are deleted from a copy of the shared index
+    and physically purged; top-10 BM25 over the purged index must match an
+    independent DuckDB BM25 whose corpus (and therefore n/avgdl/df) is the
+    surviving docs only — value-checks the purge's exact stats recompute,
+    not just doc suppression.  (No reference analog: doclib has no delete
+    API; this is the Lucene deleted-docs model, SURVEY.md §11.)"""
+    del_dir = _ensure_deleted_index(spark, sf_dir)
+    return _search_to_source_ids(spark, del_dir, mode="any")
 
 
 @op("st_arrival_bm25_top10", _BM25_SQL)
