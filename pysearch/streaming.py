@@ -142,7 +142,16 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
     ever reaches the driver.
 
     ``mode="all"`` requires every analyzed query term to occur in the doc
-    (conjunctive), matching ``Searcher.search_ids(mode="all")``."""
+    (conjunctive), matching ``Searcher.search_ids(mode="all")``.
+
+    ``mode="phrase"`` additionally requires the analyzed query terms at
+    CONSECUTIVE positions, matching ``Searcher.search_ids(mode="phrase")``:
+    positions are ungapped indices into the analyzed token stream
+    (analyze.py), so adjacency == contiguous-sublist containment of the
+    analyzed query in the analyzed doc — checked inside the same tokenize
+    pass that counts tfs (the token stream is already in hand; no extra
+    scan, no positions shuffle).  Phrase hits score bit-identically to
+    their mode="all" scores, as in the engine."""
     import math
 
     import numpy as np
@@ -152,11 +161,19 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
     from pysearch import B, K1
     from pysearch.analyze import get_analyzer
 
-    if mode not in ("any", "all"):
-        raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    if mode not in ("any", "all", "phrase"):
+        raise ValueError(f"mode must be 'any', 'all' or 'phrase', got {mode!r}")
     an, _, _ = get_analyzer(analyzer)
     analyzed = {qid: an(q) for qid, q in queries.items()}
     union_terms = sorted({t for ts in analyzed.values() for t in ts})
+    # phrase containment markers ride the same (url, dl, term, tf) rows as
+    # real terms under a reserved "\x00p:" prefix ("\x00" can never appear
+    # in an analyzed term), so presence lands in the same per-url map the
+    # scorer already builds — no extra column, job, or join
+    phrase_seqs = (
+        {qid: tuple(ts) for qid, ts in analyzed.items() if ts}
+        if mode == "phrase" else {}
+    )
 
     spark = batch_df.sparkSession
     empty = spark.createDataFrame([], schema="qid string, url string, score double")
@@ -226,6 +243,14 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
 
     qset = set(union_terms)
 
+    def _contains(hay, needle):
+        n = len(needle)
+        first = needle[0]
+        for i in range(len(hay) - n + 1):
+            if hay[i] == first and tuple(hay[i:i + n]) == needle:
+                return True
+        return False
+
     def tok(batches):
         for pdf in batches:
             urls, dls, terms, tfs = [], [], [], []
@@ -244,6 +269,13 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
                     dls.append(len(toks))
                     terms.append(t)
                     tfs.append(c)
+                for qid, seq in phrase_seqs.items():
+                    # cheap pre-gate: every phrase term must have counted
+                    if all(t in counts for t in seq) and _contains(toks, seq):
+                        urls.append(url)
+                        dls.append(len(toks))
+                        terms.append("\x00p:" + qid)
+                        tfs.append(1)
             yield pd.DataFrame(
                 {"url": urls, "dl": dls, "term": terms, "tf": tfs}
             )
@@ -271,7 +303,8 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
         plans = {}
         for qid, terms in analyzed.items():
             live = sorted({t for t in terms if dfs.get(t, 0) > 0})
-            if not live or (mode == "all" and len(live) < len(set(terms))):
+            if not live or (mode in ("all", "phrase")
+                            and len(live) < len(set(terms))):
                 continue
             qtf = {}
             for t in terms:
@@ -281,7 +314,8 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
                 for t in live
             }
             plans[qid] = (live, idfs, qtf,
-                          len(live) if mode == "all" else 0)
+                          len(live) if mode in ("all", "phrase") else 0,
+                          ("\x00p:" + qid) if mode == "phrase" else None)
         if not plans:
             return empty
 
@@ -298,16 +332,28 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
                     acc.setdefault(url, {})[term] = (tf, dl)
             out_q, out_u, out_s = [], [], []
             for url, have in acc.items():
-                for qid, (live, idfs, qtf, require) in plans.items():
+                for qid, (live, idfs, qtf, require, marker) in plans.items():
+                    if marker is not None and marker not in have:
+                        continue
                     present = [t for t in live if t in have]
                     if not present or (require and len(present) < require):
                         continue
-                    s = 0.0
+                    terms_s = []
                     for t in present:  # live sorted -> ascending term order
                         tf, dl = have[t]
                         tf = np.float64(tf)
                         denom = tf + K1 * (1.0 - B + B * np.float64(dl) / avgdl)
-                        s += float(idfs[t] * (tf * (K1 + 1.0)) / denom * qtf[t])
+                        terms_s.append(
+                            float(idfs[t] * (tf * (K1 + 1.0)) / denom * qtf[t])
+                        )
+                    # sum with the ENGINE's reduction (np.add.reduceat in
+                    # _topk_from_decoded), not a scalar loop: numpy's
+                    # reduce is pairwise, so for >=3 terms a left-to-right
+                    # += differs by 1 ULP from the engine — found by the
+                    # multi-term parity test; same slice length + element
+                    # order == same reduction tree == bit-equal scores
+                    s = float(np.add.reduceat(
+                        np.asarray(terms_s, dtype=np.float64), [0])[0])
                     out_q.append(qid)
                     out_u.append(url)
                     out_s.append(s)

@@ -136,9 +136,14 @@ def test_scored_arrival_matches_engine(spark, tmp_path):
     batch = corpus.webtext_df(spark, cases=[(6, "in the realm of", 60, 200)])
     # duplicate rows exercise the dedupe parity (engine drops them too)
     batch = batch.unionByName(batch.limit(5))
-    queries = {"q0": "in the realm of", "q1": "realm", "q2": "banana"}
+    # q3/q4 exercise phrase adjacency: "full text search" occurs adjacently
+    # in the corpus, while q4's terms co-occur but (reversed) are never
+    # adjacent — under mode="phrase" the two must diverge from mode="all"
+    queries = {"q0": "in the realm of", "q1": "realm", "q2": "banana",
+               "q3": "full text search", "q4": "search text full"}
 
-    for mode in ("any", "all"):
+    engine_hits = {}
+    for mode in ("any", "all", "phrase"):
         res = score_arriving_batch(batch, queries, k=10, mode=mode)
         got = {
             qid: [(r["url"], r["score"]) for r in rows]
@@ -147,7 +152,8 @@ def test_scored_arrival_matches_engine(spark, tmp_path):
             )
         }
         ix = str(tmp_path / f"arrival_ix_{mode}")
-        build_index(spark, batch, ix, segment_size=16)
+        build_index(spark, batch, ix, segment_size=16,
+                    store_positions=(mode == "phrase"))
         s = Searcher(spark, ix)
         url_of = {r["doc_id"]: r["url"]
                   for r in s.docs.select("doc_id", "url").collect()}
@@ -156,6 +162,12 @@ def test_scored_arrival_matches_engine(spark, tmp_path):
             want = [(url_of[i], float(sc))
                     for i, sc in zip(hits["doc_id"], hits["score"])]
             assert got.get(qid, []) == want, (mode, qid)
+            engine_hits[(mode, qid)] = want
+    # the adjacency gate must have BITTEN: q3 ranks under phrase == its
+    # conjunctive ranks (every conjunctive hit contains the adjacent run in
+    # this corpus), while q4 (same terms, impossible order) drops to empty
+    assert engine_hits[("phrase", "q3")] == engine_hits[("all", "q3")]
+    assert engine_hits[("all", "q4")] and not engine_hits[("phrase", "q4")]
 
 
 def test_scored_arrival_html_only_rows(spark, tmp_path):
