@@ -461,6 +461,35 @@ def st_arrival_bm25_top10(spark, sf_dir):
     )
 
 
+@op("st_arrival_phrase_top10", _BM25_PHRASE_SQL)
+def st_arrival_phrase_top10(spark, sf_dir):
+    """Exact-phrase top-10 through the scored ARRIVAL index (no persistent
+    index): token-stream adjacency checked inside the arrival scorer's
+    single tokenize pass, value-checked against the same independent DuckDB
+    phrase-restricted BM25 oracle as t1_engine_phrase_top10 — and therefore
+    transitively score-identical to the engine's pos_bin phrase path."""
+    from pyspark.sql import functions as F
+
+    from pysearch.session import _ensure_pythonpath, ship_package
+    from pysearch.streaming import score_arriving_batch
+
+    _ensure_pythonpath()
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    webtext = docs.select(
+        F.format_string("doc://docs/%09d", F.col("doc_id")).alias("url"),
+        "text",
+    )
+    res = score_arriving_batch(
+        webtext, {"q": " ".join(_PHRASE_TERMS)}, k=10, analyzer="simple",
+        mode="phrase",
+    )
+    return res.select(
+        F.substring("url", len("doc://docs/") + 1, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score_r"),
+    )
+
+
 @op("j1_term_doc_join", f"""
 {_TOK_CTE},
 q(term) AS (VALUES ('spark'),('vector'),('stream'))
