@@ -461,6 +461,93 @@ def st_arrival_bm25_top10(spark, sf_dir):
     )
 
 
+_NRT_MOD = 5
+
+
+def _nrt_split(docs):
+    """Split `documents` for the NRT oracle: ~4/5 base (pre-built index) vs
+    ~1/5 arrivals (the unflushed batch), keyed on the CONTENT (crc32 of
+    text) rather than doc_id so exact-duplicate pairs never straddle the
+    split — append's "existing doc wins" dedup then picks the same winners
+    as a full-corpus build, which is what the full-table oracle scores."""
+    from pyspark.sql import functions as F
+
+    key = F.crc32(F.encode(F.col("text"), "utf-8")) % _NRT_MOD
+    present = F.col("text").isNotNull()
+    webtext = docs.select(
+        F.format_string("doc://docs/%09d", F.col("doc_id")).alias("url"),
+        "text",
+    )
+    return (webtext.filter(present & (key != 0)),
+            webtext.filter(present & (key == 0)))
+
+
+def _ensure_nrt_base_index(spark, sf_dir):
+    """Build-or-reuse the engine index over the base side of the NRT split
+    (same build params as the shared engine index; cached per source
+    fingerprint like it)."""
+    import os
+    import shutil
+
+    from pysearch.build import build_index
+    from pysearch.lineage import IndexLayout
+    from pysearch.session import _ensure_pythonpath, ship_package
+    from pysearch.version import INDEX_FORMAT_VERSION
+
+    _ensure_pythonpath()
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    base, _arrivals = _nrt_split(docs)
+    label = os.path.basename(sf_dir.rstrip("/"))
+    index_dir = f"/tmp/pysearch_ops_index_{label}_nrtbase"
+    fp_key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _ENGINE_FP_CACHE.get(fp_key)
+    if fp is None:
+        fp = _source_fingerprint(docs)
+        _ENGINE_FP_CACHE[fp_key] = fp
+    want = f"{fp}|nrtbase%{_NRT_MOD}"
+    layout = IndexLayout(index_dir)
+    m = layout.read_manifest()
+    if m and (m.get("format_version") != INDEX_FORMAT_VERSION
+              or m.get("analyzer") != "simple"
+              or m.get("source_fp") != want):
+        shutil.rmtree(index_dir, ignore_errors=True)
+    build_index(spark, base, index_dir, segment_size=128,
+                analyzer="simple", resume=True)
+    m2 = layout.read_manifest()
+    if m2.get("source_fp") != want:
+        layout.write_manifest({**m2, "source_fp": want})
+    return index_dir
+
+
+@op("st_nrt_bm25_top10", _BM25_SQL)
+def st_nrt_bm25_top10(spark, sf_dir):
+    """NRT HYBRID search (streaming.search_with_arrivals): BM25 top-10 over
+    a persistent index of ~4/5 of `documents` PLUS the remaining ~1/5 as a
+    not-yet-flushed arrival batch, scored under the combined corpus stats —
+    value-checked against the same full-table DuckDB BM25 oracle as
+    t1_engine_bm25_top10, because index ∪ arrivals == the whole table and
+    the hybrid is score-identical to flushing the batch first (pinned by
+    tests/test_nrt.py)."""
+    from pyspark.sql import functions as F
+
+    from pysearch.query import Searcher
+    from pysearch.streaming import search_with_arrivals
+
+    index_dir = _ensure_nrt_base_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    _base, arrivals = _nrt_split(docs)
+    s = Searcher(spark, index_dir)
+    res = search_with_arrivals(s, arrivals, {"q": " ".join(_BM25_TERMS)},
+                               k=10, case_id="0")
+    sdf = spark.createDataFrame(
+        res[["url", "score"]], schema="url string, score double")
+    return sdf.select(
+        F.substring("url", len("doc://docs/") + 1, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score_r"),
+    )
+
+
 @op("st_arrival_phrase_top10", _BM25_PHRASE_SQL)
 def st_arrival_phrase_top10(spark, sf_dir):
     """Exact-phrase top-10 through the scored ARRIVAL index (no persistent

@@ -122,8 +122,12 @@ class Searcher:
         self.docs = _norm(
             self.layout.read_commits(spark, self.layout.docs, schema=DOCS)
         )
+        # (n_docs, avgdl, sum_dl) — sum_dl is the exact long the finalize
+        # divided to get avgdl; NRT hybrid search (streaming.
+        # search_with_arrivals) re-derives the post-append avgdl from it
         self._corpus: Dict[str, tuple] = {
-            str(r["case_id"]): (int(r["n_docs"]), float(r["avgdl"]))
+            str(r["case_id"]): (int(r["n_docs"]), float(r["avgdl"]),
+                                int(r["sum_dl"]))
             for r in self.layout.read_commits(
                 self.spark, self.layout.corpus_stats, schema=CORPUS_STATS
             ).collect()
@@ -247,7 +251,7 @@ class Searcher:
         terms, qtf = self._analyze_query(query)
         if case_id not in self._corpus:
             return pd.DataFrame(columns=["doc_id", "score"])
-        n_docs, avgdl = self._corpus[case_id]
+        n_docs, avgdl, _sum_dl = self._corpus[case_id]
         dfs = self._term_dfs(case_id, terms)
         live = [t for t in set(terms) if t in dfs]
         if not live or (mode in ("all", "phrase")
@@ -320,7 +324,7 @@ class Searcher:
         empty = pd.DataFrame(columns=["qid", "doc_id", "score"])
         if case_id not in self._corpus or not queries:
             return empty
-        n_docs, avgdl = self._corpus[case_id]
+        n_docs, avgdl, _sum_dl = self._corpus[case_id]
 
         analyzed = {qid: self._analyze_query(q) for qid, q in queries.items()}
         union_terms = sorted({t for terms, _ in analyzed.values() for t in terms})

@@ -120,6 +120,220 @@ def foreach_batch_matcher(watch_terms: List[str], out_dir: str):
     return handle
 
 
+def _shape_batch_text(batch_df):
+    """Engine-parity corpus shaping, stage 1 (build_docs_stage semantics,
+    build.py): S4 text extraction for html-only rows FIRST (r3 ADVICE:
+    dropping text-null rows silently diverged from the persistent-index
+    path), then the content hash and the P1 empty filter.  Returns
+    (url, content_hash, text)."""
+    from pyspark.sql import functions as F
+
+    df = batch_df
+    if "text" not in df.columns or "html" in df.columns:
+        from pyspark.sql import types as T
+
+        from pysearch.corpus import extract_text_series
+
+        @F.pandas_udf(T.StringType())
+        def extract_udf(htmls: pd.Series) -> pd.Series:
+            return extract_text_series(htmls)
+
+        if "text" not in df.columns:
+            df = df.withColumn("text", extract_udf("html"))
+        else:
+            # extraction UDF only on the rows that need it (same split as
+            # build_docs_stage — a blanket when/otherwise would push every
+            # row through the Python worker)
+            with_text = df.filter(F.col("text").isNotNull())
+            need = df.filter(
+                F.col("text").isNull() & F.col("html").isNotNull()
+            )
+            df = with_text.unionByName(
+                need.withColumn("text", extract_udf("html"))
+            )
+    df = df.filter(F.col("text").isNotNull())
+    text_hash = F.sha2(F.encode(F.col("text"), "utf-8"), 256)
+    if "html" in df.columns:
+        content_hash = F.when(
+            F.col("html").isNotNull(), F.sha2(F.col("html"), 256)
+        ).otherwise(text_hash)
+    else:
+        content_hash = text_hash
+    return (
+        df.withColumn("content_hash", content_hash)
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("url", "content_hash", "text")
+    )
+
+
+def _dedupe_batch(df):
+    """Engine-parity corpus shaping, stage 2: content-dedupe keeping the
+    min url per hash (P4), then url-dedupe keeping the min content hash
+    (P3) — the same winners build_docs_stage picks.  The dedupe windows run
+    on a TEXT-FREE projection (docs-stage rule: no shuffle carries document
+    bodies for id/dedupe work); winners join back broadcast/AQE-sized.
+    Returns (url, text)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    proj = df.select("url", "content_hash")
+    w_hash = Window.partitionBy("content_hash").orderBy("url")
+    w_url = Window.partitionBy("url").orderBy("content_hash")
+    winners = (
+        proj.withColumn("_r", F.row_number().over(w_hash)).filter("_r = 1")
+        .withColumn("_r2", F.row_number().over(w_url)).filter("_r2 = 1")
+        .select("url", "content_hash")
+    )
+    # rows equal on (url, hash) are identical by the content-hash contract,
+    # so the dropDuplicates after the semi join is value-deterministic
+    return (
+        df.join(winners, ["url", "content_hash"], "left_semi")
+        .dropDuplicates(["url"])
+        .select("url", "text")
+    )
+
+
+def _contains(hay, needle):
+    n = len(needle)
+    first = needle[0]
+    for i in range(len(hay) - n + 1):
+        if hay[i] == first and tuple(hay[i:i + n]) == needle:
+            return True
+    return False
+
+
+def _tok_query_tfs(an, qset, phrase_seqs):
+    """mapInPandas transform over (url, text): one tokenize pass emitting a
+    per-doc stats row (term NULL, dl = analyzed length) plus one
+    (url, dl, term, tf) row per query term the doc contains.  Phrase
+    containment markers ride the same rows as real terms under a reserved
+    "\\x00p:" prefix ("\\x00" can never appear in an analyzed term), so
+    presence lands in the same per-url map the scorer already builds — no
+    extra column, job, or join."""
+
+    def tok(batches):
+        for pdf in batches:
+            urls, dls, terms, tfs = [], [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                toks = an(text)
+                urls.append(url)
+                dls.append(len(toks))
+                terms.append(None)  # per-doc stats row
+                tfs.append(0)
+                counts: dict = {}
+                for t in toks:
+                    if t in qset:
+                        counts[t] = counts.get(t, 0) + 1
+                for t, c in counts.items():
+                    urls.append(url)
+                    dls.append(len(toks))
+                    terms.append(t)
+                    tfs.append(c)
+                for qid, seq in phrase_seqs.items():
+                    # cheap pre-gate: every phrase term must have counted
+                    if all(t in counts for t in seq) and _contains(toks, seq):
+                        urls.append(url)
+                        dls.append(len(toks))
+                        terms.append("\x00p:" + qid)
+                        tfs.append(1)
+            yield pd.DataFrame(
+                {"url": urls, "dl": dls, "term": terms, "tf": tfs}
+            )
+
+    return tok
+
+
+def _build_plans(analyzed, dfs, n_docs, mode):
+    """Per-query scoring plan against corpus stats (n_docs, per-term dfs):
+    (live terms sorted ascending, idfs, query-term tfs, conjunctive
+    requirement, phrase marker).  Queries with no live terms — or, under
+    all/phrase, any corpus-absent term — get no plan."""
+    from pysearch import score as sc
+
+    plans = {}
+    for qid, terms in analyzed.items():
+        live = sorted({t for t in terms if dfs.get(t, 0) > 0})
+        if not live or (mode in ("all", "phrase")
+                        and len(live) < len(set(terms))):
+            continue
+        qtf = {}
+        for t in terms:
+            qtf[t] = qtf.get(t, 0) + 1
+        idfs = {t: sc.idf(n_docs, dfs[t]) for t in live}
+        plans[qid] = (live, idfs, qtf,
+                      len(live) if mode in ("all", "phrase") else 0,
+                      ("\x00p:" + qid) if mode == "phrase" else None)
+    return plans
+
+
+def _score_mem_topk(toks, plans, avgdl, k):
+    """Score the tokenized (url, dl, term, tf) rows against every plan and
+    return the per-query top-k as a materialized DataFrame
+    (qid, url, score), ties by url ascending."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pysearch import B, K1
+
+    def score_parts(batches):
+        # partition-wise scoring: repartition("url") co-locates each
+        # doc's term rows; accumulate per-url term maps across arrow
+        # batches, then score every doc in ONE Python call per
+        # partition (a per-group applyInPandas paid ~2ms of call
+        # overhead per DOCUMENT — measured 12s for 5k docs at sf0.1)
+        acc: dict = {}
+        for pdf in batches:
+            for url, term, tf, dl in zip(pdf["url"], pdf["term"],
+                                         pdf["tf"], pdf["dl"]):
+                acc.setdefault(url, {})[term] = (tf, dl)
+        out_q, out_u, out_s = [], [], []
+        for url, have in acc.items():
+            for qid, (live, idfs, qtf, require, marker) in plans.items():
+                if marker is not None and marker not in have:
+                    continue
+                present = [t for t in live if t in have]
+                if not present or (require and len(present) < require):
+                    continue
+                terms_s = []
+                for t in present:  # live sorted -> ascending term order
+                    tf, dl = have[t]
+                    tf = np.float64(tf)
+                    denom = tf + K1 * (1.0 - B + B * np.float64(dl) / avgdl)
+                    terms_s.append(
+                        float(idfs[t] * (tf * (K1 + 1.0)) / denom * qtf[t])
+                    )
+                # sum with the ENGINE's reduction (np.add.reduceat in
+                # _topk_from_decoded), not a scalar loop: numpy's
+                # reduce is pairwise, so for >=3 terms a left-to-right
+                # += differs by 1 ULP from the engine — found by the
+                # multi-term parity test; same slice length + element
+                # order == same reduction tree == bit-equal scores
+                s = float(np.add.reduceat(
+                    np.asarray(terms_s, dtype=np.float64), [0])[0])
+                out_q.append(qid)
+                out_u.append(url)
+                out_s.append(s)
+        yield pd.DataFrame({"qid": out_q, "url": out_u, "score": out_s})
+
+    scored = (
+        toks.filter(F.col("term").isNotNull())
+        .repartition("url")
+        .mapInPandas(score_parts,
+                     schema="qid string, url string, score double")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("url").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("qid", F.col("score").desc(), "url")
+        .localCheckpoint()  # materialize before the caller's unpersist
+    )
+
+
 def score_arriving_batch(batch_df, queries: dict, k: int = 10,
                          analyzer: str = "en", mode: str = "any"):
     """Scored in-memory arrival index — reference use case 2
@@ -152,13 +366,8 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
     pass that counts tfs (the token stream is already in hand; no extra
     scan, no positions shuffle).  Phrase hits score bit-identically to
     their mode="all" scores, as in the engine."""
-    import math
-
-    import numpy as np
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
-    from pysearch import B, K1
     from pysearch.analyze import get_analyzer
 
     if mode not in ("any", "all", "phrase"):
@@ -180,108 +389,10 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
     if not union_terms:
         return empty
 
-    # engine-parity corpus shaping (build_docs_stage semantics): S4 text
-    # extraction for html-only rows FIRST (r3 ADVICE: dropping text-null
-    # rows here silently diverged from the persistent-index path, which
-    # extracts text from html — build.py build_docs_stage), then derive the
-    # content hash, drop empty texts (P1), content-dedupe keeping the min
-    # url per hash (P4), then url-dedupe keeping the min content hash (P3).
-    # The dedupe windows run on a TEXT-FREE projection (docs-stage rule: no
-    # shuffle carries document bodies for id/dedupe work); winners join
-    # back broadcast/AQE-sized.
-    df = batch_df
-    if "text" not in df.columns or "html" in df.columns:
-        from pyspark.sql import types as T
-
-        from pysearch.corpus import extract_text_series
-
-        @F.pandas_udf(T.StringType())
-        def extract_udf(htmls: pd.Series) -> pd.Series:
-            return extract_text_series(htmls)
-
-        if "text" not in df.columns:
-            df = df.withColumn("text", extract_udf("html"))
-        else:
-            # extraction UDF only on the rows that need it (same split as
-            # build_docs_stage — a blanket when/otherwise would push every
-            # row through the Python worker)
-            with_text = df.filter(F.col("text").isNotNull())
-            need = df.filter(
-                F.col("text").isNull() & F.col("html").isNotNull()
-            )
-            df = with_text.unionByName(
-                need.withColumn("text", extract_udf("html"))
-            )
-    df = df.filter(F.col("text").isNotNull())
-    text_hash = F.sha2(F.encode(F.col("text"), "utf-8"), 256)
-    if "html" in df.columns:
-        content_hash = F.when(
-            F.col("html").isNotNull(), F.sha2(F.col("html"), 256)
-        ).otherwise(text_hash)
-    else:
-        content_hash = text_hash
-    df = (
-        df.withColumn("content_hash", content_hash)
-        .filter(F.length(F.trim(F.col("text"))) > 0)
-        .select("url", "content_hash", "text")
-    )
-    proj = df.select("url", "content_hash")
-    w_hash = Window.partitionBy("content_hash").orderBy("url")
-    w_url = Window.partitionBy("url").orderBy("content_hash")
-    winners = (
-        proj.withColumn("_r", F.row_number().over(w_hash)).filter("_r = 1")
-        .withColumn("_r2", F.row_number().over(w_url)).filter("_r2 = 1")
-        .select("url", "content_hash")
-    )
-    # rows equal on (url, hash) are identical by the content-hash contract,
-    # so the dropDuplicates after the semi join is value-deterministic
-    df = (
-        df.join(winners, ["url", "content_hash"], "left_semi")
-        .dropDuplicates(["url"])
-        .select("url", "text")
-    )
-
-    qset = set(union_terms)
-
-    def _contains(hay, needle):
-        n = len(needle)
-        first = needle[0]
-        for i in range(len(hay) - n + 1):
-            if hay[i] == first and tuple(hay[i:i + n]) == needle:
-                return True
-        return False
-
-    def tok(batches):
-        for pdf in batches:
-            urls, dls, terms, tfs = [], [], [], []
-            for url, text in zip(pdf["url"], pdf["text"]):
-                toks = an(text)
-                urls.append(url)
-                dls.append(len(toks))
-                terms.append(None)  # per-doc stats row
-                tfs.append(0)
-                counts: dict = {}
-                for t in toks:
-                    if t in qset:
-                        counts[t] = counts.get(t, 0) + 1
-                for t, c in counts.items():
-                    urls.append(url)
-                    dls.append(len(toks))
-                    terms.append(t)
-                    tfs.append(c)
-                for qid, seq in phrase_seqs.items():
-                    # cheap pre-gate: every phrase term must have counted
-                    if all(t in counts for t in seq) and _contains(toks, seq):
-                        urls.append(url)
-                        dls.append(len(toks))
-                        terms.append("\x00p:" + qid)
-                        tfs.append(1)
-            yield pd.DataFrame(
-                {"url": urls, "dl": dls, "term": terms, "tf": tfs}
-            )
-
+    df = _dedupe_batch(_shape_batch_text(batch_df))
     toks = df.mapInPandas(
-        tok, schema="url string, dl long, term string, tf long"
+        _tok_query_tfs(an, set(union_terms), phrase_seqs),
+        schema="url string, dl long, term string, tf long",
     ).persist()
     try:
         # ONE aggregate job serves both corpus stats and term dfs: the
@@ -300,83 +411,178 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
         avgdl = sum_dl / n_docs
         dfs = {t: n for t, (n, _s) in per_term.items()}
 
-        plans = {}
-        for qid, terms in analyzed.items():
-            live = sorted({t for t in terms if dfs.get(t, 0) > 0})
-            if not live or (mode in ("all", "phrase")
-                            and len(live) < len(set(terms))):
-                continue
-            qtf = {}
-            for t in terms:
-                qtf[t] = qtf.get(t, 0) + 1
-            idfs = {
-                t: math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
-                for t in live
-            }
-            plans[qid] = (live, idfs, qtf,
-                          len(live) if mode in ("all", "phrase") else 0,
-                          ("\x00p:" + qid) if mode == "phrase" else None)
+        plans = _build_plans(analyzed, dfs, n_docs, mode)
+        if not plans:
+            return empty
+        return _score_mem_topk(toks, plans, avgdl, k)
+    finally:
+        toks.unpersist()
+
+
+def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
+                         case_id: str = "0", mode: str = "any",
+                         prune: bool = True) -> pd.DataFrame:
+    """Near-real-time HYBRID search: score a query log against the
+    persistent index AND a not-yet-flushed arrival batch together, under
+    the COMBINED corpus statistics — the answer the index will give after
+    ``build_index(append=batch)`` flushes, before paying for the flush
+    (Lucene's NRT-reader model; reference use case 2 upgraded from
+    batch-local stats to whole-corpus stats).
+
+    Returns a pandas frame (qid, url, score): each query's top-k over
+    index ∪ batch, with scores BIT-IDENTICAL to appending the batch and
+    searching (pinned by test), for mode any|all|phrase.  Semantics mirror
+    the append exactly:
+
+    - batch shaping = build_docs_stage: S4 html→text extraction, P1 empty
+      filter, THEN the append anti-joins (a batch row whose url or content
+      hash already exists in the index is the index doc — append never
+      updates), THEN within-batch P4/P3 dedup — the same order as
+      build.py, because winner selection is order-sensitive.
+    - combined stats: n = n_idx + n_mem, avgdl = (sum_dl_idx + sum_dl_mem)
+      / n as one float64 division of exact longs (identical to the
+      finalize arithmetic), df(t) = df_idx(t) + df_mem(t); both sides
+      score with these, so a mem doc and an index doc with the same tf/dl
+      get the same score.
+    - tie order: post-append doc_ids put every arrival AFTER every index
+      doc (next segment boundary), arrivals ordered by url — the merge
+      reproduces that exactly (index hits by doc_id, then arrivals by
+      url, within equal scores).
+
+    Scale shape: the index side is the regular distributed block scorer
+    (partition-pruned scan, lossless WAND with θ from index candidates —
+    a lower bound of the union kth score, so pruning stays lossless); the
+    mem side is one tokenize pass + two tiny aggregates over the batch;
+    only O(k · |queries|) rows reach the driver."""
+    from pyspark.sql import functions as F
+
+    from pysearch import score as sc
+    from pysearch.build import term_bucket
+
+    if mode not in ("any", "all", "phrase"):
+        raise ValueError(f"mode must be 'any', 'all' or 'phrase', got {mode!r}")
+    if mode == "phrase" and not searcher.positions_stored:
+        raise ValueError(
+            "mode='phrase' needs an index built with store_positions=True"
+        )
+    searcher._check_fresh()
+    an = searcher._analyze
+    analyzed = {qid: an(q) for qid, q in queries.items()}
+    union_terms = sorted({t for ts in analyzed.values() for t in ts})
+    empty = pd.DataFrame(columns=["qid", "url", "score"])
+    if not union_terms:
+        return empty
+    phrase_seqs = (
+        {qid: tuple(ts) for qid, ts in analyzed.items() if ts}
+        if mode == "phrase" else {}
+    )
+
+    # ---- arrival side: shape -> append anti-joins -> dedupe -> tokenize
+    src = batch_df
+    if "case_id" in src.columns:
+        # a hybrid search serves ONE case; rows bound for other cases
+        # cannot affect it (they would append elsewhere)
+        src = src.filter(F.col("case_id").cast("string") == case_id)
+    df = _shape_batch_text(src)
+    existing = searcher.docs.filter(F.col("case_id") == case_id)
+    df = df.join(existing.select("url"), "url", "left_anti")
+    df = df.join(existing.select("content_hash"), "content_hash", "left_anti")
+    df = _dedupe_batch(df)
+    toks = df.mapInPandas(
+        _tok_query_tfs(an, set(union_terms), phrase_seqs),
+        schema="url string, dl long, term string, tf long",
+    ).persist()
+    try:
+        per_term = {
+            r["term"]: (int(r["n"]), int(r["s"]))
+            for r in toks.groupBy("term").agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+            ).collect()
+        }
+        n_mem, sum_dl_mem = per_term.pop(None, (0, 0))
+        dfs_mem = {t: n for t, (n, _s) in per_term.items()}
+
+        # ---- combined corpus stats (exact long arithmetic, one division)
+        n_idx, _avgdl_idx, sum_dl_idx = searcher._corpus.get(
+            case_id, (0, 0.0, 0))
+        dfs_idx = searcher._term_dfs(case_id, union_terms) if n_idx else {}
+        n_docs = n_idx + n_mem
+        if n_docs == 0:
+            return empty
+        avgdl = (sum_dl_idx + sum_dl_mem) / n_docs
+        dfs = {t: dfs_idx.get(t, 0) + dfs_mem.get(t, 0)
+               for t in union_terms}
+        plans = _build_plans(analyzed, dfs, n_docs, mode)
         if not plans:
             return empty
 
-        def score_parts(batches):
-            # partition-wise scoring: repartition("url") co-locates each
-            # doc's term rows; accumulate per-url term maps across arrow
-            # batches, then score every doc in ONE Python call per
-            # partition (a per-group applyInPandas paid ~2ms of call
-            # overhead per DOCUMENT — measured 12s for 5k docs at sf0.1)
-            acc: dict = {}
-            for pdf in batches:
-                for url, term, tf, dl in zip(pdf["url"], pdf["term"],
-                                             pdf["tf"], pdf["dl"]):
-                    acc.setdefault(url, {})[term] = (tf, dl)
-            out_q, out_u, out_s = [], [], []
-            for url, have in acc.items():
-                for qid, (live, idfs, qtf, require, marker) in plans.items():
-                    if marker is not None and marker not in have:
-                        continue
-                    present = [t for t in live if t in have]
-                    if not present or (require and len(present) < require):
-                        continue
-                    terms_s = []
-                    for t in present:  # live sorted -> ascending term order
-                        tf, dl = have[t]
-                        tf = np.float64(tf)
-                        denom = tf + K1 * (1.0 - B + B * np.float64(dl) / avgdl)
-                        terms_s.append(
-                            float(idfs[t] * (tf * (K1 + 1.0)) / denom * qtf[t])
-                        )
-                    # sum with the ENGINE's reduction (np.add.reduceat in
-                    # _topk_from_decoded), not a scalar loop: numpy's
-                    # reduce is pairwise, so for >=3 terms a left-to-right
-                    # += differs by 1 ULP from the engine — found by the
-                    # multi-term parity test; same slice length + element
-                    # order == same reduction tree == bit-equal scores
-                    s = float(np.add.reduceat(
-                        np.asarray(terms_s, dtype=np.float64), [0])[0])
-                    out_q.append(qid)
-                    out_u.append(url)
-                    out_s.append(s)
-            yield pd.DataFrame({"qid": out_q, "url": out_u, "score": out_s})
-
-        scored = (
-            toks.filter(F.col("term").isNotNull())
-            .repartition("url")
-            .mapInPandas(score_parts,
-                         schema="qid string, url string, score double")
-        )
-        w = Window.partitionBy("qid").orderBy(
-            F.col("score").desc(), F.col("url").asc()
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
-            .orderBy("qid", F.col("score").desc(), "url")
-            .localCheckpoint()  # materialize before the persist below ends
-        )
+        # ---- mem side: all plans in one pass, per-query top-k
+        mem_hits: dict = {}
+        if n_mem:
+            for r in _score_mem_topk(toks, plans, avgdl, k).collect():
+                mem_hits.setdefault(r["qid"], []).append(
+                    (r["url"], float(r["score"])))
     finally:
         toks.unpersist()
+
+    # ---- index side: the regular distributed block scorer per query,
+    # with the UNION stats injected (idfs/avgdl/require)
+    excl = searcher._tombstones.get(case_id)
+    idx_hits: dict = {}
+    for qid, (live, idfs, qtf, require, _marker) in plans.items():
+        live_idx = [t for t in live if dfs_idx.get(t, 0) > 0]
+        if not live_idx or (mode in ("all", "phrase")
+                            and len(live_idx) < len(live)):
+            continue  # no index doc can contain a term the index lacks
+        buckets = sorted({term_bucket(t, searcher.n_buckets)
+                          for t in live_idx})
+        blocks = searcher.postings.filter(
+            (F.col("case_id") == case_id)
+            & F.col("term_bucket").isin(searcher._bucket_lit(buckets))
+            & F.col("term").isin(live_idx)
+        )
+        idfs_idx = {t: idfs[t] for t in live_idx}
+        if mode == "phrase":
+            pdf = searcher._score_blocks_phrase(
+                blocks, idfs_idx, analyzed[qid], qtf, avgdl, k, exclude=excl)
+        else:
+            p1_pdf = None
+            if prune and sum(dfs_idx[t] for t in live_idx
+                             ) > searcher.prune_min_postings:
+                blocks, p1_pdf = searcher._prune_blocks(
+                    blocks, idfs_idx, qtf, avgdl, k, require, exclude=excl)
+            pdf = searcher._score_blocks(blocks, idfs_idx, qtf, avgdl, k,
+                                         require, exclude=excl)
+            if p1_pdf is not None:
+                pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
+        pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="stable").head(k)
+        if len(pdf):
+            idx_hits[qid] = list(zip(pdf["doc_id"].astype(int),
+                                     pdf["score"].astype(float)))
+
+    # one catalog lookup for every index hit across the whole query log
+    url_of = {}
+    all_ids = sorted({i for hits in idx_hits.values() for i, _ in hits})
+    if all_ids:
+        url_of = {
+            int(r["doc_id"]): r["url"]
+            for r in searcher.docs.filter(
+                (F.col("case_id") == case_id)
+                & F.col("doc_id").isin(all_ids)
+            ).select("doc_id", "url").collect()
+        }
+
+    # ---- merge: equal scores order index-before-mem (post-append ids put
+    # arrivals last), index by doc_id asc, arrivals by url asc
+    rows = []
+    for qid in sorted(plans):
+        cand = [(s, 0, i, url_of[i]) for i, s in idx_hits.get(qid, [])]
+        cand += [(s, 1, u, u) for u, s in mem_hits.get(qid, [])]
+        cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+        rows += [(qid, u, s) for s, _g, _key, u in cand[:k]]
+    return pd.DataFrame(rows, columns=["qid", "url", "score"])
 
 
 def foreach_batch_scored_matcher(queries: dict, out_dir: str, k: int = 10,

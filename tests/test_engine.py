@@ -549,7 +549,7 @@ def test_exact_duplicate_docs_deduped(spark):
     df = spark.createDataFrame(pdf)
     build_index(spark, df, d, segment_size=64)
     s = Searcher(spark, d)
-    n_docs, _ = s._corpus["1"]
+    n_docs = s._corpus["1"][0]
     assert n_docs == 6
     shutil.rmtree(d, ignore_errors=True)
 

@@ -1,0 +1,149 @@
+"""NRT hybrid search: persistent index + unflushed arrival batch scored
+together under combined corpus stats (streaming.search_with_arrivals) must
+be rank- AND score-identical to appending the batch and searching the
+index — the Lucene NRT-reader contract, across any/all/phrase modes and
+the append's dedupe rules."""
+
+import shutil
+
+import pytest
+
+from pysearch import corpus
+
+
+def _split_corpus(spark, n=90):
+    """One deterministic corpus split two ways by url suffix: ~2/3 base
+    (the pre-built index), ~1/3 arrivals.  Arrivals also repeat a few base
+    rows (url dups AND content dups) to exercise the append anti-joins."""
+    from pyspark.sql import functions as F
+
+    full = corpus.webtext_df(spark, cases=[(6, "in the realm of", n, 200)])
+    mod = F.substring("url", -1, 1).cast("int") % 3
+    base = full.filter(mod != 0)
+    arrivals = full.filter(mod == 0)
+    # url-dup and content-dup rows vs the index: append must drop them
+    dups = base.limit(4)
+    return full, base, arrivals.unionByName(dups)
+
+
+def _engine_hits(spark, ix, query, mode, k):
+    from pysearch.query import Searcher
+
+    s = Searcher(spark, ix)
+    hits = s.search_ids(query, k=k, case_id="6", mode=mode)
+    url_of = {r["doc_id"]: r["url"]
+              for r in s.docs.select("doc_id", "url").collect()}
+    return [(url_of[i], float(sc))
+            for i, sc in zip(hits["doc_id"], hits["score"])]
+
+
+@pytest.mark.parametrize("mode", ["any", "all", "phrase"])
+def test_nrt_matches_append_then_search(spark, tmp_path, mode):
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+    from pysearch.streaming import search_with_arrivals
+
+    _full, base, arrivals = _split_corpus(spark)
+    ix = str(tmp_path / f"nrt_ix_{mode}")
+    build_index(spark, base, ix, segment_size=16, store_positions=True)
+
+    queries = {"q0": "in the realm of", "q1": "realm",
+               "q2": "full text search", "q3": "banana"}
+    s = Searcher(spark, ix)
+    res = search_with_arrivals(s, arrivals, queries, k=10, case_id="6",
+                               mode=mode)
+    got = {}
+    for r in res.itertuples(index=False):
+        got.setdefault(r.qid, []).append((r.url, float(r.score)))
+
+    # ground truth: flush the batch into a COPY of the index, then search
+    ix2 = str(tmp_path / f"nrt_ix2_{mode}")
+    shutil.copytree(ix, ix2)
+    build_index(spark, arrivals, ix2, append=True, segment_size=16,
+                store_positions=True)
+    some_hits = False
+    for qid, q in queries.items():
+        want = _engine_hits(spark, ix2, q, mode, k=10)
+        assert got.get(qid, []) == want, (mode, qid)
+        some_hits = some_hits or bool(want)
+    assert some_hits
+    # the hybrid must actually MIX sides: an arrival url in q0's top-k
+    if mode == "any":
+        arrival_urls = {r["url"] for r in arrivals.select("url").collect()}
+        base_urls = {r["url"] for r in base.select("url").collect()}
+        tops = {u for u, _ in got["q0"]}
+        assert tops & (arrival_urls - base_urls), "no arrival doc ranked"
+        assert tops & base_urls, "no index doc ranked"
+
+
+def test_nrt_stats_shift_vs_index_only(spark, tmp_path):
+    """The combined stats must actually bite: with arrivals present, even
+    an index doc's score changes (n_docs/avgdl/df all moved), so hybrid
+    scores differ from searching the index alone."""
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+    from pysearch.streaming import search_with_arrivals
+
+    _full, base, arrivals = _split_corpus(spark)
+    ix = str(tmp_path / "nrt_stats_ix")
+    build_index(spark, base, ix, segment_size=16)
+    s = Searcher(spark, ix)
+    hybrid = search_with_arrivals(s, arrivals, {"q": "realm"}, k=5,
+                                  case_id="6")
+    url_of = {r["doc_id"]: r["url"]
+              for r in s.docs.select("doc_id", "url").collect()}
+    alone = s.search_ids("realm", k=5, case_id="6")
+    alone_scores = {url_of[i]: float(sc)
+                    for i, sc in zip(alone["doc_id"], alone["score"])}
+    overlap = [(r.url, float(r.score)) for r in hybrid.itertuples(index=False)
+               if r.url in alone_scores]
+    assert overlap
+    assert all(sc != alone_scores[u] for u, sc in overlap)
+
+
+def test_nrt_pruning_is_lossless(spark, tmp_path):
+    """Forced WAND pruning on the hybrid's index side (θ established from
+    index-only candidates — a lower bound of the union kth score) must not
+    change a single hybrid result."""
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+    from pysearch.streaming import search_with_arrivals
+
+    _full, base, arrivals = _split_corpus(spark)
+    ix = str(tmp_path / "nrt_prune_ix")
+    build_index(spark, base, ix, segment_size=16)
+    queries = {"q0": "in the realm of", "q1": "realm of the"}
+    s = Searcher(spark, ix)
+    unpruned = search_with_arrivals(s, arrivals, queries, k=10,
+                                    case_id="6", prune=False)
+    s.prune_min_postings = 0  # force phase-1/phase-2 pruning
+    pruned = search_with_arrivals(s, arrivals, queries, k=10, case_id="6")
+    assert pruned.values.tolist() == unpruned.values.tolist()
+    assert len(pruned)
+
+
+def test_nrt_empty_and_dud_batches(spark, tmp_path):
+    """An all-duplicate arrival batch (nothing survives the anti-joins)
+    must reduce the hybrid to exactly the index-only answer, and a query
+    with a corpus-absent term must stay empty under mode='all'."""
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+    from pysearch.streaming import search_with_arrivals
+
+    _full, base, _arrivals = _split_corpus(spark)
+    ix = str(tmp_path / "nrt_dud_ix")
+    build_index(spark, base, ix, segment_size=16)
+    s = Searcher(spark, ix)
+    dud = base.limit(6)  # every row already indexed
+    res = search_with_arrivals(s, dud, {"q": "in the realm of"}, k=8,
+                               case_id="6")
+    url_of = {r["doc_id"]: r["url"]
+              for r in s.docs.select("doc_id", "url").collect()}
+    alone = s.search_ids("in the realm of", k=8, case_id="6")
+    want = [(url_of[i], float(sc))
+            for i, sc in zip(alone["doc_id"], alone["score"])]
+    assert [(r.url, float(r.score)) for r in res.itertuples(index=False)] \
+        == want
+    res2 = search_with_arrivals(s, dud, {"q": "realm banana"}, k=8,
+                                case_id="6", mode="all")
+    assert len(res2) == 0
