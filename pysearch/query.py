@@ -344,6 +344,18 @@ class Searcher:
                               len(live) if mode == "all" else 0)
         if not plans:
             return empty
+        return self._score_many_blocks(plans, avgdl, case_id, k, mode)
+
+    def _score_many_blocks(self, plans: Dict[str, tuple], avgdl: float,
+                           case_id: str, k: int, mode: str) -> pd.DataFrame:
+        """ONE partition-pruned postings scan scoring every prebuilt plan;
+        the shared engine of ``search_ids_many`` and the NRT hybrid's
+        batched index side (streaming.search_with_arrivals, which injects
+        union-corpus idfs/avgdl).  ``plans``: qid -> (idfs, qtf, require),
+        or (idfs, terms, qtf) under mode="phrase".  Returns pandas
+        (qid, doc_id, score), each query's top-k."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
 
         all_terms = sorted({t for p in plans.values() for t in p[0]})
         buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})

@@ -451,8 +451,11 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
 
     Scale shape: the index side is the regular distributed block scorer
     (partition-pruned scan, lossless WAND with θ from index candidates —
-    a lower bound of the union kth score, so pruning stays lossless); the
-    mem side is one tokenize pass + two tiny aggregates over the batch;
+    a lower bound of the union kth score, so pruning stays lossless);
+    ``prune=False`` instead scores the WHOLE query log's index side in ONE
+    postings scan (the ``search_ids_many`` engine, bit-identical to the
+    per-query unpruned scorer) — the offline query-log path.  The mem side
+    is one tokenize pass + two tiny aggregates over the batch either way;
     only O(k · |queries|) rows reach the driver."""
     from pyspark.sql import functions as F
 
@@ -526,41 +529,64 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
     finally:
         toks.unpersist()
 
-    # ---- index side: the regular distributed block scorer per query,
-    # with the UNION stats injected (idfs/avgdl/require)
+    # ---- index side, with the UNION stats injected (idfs/avgdl/require).
+    # prune=True (latency path): the regular per-query block scorer with
+    # lossless WAND.  prune=False (query-log path): every query's index
+    # plan scored in ONE postings scan via the batched engine — the same
+    # amortization as search_ids_many, which is bit-identical to the
+    # per-query unpruned scorer (and WAND is lossless), so both routes
+    # return the same hits.
     excl = searcher._tombstones.get(case_id)
-    idx_hits: dict = {}
+    idx_plans: dict = {}
     for qid, (live, idfs, qtf, require, _marker) in plans.items():
         live_idx = [t for t in live if dfs_idx.get(t, 0) > 0]
         if not live_idx or (mode in ("all", "phrase")
                             and len(live_idx) < len(live)):
             continue  # no index doc can contain a term the index lacks
-        buckets = sorted({term_bucket(t, searcher.n_buckets)
-                          for t in live_idx})
-        blocks = searcher.postings.filter(
-            (F.col("case_id") == case_id)
-            & F.col("term_bucket").isin(searcher._bucket_lit(buckets))
-            & F.col("term").isin(live_idx)
-        )
         idfs_idx = {t: idfs[t] for t in live_idx}
         if mode == "phrase":
-            pdf = searcher._score_blocks_phrase(
-                blocks, idfs_idx, analyzed[qid], qtf, avgdl, k, exclude=excl)
+            idx_plans[qid] = (idfs_idx, list(analyzed[qid]), dict(qtf))
         else:
-            p1_pdf = None
-            if prune and sum(dfs_idx[t] for t in live_idx
-                             ) > searcher.prune_min_postings:
-                blocks, p1_pdf = searcher._prune_blocks(
-                    blocks, idfs_idx, qtf, avgdl, k, require, exclude=excl)
-            pdf = searcher._score_blocks(blocks, idfs_idx, qtf, avgdl, k,
-                                         require, exclude=excl)
-            if p1_pdf is not None:
-                pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
-        pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
-                              kind="stable").head(k)
-        if len(pdf):
-            idx_hits[qid] = list(zip(pdf["doc_id"].astype(int),
-                                     pdf["score"].astype(float)))
+            idx_plans[qid] = (idfs_idx, dict(qtf), require)
+    idx_hits: dict = {}
+    if idx_plans and not prune:
+        many = searcher._score_many_blocks(idx_plans, avgdl, case_id, k,
+                                           mode)
+        for r in many.itertuples(index=False):
+            idx_hits.setdefault(r.qid, []).append(
+                (int(r.doc_id), float(r.score)))
+    elif idx_plans:
+        for qid, plan in idx_plans.items():
+            idfs_idx = plan[0]
+            qtf = plan[2] if mode == "phrase" else plan[1]
+            buckets = sorted({term_bucket(t, searcher.n_buckets)
+                              for t in idfs_idx})
+            blocks = searcher.postings.filter(
+                (F.col("case_id") == case_id)
+                & F.col("term_bucket").isin(searcher._bucket_lit(buckets))
+                & F.col("term").isin(list(idfs_idx))
+            )
+            if mode == "phrase":
+                pdf = searcher._score_blocks_phrase(
+                    blocks, idfs_idx, plan[1], qtf, avgdl, k, exclude=excl)
+            else:
+                require = plan[2]
+                p1_pdf = None
+                if sum(dfs_idx[t] for t in idfs_idx
+                       ) > searcher.prune_min_postings:
+                    blocks, p1_pdf = searcher._prune_blocks(
+                        blocks, idfs_idx, qtf, avgdl, k, require,
+                        exclude=excl)
+                pdf = searcher._score_blocks(blocks, idfs_idx, qtf, avgdl,
+                                             k, require, exclude=excl)
+                if p1_pdf is not None:
+                    pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
+            pdf = pdf.sort_values(["score", "doc_id"],
+                                  ascending=[False, True],
+                                  kind="stable").head(k)
+            if len(pdf):
+                idx_hits[qid] = list(zip(pdf["doc_id"].astype(int),
+                                         pdf["score"].astype(float)))
 
     # one catalog lookup for every index hit across the whole query log
     url_of = {}

@@ -61,10 +61,19 @@ def test_nrt_matches_append_then_search(spark, tmp_path, mode):
     shutil.copytree(ix, ix2)
     build_index(spark, arrivals, ix2, append=True, segment_size=16,
                 store_positions=True)
+    # the batched index side (prune=False: whole log in one postings scan)
+    # must return the same hits
+    res_b = search_with_arrivals(s, arrivals, queries, k=10, case_id="6",
+                                 mode=mode, prune=False)
+    got_b = {}
+    for r in res_b.itertuples(index=False):
+        got_b.setdefault(r.qid, []).append((r.url, float(r.score)))
+
     some_hits = False
     for qid, q in queries.items():
         want = _engine_hits(spark, ix2, q, mode, k=10)
         assert got.get(qid, []) == want, (mode, qid)
+        assert got_b.get(qid, []) == want, ("batched", mode, qid)
         some_hits = some_hits or bool(want)
     assert some_hits
     # the hybrid must actually MIX sides: an arrival url in q0's top-k
