@@ -214,64 +214,63 @@ def main() -> None:
     timings["index_build"] = round(dt_build, 3)
     docs_per_sec = n_docs / dt_build
 
-    # ---- engine query latencies (warm) ----------------------------------
+    # ---- engine + ops query latencies (warm) -----------------------------
     # every query runs QUERY_REPEATS times and reports the MEDIAN (r3
     # verdict: one sample per query per round left r2-vs-r3 per-query
     # deltas host-noise-hostage on a host whose single-process thread
-    # penalty flips between back-to-back runs; the median of 3 in-line
-    # samples is decidable against that regime).  Raw samples ride along
-    # in query_samples so outlier legs stay auditable.
+    # penalty flips between back-to-back runs).  The repeats are
+    # INTERLEAVED — full passes over the whole query suite, one sample per
+    # query per pass — not back-to-back per query: a host slump episode
+    # lasting longer than one query's 3 consecutive samples (~10 s)
+    # otherwise lands entirely inside a single query's median and reads as
+    # a per-query regression (observed: two 0.7 s queries reported 2.5 s /
+    # 3.4 s medians while a same-code re-probe minutes later measured them
+    # at 0.7 s).  Interleaving spreads any episode across the whole suite,
+    # where the calibration fields already expose it.  Raw samples ride
+    # along in query_samples so outlier passes stay auditable.
     import statistics
 
     repeats = max(1, int(os.environ.get("PYSEARCH_QUERY_REPEATS", "3")))
     samples: dict = {}
 
-    def timed_median(name: str, fn):
-        ts = []
-        for _ in range(repeats):
-            t0 = time.time()
-            fn()
-            ts.append(time.time() - t0)
-        samples[name] = [round(t, 3) for t in ts]
-        med = statistics.median(ts)
-        timings[name] = round(med, 3)
-        return med
-
     searcher = Searcher(spark, index_dir)
-    searcher.search_ids("cornucopia", k=10, case_id="7")  # warm caches
-    q_times = []
+    suite = []
     for i, q in enumerate(ENGINE_QUERIES):
-        q_times.append(timed_median(
-            f"q_engine_{i}",
-            lambda q=q: searcher.search_ids(q, k=10, case_id="7"),
-        ))
-    # linear-interpolated p95 (ADVICE r1: the old index clamped to the max)
-    import numpy as _np
-
-    p95 = float(_np.percentile(q_times, 95))
-
+        suite.append((f"q_engine_{i}",
+                      lambda q=q: searcher.search_ids(q, k=10, case_id="7")))
     # batched query-log scoring: all engine queries in ONE postings scan
     # (search_ids_many) — the offline-eval pattern; compare to sum(q_engine_*)
-    timed_median(
-        "q_engine_batch8",
-        lambda: searcher.search_ids_many(
-            {f"q{i}": q for i, q in enumerate(ENGINE_QUERIES)}, k=10,
-            case_id="7",
-        ),
-    )
-
-    # ---- ops queries over the sf tables ---------------------------------
-    # PYSEARCH_BENCH_SKIP_OPS=1 (scaling harness): the ops/dd/tx family is
-    # Spark analytics over the sf tables, not the engine under the N-vs-4N
-    # criterion, and it does not feed query_p95_sec (engine queries only) —
-    # skipping it keeps scaling legs dominated by the measured build
+    suite.append(("q_engine_batch8",
+                  lambda: searcher.search_ids_many(
+                      {f"q{i}": q for i, q in enumerate(ENGINE_QUERIES)},
+                      k=10, case_id="7")))
+    # ops queries over the sf tables.  PYSEARCH_BENCH_SKIP_OPS=1 (scaling
+    # harness): the ops/dd/tx family is Spark analytics over the sf tables,
+    # not the engine under the N-vs-4N criterion, and it does not feed
+    # query_p95_sec (engine queries only) — skipping it keeps scaling legs
+    # dominated by the measured build
     if os.environ.get("PYSEARCH_BENCH_SKIP_OPS") != "1":
         from pysearch.ops import OPS
 
         for name in OPS_QUERIES:
             fn, _ = OPS[name]
-            timed_median(f"q_{name}",
-                         lambda fn=fn: fn(spark, SF_DIR).collect())
+            suite.append((f"q_{name}",
+                          lambda fn=fn: fn(spark, SF_DIR).collect()))
+
+    searcher.search_ids("cornucopia", k=10, case_id="7")  # warm caches
+    for _pass in range(repeats):
+        for name, fn in suite:
+            t0 = time.time()
+            fn()
+            samples.setdefault(name, []).append(round(time.time() - t0, 3))
+    for name, _fn in suite:
+        timings[name] = round(statistics.median(samples[name]), 3)
+
+    # linear-interpolated p95 (ADVICE r1: the old index clamped to the max)
+    import numpy as _np
+
+    q_times = [timings[f"q_engine_{i}"] for i in range(len(ENGINE_QUERIES))]
+    p95 = float(_np.percentile(q_times, 95))
 
     total = time.time() - t_all
     spark.stop()
