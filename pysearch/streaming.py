@@ -681,3 +681,63 @@ def foreach_batch_indexer(index_dir: str, compact_every: int = 16,
                 compact_index(spark, index_dir)
 
     return handle
+
+
+def foreach_batch_nrt(index_dir: str, queries: dict, out_dir: str,
+                      k: int = 10, case_id: str = "0", mode: str = "any",
+                      compact_every: int = 16, **build_kwargs):
+    """Serve-then-flush streaming sink: per micro-batch, FIRST answer the
+    query log over index ∪ batch (``search_with_arrivals`` — results
+    available before paying for the flush), write the per-epoch top-k to
+    parquet, THEN append the batch to the index (same ingestion +
+    auto-compaction policy as ``foreach_batch_indexer``).
+
+    Epoch results are idempotent under micro-batch redelivery: a
+    re-delivered batch's rows are already in the index, so the hybrid's
+    append anti-joins collapse the mem side to empty and the index side
+    returns exactly the ranks the original hybrid computed (the flush
+    changed nothing the hybrid hadn't already accounted for) — and the
+    epoch partition is overwritten either way.  The first batch against a
+    missing/empty index is served by the batch-local arrival scorer
+    (``score_arriving_batch`` — there is no corpus to combine with yet),
+    then becomes the initial build."""
+
+    def handle(batch_df, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from pysearch.build import build_index
+        from pysearch.compact import compact_index
+        from pysearch.lineage import IndexLayout
+        from pysearch.query import Searcher
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        layout = IndexLayout(index_dir)
+        if layout.stage_done("finalize"):
+            s = Searcher(spark, index_dir)
+            res = spark.createDataFrame(
+                search_with_arrivals(s, batch_df, queries, k=k,
+                                     case_id=case_id, mode=mode),
+                schema="qid string, url string, score double",
+            )
+        else:
+            serve_df = batch_df
+            if "case_id" in serve_df.columns:
+                # the serve path answers ONE case, like the hybrid
+                serve_df = serve_df.filter(
+                    F.col("case_id").cast("string") == case_id)
+            res = score_arriving_batch(
+                serve_df, queries, k=k, mode=mode,
+                analyzer=build_kwargs.get("analyzer", "en"))
+        (
+            res.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+        build_index(spark, batch_df, index_dir, append=True, **build_kwargs)
+        if compact_every:
+            if len(layout.list_commits(layout.postings)) > compact_every:
+                compact_index(spark, index_dir)
+
+    return handle

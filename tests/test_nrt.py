@@ -131,6 +131,73 @@ def test_nrt_pruning_is_lossless(spark, tmp_path):
     assert len(pruned)
 
 
+def test_foreach_batch_nrt_serve_then_flush(spark, tmp_path):
+    """The serve-then-flush sink: each epoch's parquet holds the query's
+    top-k over everything ingested UP TO AND INCLUDING that micro-batch
+    (epoch 0 batch-local, epoch 1 hybrid over index ∪ batch), and the
+    index afterwards holds the full corpus."""
+    import glob
+
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+    from pysearch.streaming import foreach_batch_nrt
+
+    df = corpus.webtext_df(spark, cases=[(6, "in the realm of", 60, 200)])
+    b0 = df.filter("url <= 'doc://6/0030'")
+    b1 = df.filter("url > 'doc://6/0030'")
+    src = str(tmp_path / "nrt_src")
+    b0.coalesce(1).write.mode("overwrite").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    ix = str(tmp_path / "nrt_sink_ix")
+    out = str(tmp_path / "nrt_sink_out")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(foreach_batch_nrt(
+            ix, {"q": "in the realm of"}, out, k=60, case_id="6",
+            segment_size=16, compact_every=0))
+        .option("checkpointLocation", str(tmp_path / "nrt_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(glob.glob(f"{out}/epoch=*")) == 2
+    res = spark.read.parquet(out)
+    per_epoch = {}
+    for r in res.collect():
+        per_epoch.setdefault(int(r["epoch"]), []).append(
+            (r["url"], float(r["score"])))
+
+    def fresh(which, label):
+        ixf = str(tmp_path / f"nrt_fresh_{label}")
+        build_index(spark, which, ixf, segment_size=16)
+        return sorted(_engine_hits(spark, ixf, "in the realm of", "any",
+                                   k=60))
+
+    # the later epoch saw everything; the earlier one saw exactly its own
+    # batch (k=60 covers every hit, so tie order at the k boundary can't
+    # differ between the append layout and a fresh build)
+    last = max(per_epoch)
+    assert sorted(per_epoch[last]) == fresh(df, "full")
+    first_hits = sorted(per_epoch[min(per_epoch)])
+    assert first_hits in (fresh(b0, "b0"), fresh(b1, "b1"))
+    # and the flushed index now answers with the full corpus
+    s = Searcher(spark, ix)
+    hits = s.search_ids("in the realm of", k=60, case_id="6")
+    url_of = {r["doc_id"]: r["url"]
+              for r in s.docs.select("doc_id", "url").collect()}
+    assert sorted((url_of[i], float(sc))
+                  for i, sc in zip(hits["doc_id"], hits["score"])) \
+        == fresh(df, "full2")
+
+
 def test_nrt_empty_and_dud_batches(spark, tmp_path):
     """An all-duplicate arrival batch (nothing survives the anti-joins)
     must reduce the hybrid to exactly the index-only answer, and a query
