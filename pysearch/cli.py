@@ -54,9 +54,19 @@ def cmd_search(args) -> None:
 
     spark = build_spark(master=args.master, app_name="pysearch-search")
     s = Searcher(spark, args.index)
-    result = s.search(args.query, k=args.k, case_id=args.case_id,
-                      prune=not args.no_prune)
-    result.show(args.k, truncate=80)
+    if args.arrivals:
+        # NRT hybrid: index ∪ the unflushed arrival batch, combined stats
+        from pysearch.streaming import search_with_arrivals
+
+        batch = spark.read.parquet(args.arrivals)
+        res = search_with_arrivals(
+            s, batch, {"q": args.query}, k=args.k, case_id=args.case_id,
+            mode=args.mode, prune=not args.no_prune)
+        print(res[["url", "score"]].to_string(index=False))
+    else:
+        result = s.search(args.query, k=args.k, case_id=args.case_id,
+                          prune=not args.no_prune, mode=args.mode)
+        result.show(args.k, truncate=80)
     spark.stop()
 
 
@@ -140,6 +150,12 @@ def main(argv=None) -> None:
     ps.add_argument("-k", type=int, default=10)
     ps.add_argument("--case-id", default="0")
     ps.add_argument("--no-prune", action="store_true")
+    ps.add_argument("--mode", default="any", choices=["any", "all", "phrase"],
+                    help="match mode (phrase needs --store-positions index)")
+    ps.add_argument("--arrivals", default=None,
+                    help="parquet path of an unflushed arrival batch: "
+                         "NRT hybrid search over index ∪ batch "
+                         "(combined stats; prints url/score)")
     ps.add_argument("--master", default=None)
     ps.set_defaults(fn=cmd_search)
 
