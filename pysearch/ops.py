@@ -742,7 +742,10 @@ def dd_minhash_sigs(spark, sf_dir):
     )
 
 
-@op("dd_minhash_pairs", f"""
+# shared CTE body: MinHash signatures -> banded candidate pairs (bounded to
+# doc_id < 60 so the all-pairs oracle join stays tiny); reused by the
+# dd_minhash_pairs oracle and as the edge set of the dd_dup_clusters oracle
+_MH_PAIRS_CTES = f"""
 {_TOK_CTE},
 terms AS (SELECT DISTINCT doc_id, term FROM tok),
 h AS (SELECT doc_id, t.hash_id,
@@ -754,7 +757,11 @@ pairs AS (
   FROM sig a JOIN sig b ON a.hash_id = b.hash_id AND a.min_hash = b.min_hash
        AND a.doc_id < b.doc_id
   WHERE a.doc_id < 60 AND b.doc_id < 60
-  GROUP BY a.doc_id, b.doc_id)
+  GROUP BY a.doc_id, b.doc_id)"""
+
+
+@op("dd_minhash_pairs", f"""
+{_MH_PAIRS_CTES}
 SELECT a, b, round(n_match / {_N_MINHASH}.0, 4) AS sim_est
 FROM pairs WHERE n_match >= 4 ORDER BY a, b
 """)
@@ -781,6 +788,104 @@ def dd_minhash_pairs(spark, sf_dir):
         .select("a", "b", F.round(F.col("n_match") / float(_N_MINHASH), 4).alias("sim_est"))
         .orderBy("a", "b")
     )
+
+
+def dup_clusters(edges, max_iters: int = 32):
+    """Connected components over an undirected near-dup PAIR list — the
+    step a dedup pipeline needs after pair generation (minhash/simhash
+    band pairs give edges; keep-one-per-cluster needs components).
+
+    ``edges``: DataFrame with long columns (a, b), one row per undirected
+    pair.  Returns (doc_id, cluster_id) for every doc appearing in some
+    pair, cluster_id = the component's minimum doc_id (deterministic
+    canonical representative).
+
+    Scale shape: min-label propagation PLUS pointer jumping per round —
+    each round every node takes min(own label, neighbor labels), then
+    shortcuts to its label's label.  Pointer jumping halves label-tree
+    depth per round, so convergence is O(log n) rounds even on adversarial
+    chain components (plain propagation is O(diameter)); each round is two
+    key-partitioned shuffles of (long, long) rows and the per-round
+    convergence probe is a limit(1) existence check, not a full count.
+    Lineage is truncated per round (localCheckpoint) so the plan stays
+    O(1) deep.  This is the alternating small-star/large-star recipe of
+    the MapReduce connected-components literature, expressed in DataFrame
+    joins."""
+    from pyspark.sql import functions as F
+
+    und = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(
+            edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition("node")
+        .persist()
+    )
+    labels = (
+        und.select("node").distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iters):
+            nbr_min = (
+                und.join(
+                    labels.select(F.col("node").alias("nbr"),
+                                  F.col("lbl").alias("nbr_lbl")), "nbr")
+                .groupBy("node").agg(F.min("nbr_lbl").alias("m"))
+            )
+            stepped = (
+                labels.join(nbr_min, "node", "left")
+                .select("node", F.least("lbl", "m").alias("lbl"))
+            )
+            # pointer jump: follow my label to ITS label (labels are always
+            # node ids, so the self-join hits; left+least keeps roots fixed)
+            jumped = (
+                stepped.join(
+                    stepped.select(F.col("node").alias("lbl"),
+                                   F.col("lbl").alias("lbl2")), "lbl", "left")
+                .select("node", F.least("lbl", "lbl2").alias("lbl"))
+                .localCheckpoint()
+            )
+            changed = (
+                jumped.join(labels.select("node",
+                                          F.col("lbl").alias("old")), "node")
+                .filter(F.col("lbl") != F.col("old"))
+                .limit(1).count()
+            )
+            labels = jumped
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iters} rounds")
+        return labels.select(F.col("node").alias("doc_id"),
+                             F.col("lbl").alias("cluster_id"))
+    finally:
+        und.unpersist()
+
+
+@op("dd_dup_clusters", f"""
+{_MH_PAIRS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
+edges AS (SELECT a, b FROM pairs WHERE n_match >= 4),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+lbl AS (SELECT src AS doc_id, min(dst) AS reach_min FROM reach GROUP BY src)
+SELECT doc_id, least(doc_id, reach_min) AS cluster_id
+FROM lbl ORDER BY doc_id
+""")
+def dd_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS from the MinHash-LSH pair list: connected
+    components with cluster_id = min doc_id per component (dup_clusters'
+    pointer-jumping label propagation), value-checked against a DuckDB
+    recursive-CTE transitive closure over the identical edge set."""
+    from pyspark.sql import functions as F
+
+    edges = dd_minhash_pairs(spark, sf_dir).select("a", "b")
+    return dup_clusters(edges).orderBy("doc_id").select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
 
 
 def gram_pair_counts(grams, n_salts: int = 8, hot_df: int = 64):
