@@ -888,6 +888,42 @@ def dd_dup_clusters(spark, sf_dir):
         "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
 
 
+@op("dd_dedup_survivors", f"""
+{_MH_PAIRS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
+edges AS (SELECT a, b FROM pairs WHERE n_match >= 4),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src)
+SELECT d.doc_id, count(*) OVER () AS n_survivors
+FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+WHERE lbl.doc_id IS NULL OR lbl.cluster_id = d.doc_id
+ORDER BY d.doc_id
+""")
+def dd_dedup_survivors(spark, sf_dir):
+    """The keep-one-per-cluster END of the dedup pipeline: every document
+    either outside any near-dup cluster or its cluster's canonical
+    representative (min doc_id) — pairs → components → surviving corpus,
+    value-checked against the DuckDB recursive-closure oracle.  Scale
+    shape: the cluster frame is O(docs-in-clusters) ≪ corpus, so the final
+    keep-filter is one broadcast-sized left anti-join against the
+    non-canonical members; no corpus-sized shuffle."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dup_clusters(dd_minhash_pairs(spark, sf_dir).select("a", "b"))
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select("doc_id")
+    kept = docs.select("doc_id").join(F.broadcast(drop), "doc_id",
+                                      "left_anti")
+    n = kept.count()
+    return kept.select("doc_id", F.lit(n).cast("long")
+                       .alias("n_survivors")).orderBy("doc_id")
+
+
 def gram_pair_counts(grams, n_salts: int = 8, hot_df: int = 64):
     """|grams(a) ∩ grams(b)| for all doc pairs sharing >= 1 gram, as a
     self-join on the gram key with Zipf-head skew handled explicitly.
