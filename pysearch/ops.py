@@ -1485,9 +1485,80 @@ def tx_fingerprints(spark, sf_dir):
     )
 
 
+# pretrain-filter gates (see pipeline_pretrain_filter): all three bite on
+# the synthetic corpus without zeroing it (sf0.01: 394/408/401 of 500 pass
+# individually, 246 conjunctively)
+_PF_MIN_TOK = 30
+_PF_MIN_UNIQ = 0.35
+_PF_MIN_EN = 0.03
+
+
+@op("pipeline_pretrain_filter", f"""
+{_MH_PAIRS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
+edges AS (SELECT a, b FROM pairs WHERE n_match >= 4),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+s(term) AS (VALUES {_STOPS_SQL}),
+agg AS (SELECT tok.doc_id, count(*) AS n_tok,
+               count(DISTINCT tok.term) AS n_uniq,
+               sum(CASE WHEN s.term IS NOT NULL THEN 1 ELSE 0 END) AS n_stop
+        FROM tok LEFT JOIN s ON tok.term = s.term GROUP BY tok.doc_id)
+SELECT agg.doc_id, agg.n_tok,
+       round(agg.n_uniq / agg.n_tok::DOUBLE, 4) AS uniq_ratio_r,
+       round(agg.n_stop / agg.n_tok::DOUBLE, 4) AS en_score_r
+FROM agg LEFT JOIN lbl ON agg.doc_id = lbl.doc_id
+WHERE (lbl.doc_id IS NULL OR lbl.cluster_id = agg.doc_id)
+  AND agg.n_tok >= {_PF_MIN_TOK}
+  AND agg.n_uniq / agg.n_tok::DOUBLE >= {_PF_MIN_UNIQ}
+  AND agg.n_stop / agg.n_tok::DOUBLE >= {_PF_MIN_EN}
+ORDER BY agg.doc_id
+""")
+def pipeline_pretrain_filter(spark, sf_dir):
+    """The COMPOSED training-data prep flow, end to end in one query:
+    near-dup dedup (minhash pairs → connected components →
+    keep-one-per-cluster) ∩ language gate (stopword-ratio en score) ∩
+    quality gates (token count, type/token ratio) — what a pretraining
+    pipeline actually runs over raw webtext, value-checked as a whole
+    against one DuckDB oracle (recursive-CTE closure + the same gates).
+
+    Scale shape: one token-scan aggregate for all per-doc metrics, the
+    cluster frame is O(docs-in-clusters) ≪ corpus and applied as a
+    broadcast anti-join, gates are row-local filters — no corpus-sized
+    shuffle beyond the per-doc aggregate."""
+    from pyspark.sql import functions as F
+
+    stops = [s.strip("(')") for s in _STOPS_SQL.split("),(")]
+    tok = _tokens(spark, sf_dir)
+    agg = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("term").alias("n_uniq"),
+        F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
+        .alias("n_stop"),
+    )
+    clusters = dup_clusters(dd_minhash_pairs(spark, sf_dir).select("a", "b"))
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select("doc_id")
+    uniq = F.col("n_uniq") / F.col("n_tok").cast("double")
+    en = F.col("n_stop") / F.col("n_tok").cast("double")
+    return (
+        agg.join(F.broadcast(drop), "doc_id", "left_anti")
+        .filter((F.col("n_tok") >= _PF_MIN_TOK)
+                & (uniq >= _PF_MIN_UNIQ) & (en >= _PF_MIN_EN))
+        .select("doc_id", "n_tok",
+                F.round(uniq, 4).alias("uniq_ratio_r"),
+                F.round(en, 4).alias("en_score_r"))
+        .orderBy("doc_id")
+    )
+
 # ---------------------------------------------------------------------------
 # relational coverage (scan/filter/join/agg/window/sort on the star schema)
 # ---------------------------------------------------------------------------
+
 
 @op("rel_q1_pricing", """
 SELECT l_returnflag, l_linestatus,
