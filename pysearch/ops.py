@@ -852,6 +852,12 @@ def dup_clusters(edges, max_iters: int = 32):
                 .filter(F.col("lbl") != F.col("old"))
                 .limit(1).count()
             )
+            # release the previous round's checkpoint blocks — otherwise
+            # executor storage grows O(rounds)
+            try:
+                labels.unpersist()
+            except Exception:
+                pass
             labels = jumped
             if changed == 0:
                 break
