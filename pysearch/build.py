@@ -760,7 +760,24 @@ def _write_corpus_stats_from_term_stats(spark, layout: IndexLayout) -> None:
     )
     staging = layout.staging_dir("corpus_stats")
     corpus_stats.coalesce(1).write.mode("overwrite").parquet(staging)
-    layout.commit_batch(staging, layout.corpus_stats, 0, replace=True)
+    if layout.read_manifest().get("snapshot_version"):
+        # rotate instead of replace: corpus_stats is the one table a
+        # finalize REWRITES (n_docs/avgdl are whole-corpus values, not
+        # additive), so committing it as the NEXT generation keeps every
+        # archived snapshot reading the stats it was taken with
+        # (time-travel correctness; scores depend on avgdl/n_docs).  A
+        # crash between the tree write and the pointer bump leaves the
+        # tree unreferenced — recover_compaction discards it.
+        import shutil
+
+        new_gen = int(layout._generations().get("corpus_stats", 0)) + 1
+        tdir = layout.table_path("corpus_stats", new_gen)
+        shutil.rmtree(tdir, ignore_errors=True)
+        os.makedirs(tdir, exist_ok=True)
+        os.rename(staging, os.path.join(tdir, "commit-00000"))
+        layout.bump_generation("corpus_stats", new_gen)
+    else:
+        layout.commit_batch(staging, layout.corpus_stats, 0, replace=True)
 
 
 def build_finalize_stage(spark, layout: IndexLayout) -> None:
@@ -826,6 +843,7 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
         "wall_sec": time.time() - t0,
     }])
     layout.mark_stage("finalize", folded=_postings_disk_batches(layout))
+    layout.commit_snapshot()  # archive as a numbered time-travel snapshot
 
 
 def build_finalize_delta(spark, layout: IndexLayout) -> None:
@@ -880,6 +898,7 @@ def build_finalize_delta(spark, layout: IndexLayout) -> None:
         "status": "done", "wall_sec": time.time() - t0,
     }])
     layout.mark_stage("finalize", folded=sorted(folded | set(new)))
+    layout.commit_snapshot()  # archive as a numbered time-travel snapshot
 
 
 # --------------------------------------------------------------------------
@@ -1009,11 +1028,11 @@ def _append_index(spark, webtext_df, layout: IndexLayout,
     n_buckets = int(m["n_buckets"])
     analyzer = m.get("analyzer", "en")
     store_positions = bool(m.get("positions", False))
-    # a crashed compaction swap must be finished (or its staging discarded)
-    # BEFORE any batch bookkeeping runs: half-swapped tables alias batch
-    # numbers against stale lineage, which silently mis-drives the orphan
-    # GC below.  After the sweep, fail fast if lineage still references
-    # postings batches absent on disk.
+    # a crashed compaction's staged (uncommitted) generation trees must be
+    # discarded BEFORE any batch bookkeeping runs; after the sweep, fail
+    # fast if lineage still references postings batches absent on disk.
+    # (Committed compactions need no recovery: the snapshot flip is one
+    # atomic manifest write — see pysearch/compact.py.)
     from pysearch.compact import check_consistent, recover_compaction
 
     recover_compaction(layout)

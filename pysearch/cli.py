@@ -53,7 +53,7 @@ def cmd_search(args) -> None:
     from pysearch.session import build_spark
 
     spark = build_spark(master=args.master, app_name="pysearch-search")
-    s = Searcher(spark, args.index)
+    s = Searcher(spark, args.index, at_version=args.at_version)
     if args.arrivals:
         # NRT hybrid: index ∪ the unflushed arrival batch, combined stats
         from pysearch.streaming import search_with_arrivals
@@ -97,7 +97,8 @@ def cmd_compact_index(args) -> None:
     from pysearch.session import build_spark
 
     spark = build_spark(master=args.master, app_name="pysearch-compact")
-    done = compact_index(spark, args.index)
+    done = compact_index(spark, args.index,
+                         retain_previous=not args.no_retain)
     spark.stop()
     purged = done.pop("purged_docs", None)
     if purged is not None:
@@ -107,6 +108,20 @@ def cmd_compact_index(args) -> None:
             print(f"compacted {table}: {n} commits -> 1")
     elif purged is None:
         print("nothing to compact")
+
+
+def cmd_expire_generations(args) -> None:
+    """Remove retained pre-current snapshot generations (no Spark needed —
+    pure directory maintenance)."""
+    from pysearch.compact import expire_generations
+    from pysearch.lineage import IndexLayout
+
+    removed = expire_generations(IndexLayout(args.index))
+    if removed:
+        for p in removed:
+            print(f"expired {p}")
+    else:
+        print("nothing to expire")
 
 
 def cmd_delete_docs(args) -> None:
@@ -156,6 +171,10 @@ def main(argv=None) -> None:
                     help="parquet path of an unflushed arrival batch: "
                          "NRT hybrid search over index ∪ batch "
                          "(combined stats; prints url/score)")
+    ps.add_argument("--at-version", type=int, default=None,
+                    help="time-travel: search the archived snapshot with "
+                         "this version number (appends/deletes/compactions "
+                         "since are invisible)")
     ps.add_argument("--master", default=None)
     ps.set_defaults(fn=cmd_search)
 
@@ -178,8 +197,19 @@ def main(argv=None) -> None:
     pc = sub.add_parser("compact-index",
                         help="collapse append commit batches into one")
     pc.add_argument("--index", required=True)
+    pc.add_argument("--no-retain", action="store_true",
+                    help="drop the superseded snapshot generation "
+                    "immediately (default retains it so in-flight readers "
+                    "survive the compaction)")
     pc.add_argument("--master", default=None)
     pc.set_defaults(fn=cmd_compact_index)
+
+    pe = sub.add_parser(
+        "expire-generations",
+        help="remove retained pre-current snapshot generations "
+        "(Iceberg expire_snapshots analog; run in a maintenance window)")
+    pe.add_argument("--index", required=True)
+    pe.set_defaults(fn=cmd_expire_generations)
 
     pd_ = sub.add_parser(
         "delete-docs",

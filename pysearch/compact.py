@@ -16,144 +16,123 @@ reference has no analog because its index is a single serial file — this is
 the maintenance operation its model never needs but a distributed
 commit-log layout does.
 
-Crash safety — cross-TABLE atomicity via a write-ahead swap marker
-(r2 ADVICE: per-table swaps alone leave a half-swapped index that aliases
-batch numbers if an append runs before recovery):
+Crash safety AND snapshot isolation via generation directories (r4: the
+previous protocol renamed the live table trees into place, which was
+crash-safe behind a write-ahead swap marker but broke readers whose Spark
+plans had already resolved file paths under the old trees — the ADVICE-r3
+serve-while-ingest FileNotFound window):
 
-1. consolidated trees are staged per table as ``<table>.compact`` with the
-   live index untouched (heavy, restartable);
-2. a marker file ``_compact_swap.json`` listing the tables to swap is
-   written atomically — this is the commit point;
-3. tables are swapped in with two renames each; the marker is removed last.
+1. consolidated trees are staged per table as the table's NEXT generation
+   (``<table>.gN`` — see ``IndexLayout.table_path``) with the live index
+   untouched (heavy, restartable);
+2. ONE atomic manifest write flips the per-table ``generations`` pointers
+   and carries every dependent bookkeeping update (delta-finalize fold
+   re-pin, post-purge doc counts, tombstone clear) — this is the commit
+   point, the local-parquet analog of an Iceberg snapshot commit.  There
+   is no multi-step swap and therefore no swap marker: a crash before the
+   write leaves the staged trees unreferenced (discarded by recovery); a
+   crash after it leaves a fully consistent index.
+3. the PREVIOUS generation is retained on disk (``retain_previous=True``),
+   so a live ``Searcher`` — or any reader mid-scan — keeps reading the
+   files its plan resolved; its next search detects the manifest change
+   and refreshes onto the new generation (``Searcher._check_fresh``).
+   Storage is bounded at <= 2 generations; ``expire_generations`` (or the
+   next compaction) removes older trees, like Iceberg's expire_snapshots.
 
-Recovery (``recover_compaction``) is driven by the marker: present means the
-swap was committed, so every listed table's swap is FINISHED (idempotent
-per-table state machine in ``_finish_swap``); absent means any leftover
-``.compact``/``.old`` trees belong to an uncommitted run and are discarded.
-``build_index(append=True)`` runs this sweep before touching the index, so a
-crashed compaction can never alias batch numbers against stale lineage.
-Compaction is offline maintenance — run it without concurrent readers, like
-any snapshot-expire/rewrite job.
+Recovery (``recover_compaction``) discards staged generations NEWER than
+the manifest's committed pointer — leftovers of an uncommitted run.
+``build_index(append=True)`` runs this sweep before touching the index, so
+a crashed compaction can never alias batch numbers against stale lineage
+(staged trees are invisible to ``next_batch``/``read_commits``, which
+resolve through the committed pointer).
 """
 
 from __future__ import annotations
 
 import datetime as _dt
-import json
 import os
 import shutil
 import time
-import uuid
 
-from pysearch.lineage import IndexLayout
-
-SWAP_MARKER = "_compact_swap.json"
-
-
-def _marker_path(layout: IndexLayout) -> str:
-    return os.path.join(layout.root, SWAP_MARKER)
-
-
-def _write_marker(layout: IndexLayout, tables: list[str],
-                  manifest_updates: dict | None = None) -> None:
-    """``manifest_updates`` rides IN the marker so a crash mid-swap replays
-    them from recovery (same protocol as the fold re-pin): ``case_counts``
-    (post-purge per-case doc counts) and ``clear_tombstones``."""
-    tmp = _marker_path(layout) + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump({"tables": tables,
-                   "manifest_updates": manifest_updates or {}}, f)
-    os.replace(tmp, _marker_path(layout))
-
-
-def _apply_manifest_updates(layout: IndexLayout, updates: dict) -> None:
-    """Idempotently apply marker-carried manifest updates (purge
-    bookkeeping) — called inside the marker window in both the normal and
-    the recovery path."""
-    if not updates:
-        return
-    m = layout.read_manifest()
-    if "case_counts" in updates:
-        docs_stage = m.setdefault("stages", {}).setdefault("docs", {})
-        docs_stage["case_counts"] = updates["case_counts"]
-        docs_stage["n_docs"] = sum(updates["case_counts"].values())
-    if updates.get("clear_tombstones"):
-        m.pop("tombstones", None)
-    layout.write_manifest(m)
-
-
-def _finish_swap(table_dir: str) -> None:
-    """Idempotently drive one table's swap to completion.  Valid only when
-    the swap was COMMITTED (marker present): a ``.compact`` tree here is the
-    new truth and must be installed, whatever rename the crash interrupted."""
-    compact, old = table_dir + ".compact", table_dir + ".old"
-    if os.path.isdir(compact):
-        if os.path.isdir(table_dir):
-            os.rename(table_dir, old)
-        os.rename(compact, table_dir)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-
-
-def _discard_staging(table_dir: str) -> None:
-    """Drop leftovers of an UNcommitted run (no marker): the live table is
-    intact and authoritative; staged trees may be stale."""
-    for d in (table_dir + ".compact", table_dir + ".old"):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-
-
-def _all_tables(layout: IndexLayout) -> list[str]:
-    return [layout.docs, layout.doc_map, layout.postings,
-            layout.term_stats, layout.corpus_stats, layout.lineage,
-            layout.tombstones]
+from pysearch.lineage import TABLES, IndexLayout
 
 
 def recover_compaction(layout: IndexLayout) -> str | None:
-    """Finish a committed-but-interrupted compaction swap, or discard an
-    uncommitted one.  Returns ``"finished"`` / ``"discarded"`` / ``None``
-    (nothing to do).  Safe to call any time the index is quiescent; append
-    and streaming ingestion call it before touching the index."""
-    marker = _marker_path(layout)
-    if os.path.exists(marker):
-        with open(marker) as f:
-            mk = json.load(f)
-        tables = mk["tables"]
-        for name in tables:
-            _finish_swap(os.path.join(layout.root, name))
-        # tables not in the marker may still hold uncommitted staging
-        listed = {os.path.join(layout.root, n) for n in tables}
-        for t in _all_tables(layout):
-            if t not in listed:
-                _discard_staging(t)
-        # the committed lineage/batch renumbering is now fully installed;
-        # re-pin the finalize fold bookkeeping (and any purge manifest
-        # updates the marker carries) to the consolidated batch BEFORE
-        # dropping the marker: a crash between the steps leaves the marker
-        # in place, so the next recovery re-runs all idempotent steps.
-        # (The reverse order left a window where folded still listed
-        # pre-compaction batch numbers that the next append would reuse,
-        # silently skipping their term_stats delta commits.)
-        _apply_manifest_updates(layout, mk.get("manifest_updates", {}))
-        _mark_folded_consolidated(layout)
-        os.remove(marker)
-        return "finished"
-    leftovers = False
-    for t in _all_tables(layout):
-        if os.path.isdir(t + ".compact") or os.path.isdir(t + ".old"):
-            leftovers = True
-            _discard_staging(t)
-    return "discarded" if leftovers else None
+    """Discard staged-but-uncommitted compaction generations (trees newer
+    than the manifest's committed pointer).  Returns ``"discarded"`` or
+    ``None`` (nothing to do).  Committed state is never touched — the
+    atomic manifest write either happened (index fully consistent) or it
+    didn't (staged trees unreferenced).  Safe to call any time; append and
+    streaming ingestion call it before touching the index."""
+    dropped = False
+    for name in TABLES:
+        cur = int(layout._generations().get(name, 0))
+        for gen, path in layout.generation_paths(name).items():
+            if gen > cur:
+                shutil.rmtree(path, ignore_errors=True)
+                dropped = True
+    return "discarded" if dropped else None
 
 
-def _mark_folded_consolidated(layout: IndexLayout) -> None:
-    """After a swap that renumbered postings to batch 0, the delta-finalize
-    fold set must reference the consolidated batch only."""
-    m = layout.read_manifest()
-    fin = m.get("stages", {}).get("finalize")
-    if fin and fin.get("done"):
-        fin["folded"] = [0]
-        layout.write_manifest(m)
+def expire_generations(layout: IndexLayout,
+                       keep: int | None = None) -> list[str]:
+    """Remove retained PRE-current generation trees (Iceberg
+    expire_snapshots analog).  ``keep`` retains the single generation with
+    that exact number per table when it is below current (compact_index
+    passes the just-superseded generation so in-flight readers survive).
+    Returns the removed paths.  Run without ``keep`` during a maintenance
+    window to drop storage to exactly one generation per table."""
+    removed = []
+    for name in TABLES:
+        cur = int(layout._generations().get(name, 0))
+        for gen, path in layout.generation_paths(name).items():
+            if gen < cur and gen != keep:
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+    prune_dangling_snapshots(layout)
+    return removed
+
+
+def prune_dangling_snapshots(layout: IndexLayout) -> list[int]:
+    """Delete archived snapshot manifests whose referenced generation
+    trees or commit batches no longer exist (their data was expired by the
+    retention sweep / ``expire_generations``) — so ``snapshots()`` never
+    advertises an unreadable version.  Returns the pruned version numbers.
+    This is the inverse of Iceberg's expire_snapshots ordering (there,
+    snapshot expiry drives data GC); with bounded 2-generation retention
+    as the default, data expiry drives snapshot pruning instead."""
+    import json
+
+    pruned = []
+    for v in layout.snapshots():
+        p = f"{layout.manifest_path}.v{v}"
+        try:
+            with open(p) as f:
+                snap = json.load(f)
+        except (OSError, ValueError):
+            os.remove(p)
+            pruned.append(v)
+            continue
+        gens = snap.get("generations", {})
+        ok = True
+        for name, batches in snap.get("snapshot_commits", {}).items():
+            if not batches:
+                continue
+            g = int(gens.get(name, 0))
+            base = os.path.join(layout.root, name)
+            d = base if g == 0 else f"{base}.g{g}"
+            have = {
+                int(c.split("-", 1)[1]) for c in (
+                    os.listdir(d) if os.path.isdir(d) else [])
+                if c.startswith("commit-")
+            }
+            if not set(int(b) for b in batches) <= have:
+                ok = False
+                break
+        if not ok:
+            os.remove(p)
+            pruned.append(v)
+    return pruned
 
 
 def check_consistent(spark, layout: IndexLayout) -> None:
@@ -262,7 +241,8 @@ def _purge_blocks_transform(tomb_by_case: dict):
     return run
 
 
-def compact_index(spark, index_dir: str) -> dict:
+def compact_index(spark, index_dir: str,
+                  retain_previous: bool = True) -> dict:
     """Consolidate every multi-commit table of a COMPLETE index, and
     physically PURGE any pending tombstoned deletes (delete.delete_docs).
 
@@ -273,14 +253,19 @@ def compact_index(spark, index_dir: str) -> dict:
     incomplete — compacting mid-build would race the builder's resume
     bookkeeping.
 
+    The rewrite commits as a generation flip (one atomic manifest write;
+    module docstring).  ``retain_previous=True`` (default) keeps the
+    superseded generation on disk so concurrent readers' resolved plans
+    keep working — compaction is safe under live Searchers; pass False (or
+    run ``expire_generations`` later) to drop to one generation per table.
+
     The purge rewrites docs/doc_map without the deleted rows, re-encodes
     posting blocks without the deleted ids, recomputes term_stats AND
     corpus_stats exactly from the purged blocks (the same arithmetic as a
     fresh build's finalize, so post-purge scores are bit-identical to a
     fresh build of the surviving corpus — pinned by test), re-pins the
     manifest's per-case doc counts, and empties the tombstones table — all
-    within the same crash-safe swap-marker window (the manifest updates
-    ride in the marker and are replayed by recovery)."""
+    carried by the same single manifest commit."""
     from pyspark.sql import functions as F
 
     from pysearch.schema import DOCS, POSTING_BLOCKS, TERM_STATS
@@ -295,18 +280,26 @@ def compact_index(spark, index_dir: str) -> dict:
     tomb_pdf = tomb.toPandas() if tomb is not None else None
     purge = tomb_pdf is not None and len(tomb_pdf) > 0
 
+    gens = dict(layout._generations())
+
+    def _stage_root(name: str) -> str:
+        """Commit-00000 target inside ``name``'s NEXT generation tree."""
+        return os.path.join(
+            layout.table_path(name, int(gens.get(name, 0)) + 1),
+            "commit-00000")
+
     # per table: schema, partition columns, within-partition sort (mirrors
     # the build's write layout so parquet row-group pruning keeps working)
     plan = {}
-    for t, schema, parts, sort in (
-        (layout.docs, DOCS, ["case_id"], ["doc_id"]),
-        (layout.doc_map, None, ["case_id"], ["doc_id"]),
-        (layout.postings, POSTING_BLOCKS, ["term_bucket"],
+    for name, schema, parts, sort in (
+        ("docs", DOCS, ["case_id"], ["doc_id"]),
+        ("doc_map", None, ["case_id"], ["doc_id"]),
+        ("postings", POSTING_BLOCKS, ["term_bucket"],
          ["case_id", "term", "segment_id", "block_id"]),
     ):
-        n = len(layout.list_commits(t))
+        n = len(layout.list_commits(layout.table_path(name)))
         if n > 1 or purge:
-            plan[t] = (schema, parts, sort, n)
+            plan[name] = (schema, parts, sort, n)
     n_tstats = len(layout.list_commits(layout.term_stats))
     n_lineage = len(layout.list_commits(layout.lineage))
     if not plan and n_tstats <= 1 and n_lineage <= 1:
@@ -321,11 +314,13 @@ def compact_index(spark, index_dir: str) -> dict:
             tomb_by_case[str(cid)] = np.unique(
                 grp["doc_id"].to_numpy(np.int64))
 
-    # 1. stage consolidated trees (heavy, restartable, index untouched)
-    for t, (schema, parts, sort, _n) in plan.items():
-        df = layout.read_commits(spark, t, schema=schema)
+    # 1. stage consolidated trees as next-generation dirs (heavy,
+    #    restartable, live index untouched and still fully readable)
+    for name, (schema, parts, sort, _n) in plan.items():
+        df = layout.read_commits(spark, layout.table_path(name),
+                                 schema=schema)
         if purge:
-            if t == layout.postings:
+            if name == "postings":
                 df = df.mapInPandas(_purge_blocks_transform(tomb_by_case),
                                     schema=POSTING_BLOCKS)
             else:
@@ -338,8 +333,9 @@ def compact_index(spark, index_dir: str) -> dict:
             .sortWithinPartitions(*parts, *sort)
             .write.mode("overwrite")
             .partitionBy(*parts)
-            .parquet(os.path.join(t + ".compact", "commit-00000"))
+            .parquet(_stage_root(name))
         )
+    counts = None
     if purge:
         # exact stats recompute from the PURGED blocks — identical
         # arithmetic to build_finalize_stage (df=sum n, cf=sum sum_tf;
@@ -349,7 +345,7 @@ def compact_index(spark, index_dir: str) -> dict:
         from pysearch.build import _term_stats_of
 
         staged = spark.read.parquet(
-            os.path.join(layout.postings + ".compact", "commit-00000")
+            _stage_root("postings")
         ).withColumn("case_id", F.col("case_id").cast("string")).withColumn(
             "term_bucket", F.col("term_bucket").cast("int"))
         (
@@ -358,11 +354,10 @@ def compact_index(spark, index_dir: str) -> dict:
             .sortWithinPartitions("term_bucket", "case_id", "term")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
-            .parquet(os.path.join(layout.term_stats + ".compact",
-                                  "commit-00000"))
+            .parquet(_stage_root("term_stats"))
         )
         staged_docs = spark.read.parquet(
-            os.path.join(layout.docs + ".compact", "commit-00000")
+            _stage_root("docs")
         ).withColumn("case_id", F.col("case_id").cast("string"))
         counts = {
             str(r["case_id"]): int(r["n"]) for r in
@@ -380,12 +375,12 @@ def compact_index(spark, index_dir: str) -> dict:
             .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
             .filter(F.col("n_docs") > 0)
             .coalesce(1).write.mode("overwrite")
-            .parquet(os.path.join(layout.corpus_stats + ".compact",
-                                  "commit-00000"))
+            .parquet(_stage_root("corpus_stats"))
         )
-        # empty staging for the tombstones table: the swap installs a
-        # commit-less tree, i.e. "no pending deletes"
-        os.makedirs(layout.tombstones + ".compact", exist_ok=True)
+        # empty next-generation tombstones tree: the flip installs a
+        # commit-less table, i.e. "no pending deletes"
+        os.makedirs(layout.table_path(
+            "tombstones", int(gens.get("tombstones", 0)) + 1), exist_ok=True)
     elif n_tstats > 1:
         # delta finalize appends one stats commit per postings batch; the
         # consolidated table SUMS them (df/cf are additive per term)
@@ -399,8 +394,7 @@ def compact_index(spark, index_dir: str) -> dict:
             .sortWithinPartitions("term_bucket", "case_id", "term")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
-            .parquet(os.path.join(layout.term_stats + ".compact",
-                                  "commit-00000"))
+            .parquet(_stage_root("term_stats"))
         )
 
     # 2. consolidated lineage: same history, but done docs/postings rows
@@ -424,34 +418,57 @@ def compact_index(spark, index_dir: str) -> dict:
         time.time() - t0, _dt.datetime.now(_dt.timezone.utc),
     )], schema=LINEAGE)
     remapped.unionByName(event).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(layout.lineage + ".compact", "commit-00000")
+        os.path.join(_stage_root("lineage"))
     )
 
-    # 3. commit point: write-ahead marker naming every table to swap, then
-    #    the swaps themselves (cheap renames), then drop the marker.  A
-    #    crash anywhere in this window is finished by recover_compaction —
-    #    the marker makes the multi-table swap atomic-on-recovery.
-    swap_tables = list(plan) + [layout.lineage]
+    # 3. commit point: ONE atomic manifest write flips every rewritten
+    #    table's generation pointer and applies all dependent bookkeeping.
+    #    Before it, the staged trees are unreferenced (recovery discards
+    #    them); after it, the index is fully consistent — no intermediate
+    #    state exists, so no write-ahead marker is needed.
+    bumped = list(plan) + ["lineage"]
     if purge:
-        swap_tables += [layout.term_stats, layout.corpus_stats,
-                        layout.tombstones]
+        bumped += ["term_stats", "corpus_stats", "tombstones"]
     elif n_tstats > 1:
-        swap_tables.append(layout.term_stats)
-    updates = ({"case_counts": counts, "clear_tombstones": True}
-               if purge else {})
-    _write_marker(layout, [os.path.basename(t) for t in swap_tables],
-                  manifest_updates=updates)
-    for t in swap_tables:
-        _finish_swap(t)
-    # fold re-pin and purge manifest updates happen INSIDE the marker
-    # window (all idempotent): a crash before the marker removal re-runs
-    # them via recover_compaction, so the manifest can never pair a
-    # consolidated postings table with a stale pre-compaction fold set or
-    # pre-purge doc counts.
-    _apply_manifest_updates(layout, updates)
-    _mark_folded_consolidated(layout)
-    os.remove(_marker_path(layout))
-    out = {os.path.basename(t): n for t, (_s, _p, _sort, n) in plan.items()}
+        bumped.append("term_stats")
+    old_gen = {name: int(gens.get(name, 0)) for name in bumped}
+    m = layout.read_manifest()
+    mgens = m.setdefault("generations", {})
+    for name in bumped:
+        mgens[name] = old_gen[name] + 1
+    if purge:
+        docs_stage = m.setdefault("stages", {}).setdefault("docs", {})
+        docs_stage["case_counts"] = counts
+        docs_stage["n_docs"] = sum(counts.values())
+        m.pop("tombstones", None)
+    fin = m.get("stages", {}).get("finalize")
+    if fin and fin.get("done"):
+        # postings were renumbered to the consolidated batch 0, so the
+        # delta-finalize fold set must reference only it (same write — a
+        # stale fold set could never pair with the new generation)
+        fin["folded"] = [0]
+    layout.commit_snapshot(m)  # atomic flip + time-travel archive
+
+    # 4. retention: keep each table's current generation plus the highest
+    #    one below it (the snapshot in-flight readers may still be
+    #    scanning); drop anything older.  Swept over ALL tables, not just
+    #    the ones this compaction rewrote — appends rotate corpus_stats to
+    #    a new generation per finalize (time-travel correctness), so the
+    #    compaction is also where that accumulation gets bounded.  With
+    #    retain_previous=False exactly one generation per table survives.
+    for name in TABLES:
+        gens_on_disk = layout.generation_paths(name)
+        cur = int(layout._generations().get(name, 0))
+        below = [g for g in gens_on_disk if g < cur]
+        keep = {cur}
+        if retain_previous and below:
+            keep.add(max(below))
+        for g, p in gens_on_disk.items():
+            if g not in keep:
+                shutil.rmtree(p, ignore_errors=True)
+    prune_dangling_snapshots(layout)
+
+    out = {name: n for name, (_s, _p, _sort, n) in plan.items()}
     if n_tstats > 1:
         out["term_stats"] = n_tstats
     if purge:

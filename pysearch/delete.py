@@ -20,7 +20,8 @@ commit-batch tables:
 2. ``compact.compact_index`` physically purges: filters docs/doc_map,
    decodes + re-encodes posting blocks without the deleted ids, recomputes
    term_stats/corpus_stats exactly, and empties the tombstones table — all
-   inside the existing crash-safe swap-marker protocol.  After the purge,
+   committed as one atomic snapshot generation flip (compact.py).  After
+   the purge,
    ranks AND scores are bit-identical to a fresh build of the surviving
    corpus (pinned by test).
 
@@ -114,10 +115,11 @@ def delete_docs(spark, index_dir: str, *, urls: list[str] | None = None,
         "batch": 0, "status": "done", "n_rows": n,
         "wall_sec": time.time() - t0,
     }])
-    # manifest bump = the staleness signal live Searchers key on
+    # manifest bump = the staleness signal live Searchers key on; the
+    # snapshot commit also archives this state for time-travel reads
     m = layout.read_manifest()
     tomb = m.setdefault("tombstones", {})
     tomb["pending"] = int(tomb.get("pending", 0)) + n
     tomb["ts"] = _dt.datetime.now(_dt.timezone.utc).isoformat()
-    layout.write_manifest(m)
+    layout.commit_snapshot(m)
     return n

@@ -29,17 +29,169 @@ def _has_parquet(commit_dir: str) -> bool:
     return False
 
 
+#: logical table names of an index, in no particular order
+TABLES = ("docs", "doc_map", "postings", "term_stats", "corpus_stats",
+          "lineage", "tombstones")
+
+
 class IndexLayout:
-    def __init__(self, root: str):
+    """Path layout + manifest of one index directory.
+
+    Table paths are **generation-aware**: the manifest's ``generations``
+    map records each table's current generation (absent == 0).  Generation
+    0 lives at ``<root>/<table>``; generation N>=1 at ``<root>/<table>.gN``.
+    Compaction stages consolidated trees as the NEXT generation and commits
+    them with a single atomic manifest write (the local-parquet analog of
+    an Iceberg snapshot commit) — prior generations stay on disk until
+    ``expire_generations``, so readers whose plans resolved files under an
+    older generation keep working through a compaction (snapshot
+    isolation; see pysearch.compact)."""
+
+    def __init__(self, root: str, at_version: int | None = None):
+        """``at_version`` pins this layout READ-ONLY to an archived
+        snapshot (``commit_snapshot``): the manifest, generation pointers,
+        and per-table commit sets are the ones recorded at that version —
+        Iceberg time-travel.  Mutating methods raise.  A pinned snapshot
+        stays readable as long as the generations/commits it references
+        exist on disk (appends are additive and compaction retains the
+        superseded generation, so recent snapshots survive; see
+        ``compact.expire_generations``)."""
         self.root = root
         self.manifest_path = os.path.join(root, "manifest.json")
-        self.docs = os.path.join(root, "docs")
-        self.doc_map = os.path.join(root, "doc_map")
-        self.postings = os.path.join(root, "postings")
-        self.term_stats = os.path.join(root, "term_stats")
-        self.corpus_stats = os.path.join(root, "corpus_stats")
-        self.lineage = os.path.join(root, "lineage")
-        self.tombstones = os.path.join(root, "tombstones")
+        self._manifest_stat = None
+        self._gens: dict = {}
+        self.at_version = None if at_version is None else int(at_version)
+        self._pinned: dict | None = None
+        if self.at_version is not None:
+            p = f"{self.manifest_path}.v{self.at_version}"
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"no snapshot v{self.at_version} at {self.root} "
+                    f"(available: {self.snapshots() or 'none'})"
+                )
+            with open(p) as f:
+                self._pinned = json.load(f)
+
+    def snapshots(self) -> list[int]:
+        """Versions with an archived manifest, ascending."""
+        prefix = os.path.basename(self.manifest_path) + ".v"
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            int(d[len(prefix):]) for d in os.listdir(self.root)
+            if d.startswith(prefix) and d[len(prefix):].isdigit()
+        )
+
+    def _assert_mutable(self) -> None:
+        if self._pinned is not None:
+            raise RuntimeError(
+                f"layout is pinned read-only to snapshot v{self.at_version} "
+                f"of {self.root}; construct without at_version to mutate"
+            )
+
+    def commit_snapshot(self, manifest: dict | None = None) -> int:
+        """Record the current COMPLETE index state as an immutable numbered
+        snapshot (the Iceberg snapshot-log analog): stamps the manifest
+        with ``snapshot_version`` and the per-table commit sets it covers,
+        writes it (atomic — THE commit point for callers that pass their
+        mutated ``manifest``), and archives a copy as
+        ``manifest.json.v<N>`` for time-travel reads
+        (``IndexLayout(root, at_version=N)``).  Called at every mutation
+        commit point: build/append finalize, delete_docs, compact_index."""
+        import shutil as _sh
+
+        self._assert_mutable()
+        m = self.read_manifest() if manifest is None else manifest
+        v = int(m.get("snapshot_version", 0)) + 1
+        m["snapshot_version"] = v
+        m["snapshot_ts"] = _utcnow().isoformat()
+        gens = m.get("generations", {})
+        commits = {}
+        for name in TABLES:
+            g = int(gens.get(name, 0))
+            base = os.path.join(self.root, name)
+            d = base if g == 0 else f"{base}.g{g}"
+            commits[name] = [
+                int(c.split("-", 1)[1]) for c in sorted(os.listdir(d))
+                if c.startswith("commit-")
+            ] if os.path.isdir(d) else []
+        m["snapshot_commits"] = commits
+        self.write_manifest(m)
+        _sh.copyfile(self.manifest_path, f"{self.manifest_path}.v{v}")
+        return v
+
+    def bump_generation(self, name: str, gen: int) -> None:
+        """Point ``name`` at generation ``gen`` (atomic manifest write).
+        The caller must have fully written the new generation tree first —
+        before this write it is invisible (recovery discards trees newer
+        than the committed pointer)."""
+        self._assert_mutable()
+        m = self.read_manifest()
+        m.setdefault("generations", {})[name] = int(gen)
+        self.write_manifest(m)
+
+    def _generations(self) -> dict:
+        """Current per-table generation map, cached on the manifest stat
+        (every index mutation rewrites the manifest via atomic replace)."""
+        if self._pinned is not None:
+            return self._pinned.get("generations", {})
+        try:
+            st = os.stat(self.manifest_path)
+            sig = (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            sig = None
+        if sig != self._manifest_stat:
+            self._gens = self.read_manifest().get("generations", {})
+            self._manifest_stat = sig
+        return self._gens
+
+    def table_path(self, name: str, gen: int | None = None) -> str:
+        """Path of ``name``'s generation ``gen`` (default: current)."""
+        if gen is None:
+            gen = int(self._generations().get(name, 0))
+        base = os.path.join(self.root, name)
+        return base if gen == 0 else f"{base}.g{gen}"
+
+    def generation_paths(self, name: str) -> dict[int, str]:
+        """All on-disk generation trees of ``name``, as {gen: path}."""
+        out = {}
+        base = os.path.join(self.root, name)
+        if os.path.isdir(base):
+            out[0] = base
+        prefix = f"{name}.g"
+        if os.path.isdir(self.root):
+            for d in os.listdir(self.root):
+                if d.startswith(prefix) and d[len(prefix):].isdigit():
+                    out[int(d[len(prefix):])] = os.path.join(self.root, d)
+        return out
+
+    @property
+    def docs(self) -> str:
+        return self.table_path("docs")
+
+    @property
+    def doc_map(self) -> str:
+        return self.table_path("doc_map")
+
+    @property
+    def postings(self) -> str:
+        return self.table_path("postings")
+
+    @property
+    def term_stats(self) -> str:
+        return self.table_path("term_stats")
+
+    @property
+    def corpus_stats(self) -> str:
+        return self.table_path("corpus_stats")
+
+    @property
+    def lineage(self) -> str:
+        return self.table_path("lineage")
+
+    @property
+    def tombstones(self) -> str:
+        return self.table_path("tombstones")
 
     def read_tombstones(self, spark):
         """The pending (case_id, doc_id) delete set — empty DataFrame when
@@ -52,12 +204,15 @@ class IndexLayout:
 
     # -- manifest ---------------------------------------------------------
     def read_manifest(self) -> dict:
+        if self._pinned is not None:
+            return json.loads(json.dumps(self._pinned))  # callers mutate
         if not os.path.exists(self.manifest_path):
             return {}
         with open(self.manifest_path) as f:
             return json.load(f)
 
     def write_manifest(self, manifest: dict) -> None:
+        self._assert_mutable()
         os.makedirs(self.root, exist_ok=True)
         tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -94,6 +249,7 @@ class IndexLayout:
         ``replace=True`` overwrites a stale dir left by a crash between a
         stage's commit and its manifest mark (stage reruns are whole-stage,
         so the stale data is unreferenced)."""
+        self._assert_mutable()
         os.makedirs(table_dir, exist_ok=True)
         final = os.path.join(table_dir, f"commit-{batch:05d}")
         if os.path.exists(final):
@@ -168,11 +324,25 @@ class IndexLayout:
     def list_commits(self, table_dir: str) -> list[str]:
         if not os.path.isdir(table_dir):
             return []
-        return sorted(
+        out = sorted(
             os.path.join(table_dir, d)
             for d in os.listdir(table_dir)
             if d.startswith("commit-")
         )
+        if self._pinned is not None:
+            # time-travel: only the commit batches recorded at snapshot
+            # time exist in this view (commits appended SINCE are invisible
+            # — they live in the same generation dir)
+            name = os.path.basename(table_dir)
+            if ".g" in name:
+                name = name.rsplit(".g", 1)[0]
+            allowed = set(
+                self._pinned.get("snapshot_commits", {}).get(name, []))
+            out = [
+                d for d in out
+                if int(os.path.basename(d).split("-", 1)[1]) in allowed
+            ]
+        return out
 
     def read_commits(self, spark, table_dir: str, schema=None):
         """Read a table as the union of its committed batches.
@@ -215,6 +385,7 @@ class IndexLayout:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        self._assert_mutable()
         if not rows:
             return
         now = _utcnow()

@@ -43,7 +43,7 @@ PRUNE_MIN_POSTINGS = 1_000_000  # below this, one-pass scoring beats the
 
 class Searcher:
     def __init__(self, spark, index_dir: str, cache_postings: bool = False,
-                 on_stale: str = "refresh"):
+                 on_stale: str = "refresh", at_version: int | None = None):
         """``cache_postings=True`` persists the postings table in executor
         memory for repeated-query workloads (right on a warm serving
         cluster; leave off for one-shot jobs or indexes larger than cluster
@@ -56,15 +56,23 @@ class Searcher:
         table frames; ``"raise"`` refuses with a RuntimeError (serving
         deployments that pin a snapshot); ``"ignore"`` preserves the old
         (pre-r4) silently-stale behavior for callers that manage refresh
-        themselves.  Never silently stale by default."""
+        themselves.  Never silently stale by default.
+
+        ``at_version`` pins this Searcher to an archived index snapshot
+        (time-travel read; ``IndexLayout.commit_snapshot``): it sees
+        exactly the commits/generations recorded at that version — appends,
+        deletes, and compactions SINCE are invisible — and never refreshes
+        (a snapshot is immutable).  ``IndexLayout(dir).snapshots()`` lists
+        the available versions.  Readable as long as the referenced trees
+        exist (see compact.expire_generations)."""
         self.spark = spark
-        self.layout = IndexLayout(index_dir)
+        self.layout = IndexLayout(index_dir, at_version=at_version)
         self.cache_postings = cache_postings
         if on_stale not in ("refresh", "raise", "ignore"):
             raise ValueError(
                 f"on_stale must be refresh|raise|ignore, got {on_stale!r}"
             )
-        self.on_stale = on_stale
+        self.on_stale = "ignore" if at_version is not None else on_stale
         self._load()
 
     def _index_sig(self):

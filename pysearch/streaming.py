@@ -655,16 +655,15 @@ def foreach_batch_indexer(index_dir: str, compact_every: int = 16,
     construction.  Query cost is thereby bounded at O(compact_every)
     commit scans regardless of stream lifetime.
 
-    .. warning:: compaction also requires **no concurrent readers**: the
-       swap renames/removes the table trees a live ``Searcher``'s cached
-       DataFrames point at, so queries in flight during the swap can fail
-       with FileNotFound (and a Searcher created before the swap must be
-       refreshed — it detects the manifest change and refuses/refreshes,
-       see ``Searcher.refresh``).  In a serve-while-ingest deployment set
-       ``compact_every=0`` (the operator compacts during a maintenance
-       window via the CLI) or route queries to a replica while the
-       ingesting index compacts.  ``compact_every=0`` disables the
-       policy."""
+    Compaction is safe under concurrent READERS (r4): it commits as an
+    atomic snapshot generation flip that retains the superseded
+    generation on disk, so a live ``Searcher``'s resolved plans keep
+    reading their files through the flip and its next search refreshes
+    onto the new generation (``Searcher._check_fresh``).  A reader is
+    only at risk if it stays pinned (``on_stale="ignore"``) across TWO
+    compactions — its generation is then expired; refresh at least once
+    per compaction cycle, or run ``compact.expire_generations`` only in
+    maintenance windows.  ``compact_every=0`` disables the policy."""
 
     def handle(batch_df, epoch_id: int) -> None:
         from pysearch.build import build_index

@@ -39,23 +39,21 @@ def verify_index(spark, index_dir: str, check_crcs: bool = True) -> list[str]:
     m = layout.read_manifest()
     if not m:
         return [f"no manifest at {layout.manifest_path}"]
-    # half-finished compaction swap (r2 ADVICE): marker present means some
-    # tables may already hold the consolidated tree while others don't —
-    # report it rather than validating a mixed state
-    from pysearch.compact import SWAP_MARKER
+    # staged-but-uncommitted compaction generations (trees NEWER than the
+    # manifest's committed pointer) are leftovers of a crashed run —
+    # harmless (unreferenced) but report them so operators sweep.  Trees
+    # OLDER than the pointer are retained snapshots kept deliberately for
+    # in-flight readers (compact.compact_index retain_previous) — not a
+    # problem.
+    from pysearch.lineage import TABLES
 
-    if os.path.exists(os.path.join(index_dir, SWAP_MARKER)):
-        return [
-            f"compaction swap marker {SWAP_MARKER} present — run "
-            "pysearch.compact.recover_compaction (or compact-index) first"
-        ]
-    for t in (layout.docs, layout.doc_map, layout.postings,
-              layout.term_stats, layout.corpus_stats, layout.lineage):
-        for suffix in (".compact", ".old"):
-            if os.path.isdir(t + suffix):
+    for name in TABLES:
+        cur = int(layout._generations().get(name, 0))
+        for gen in layout.generation_paths(name):
+            if gen > cur:
                 problems.append(
-                    f"leftover compaction dir {os.path.basename(t)}{suffix} "
-                    "(uncommitted staging; recover_compaction clears it)"
+                    f"uncommitted compaction generation {name}.g{gen} "
+                    "(staged by a crashed run; recover_compaction clears it)"
                 )
     if m.get("format_version") != INDEX_FORMAT_VERSION:
         problems.append(

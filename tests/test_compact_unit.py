@@ -1,186 +1,140 @@
-"""Spark-free unit tests for the compaction swap/recovery state machine.
+"""Spark-free unit tests for the compaction snapshot-commit protocol.
 
-``compact_index`` stages consolidated trees, then writes a write-ahead swap
-marker (the commit point), then swaps each table with two renames (see
-pysearch/compact.py).  The crash windows are: during staging (no marker —
-live index authoritative, staging discarded), and anywhere after the marker
-write (swap committed — every listed table must be driven to the new tree).
-These tests drive ``recover_compaction``/``_finish_swap`` directly on
-synthetic trees to pin the semantics without a SparkSession, including the
-r2-ADVICE scenario: a crash BETWEEN table swaps must not leave stale lineage
-aliasing live batch numbers.
+``compact_index`` stages consolidated trees as each table's NEXT generation
+directory, then commits with ONE atomic manifest write that flips the
+per-table ``generations`` pointers and carries all dependent bookkeeping
+(see pysearch/compact.py).  The only crash window with disk effects is
+during staging: the live index is untouched and authoritative, and the
+staged trees are unreferenced until the pointer flip — recovery just
+discards generations NEWER than the committed pointer.  Generations OLDER
+than the pointer are retained snapshots (readers in flight during a
+compaction keep their resolved file paths) removed by
+``expire_generations``.  These tests drive the layout resolution, the
+recovery sweep, and the retention/expiry semantics on synthetic trees
+without a SparkSession.
 """
 
-import json
 import os
 
-from pysearch.compact import (SWAP_MARKER, _discard_staging, _finish_swap,
-                              recover_compaction)
+from pysearch.compact import expire_generations, recover_compaction
 from pysearch.lineage import IndexLayout
 
 
-def _mk(d, marker):
+def _mk(d, tag):
     os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, marker), "w") as f:
-        f.write(marker)
+    with open(os.path.join(d, tag), "w") as f:
+        f.write(tag)
 
 
-def _has(d, marker):
-    return os.path.exists(os.path.join(d, marker))
+def _has(d, tag):
+    return os.path.exists(os.path.join(d, tag))
 
 
-def _layout_with_marker(tmp_path, tables):
+def _layout(tmp_path, generations=None):
     root = str(tmp_path / "ix")
+    lay = IndexLayout(root)
     os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, SWAP_MARKER), "w") as f:
-        json.dump({"tables": tables}, f)
-    return IndexLayout(root)
+    if generations is not None:
+        lay.write_manifest({"generations": generations})
+    return lay
 
 
-def test_committed_swap_is_finished_from_scratch(tmp_path):
-    """Crash right after the marker write: every table still live, every
-    .compact staged -> recovery installs all of them and drops the marker."""
-    lay = _layout_with_marker(tmp_path, ["docs", "postings", "lineage"])
-    for name in ("docs", "postings", "lineage"):
-        _mk(os.path.join(lay.root, name), "live")
-        _mk(os.path.join(lay.root, name) + ".compact", "new")
-    assert recover_compaction(lay) == "finished"
-    for name in ("docs", "postings", "lineage"):
-        t = os.path.join(lay.root, name)
-        assert _has(t, "new")
-        assert not os.path.isdir(t + ".compact")
-        assert not os.path.isdir(t + ".old")
-    assert not os.path.exists(os.path.join(lay.root, SWAP_MARKER))
+def test_table_paths_resolve_through_generations(tmp_path):
+    """Generation 0 is the plain table dir; N>=1 appends ``.gN``; the
+    pointer map re-reads when the manifest changes (atomic replace)."""
+    lay = _layout(tmp_path)
+    assert lay.docs == os.path.join(lay.root, "docs")
+    lay.write_manifest({"generations": {"docs": 2, "postings": 1}})
+    assert lay.docs == os.path.join(lay.root, "docs.g2")
+    assert lay.postings == os.path.join(lay.root, "postings.g1")
+    assert lay.lineage == os.path.join(lay.root, "lineage")  # unflipped
+    lay.write_manifest({"generations": {"docs": 3}})
+    assert lay.docs == os.path.join(lay.root, "docs.g3")
 
 
-def test_committed_swap_finishes_half_swapped_tables(tmp_path):
-    """The r2-ADVICE crash: docs/postings already swapped, lineage not yet.
-    Recovery must install the staged lineage (same renumbered history the
-    swapped tables assume), NOT discard it."""
-    lay = _layout_with_marker(tmp_path, ["docs", "postings", "lineage"])
-    for name in ("docs", "postings"):  # already swapped
-        _mk(os.path.join(lay.root, name), "new")
-    _mk(os.path.join(lay.root, "lineage"), "live")
-    _mk(os.path.join(lay.root, "lineage") + ".compact", "new")
-    assert recover_compaction(lay) == "finished"
-    assert _has(os.path.join(lay.root, "lineage"), "new")
-    assert not os.path.exists(os.path.join(lay.root, SWAP_MARKER))
-
-
-def test_committed_swap_mid_table_rename(tmp_path):
-    """Crash between rename(table -> .old) and rename(.compact -> table):
-    table missing, .compact + .old present -> new tree installed, old
-    dropped."""
-    lay = _layout_with_marker(tmp_path, ["docs"])
-    t = os.path.join(lay.root, "docs")
-    _mk(t + ".old", "old")
-    _mk(t + ".compact", "new")
-    assert recover_compaction(lay) == "finished"
-    assert _has(t, "new")
-    assert not os.path.isdir(t + ".old") and not os.path.isdir(t + ".compact")
-
-
-def test_committed_swap_leftover_old_only(tmp_path):
-    """Crash between rename(.compact -> table) and rmtree(.old)."""
-    lay = _layout_with_marker(tmp_path, ["docs"])
-    t = os.path.join(lay.root, "docs")
-    _mk(t, "new")
-    _mk(t + ".old", "old")
-    assert recover_compaction(lay) == "finished"
-    assert _has(t, "new") and not os.path.isdir(t + ".old")
+def test_generation_paths_lists_all_trees(tmp_path):
+    lay = _layout(tmp_path)
+    _mk(os.path.join(lay.root, "docs"), "g0")
+    _mk(os.path.join(lay.root, "docs.g1"), "g1")
+    _mk(os.path.join(lay.root, "docs.g3"), "g3")
+    _mk(os.path.join(lay.root, "docs.gx"), "junk")  # non-numeric: ignored
+    got = lay.generation_paths("docs")
+    assert sorted(got) == [0, 1, 3]
+    assert got[3].endswith("docs.g3")
 
 
 def test_uncommitted_staging_is_discarded(tmp_path):
-    """No marker: the live table is authoritative; staged trees (possibly
-    stale) are dropped."""
-    root = str(tmp_path / "ix")
-    lay = IndexLayout(root)
-    _mk(lay.docs, "live")
-    _mk(lay.docs + ".compact", "stale")
-    _mk(lay.lineage, "live")
-    _mk(lay.lineage + ".old", "old")
+    """Staged generations NEWER than the committed pointer are leftovers
+    of a crashed (uncommitted) run: recovery drops them, live trees and
+    retained older snapshots stay."""
+    lay = _layout(tmp_path, generations={"docs": 1})
+    _mk(os.path.join(lay.root, "docs"), "g0-retained")
+    _mk(os.path.join(lay.root, "docs.g1"), "live")
+    _mk(os.path.join(lay.root, "docs.g2"), "staged-stale")
+    _mk(os.path.join(lay.root, "postings"), "live")
+    _mk(os.path.join(lay.root, "postings.g1"), "staged-stale")
     assert recover_compaction(lay) == "discarded"
     assert _has(lay.docs, "live")
-    assert not os.path.isdir(lay.docs + ".compact")
-    assert _has(lay.lineage, "live")
-    assert not os.path.isdir(lay.lineage + ".old")
+    assert _has(os.path.join(lay.root, "docs"), "g0-retained")
+    assert not os.path.isdir(os.path.join(lay.root, "docs.g2"))
+    assert _has(lay.postings, "live")
+    assert not os.path.isdir(os.path.join(lay.root, "postings.g1"))
 
 
 def test_recover_noop_on_clean_index(tmp_path):
-    root = str(tmp_path / "ix")
-    lay = IndexLayout(root)
-    _mk(lay.docs, "live")
+    lay = _layout(tmp_path, generations={"docs": 1})
+    _mk(os.path.join(lay.root, "docs"), "g0-retained")
+    _mk(os.path.join(lay.root, "docs.g1"), "live")
     assert recover_compaction(lay) is None
+    assert _has(lay.docs, "live")
+    assert _has(os.path.join(lay.root, "docs"), "g0-retained")
+
+
+def test_commit_is_the_manifest_write(tmp_path):
+    """Before the pointer flip the staged tree is invisible to every path
+    resolution; after it, it IS the table — no intermediate state."""
+    lay = _layout(tmp_path)
+    _mk(os.path.join(lay.root, "postings"), "old")
+    _mk(os.path.join(lay.root, "postings.g1"), "new")
+    assert _has(lay.postings, "old")  # uncommitted: resolves to g0
+    m = lay.read_manifest()
+    m.setdefault("generations", {})["postings"] = 1
+    lay.write_manifest(m)  # the commit point
+    assert _has(lay.postings, "new")
+    # the superseded tree is retained for in-flight readers
+    assert _has(os.path.join(lay.root, "postings"), "old")
+
+
+def test_expire_generations_removes_older_trees(tmp_path):
+    lay = _layout(tmp_path, generations={"docs": 2, "postings": 1})
+    _mk(os.path.join(lay.root, "docs"), "g0")
+    _mk(os.path.join(lay.root, "docs.g1"), "g1")
+    _mk(os.path.join(lay.root, "docs.g2"), "live")
+    _mk(os.path.join(lay.root, "postings"), "g0")
+    _mk(os.path.join(lay.root, "postings.g1"), "live")
+    removed = expire_generations(lay)
+    assert len(removed) == 3
+    assert _has(lay.docs, "live") and _has(lay.postings, "live")
+    assert not os.path.isdir(os.path.join(lay.root, "docs"))
+    assert not os.path.isdir(os.path.join(lay.root, "docs.g1"))
+    assert not os.path.isdir(os.path.join(lay.root, "postings"))
+
+
+def test_expire_generations_keep_previous(tmp_path):
+    """``keep=N`` retains that one pre-current generation (the just-
+    superseded snapshot in-flight readers may still be scanning)."""
+    lay = _layout(tmp_path, generations={"docs": 2})
+    _mk(os.path.join(lay.root, "docs"), "g0")
+    _mk(os.path.join(lay.root, "docs.g1"), "g1")
+    _mk(os.path.join(lay.root, "docs.g2"), "live")
+    removed = expire_generations(lay, keep=1)
+    assert [os.path.basename(p) for p in removed] == ["docs"]
+    assert os.path.isdir(os.path.join(lay.root, "docs.g1"))
     assert _has(lay.docs, "live")
 
 
-def test_finish_swap_is_idempotent(tmp_path):
-    t = str(tmp_path / "docs")
-    _mk(t, "live")
-    _mk(t + ".compact", "new")
-    _finish_swap(t)
-    _finish_swap(t)  # second run is a no-op
-    assert _has(t, "new")
-    assert not os.path.isdir(t + ".old") and not os.path.isdir(t + ".compact")
-
-
-def test_discard_staging_keeps_live(tmp_path):
-    t = str(tmp_path / "docs")
-    _mk(t, "live")
-    _mk(t + ".compact", "stale")
-    _mk(t + ".old", "old")
-    _discard_staging(t)
-    assert _has(t, "live")
-    assert not os.path.isdir(t + ".compact") and not os.path.isdir(t + ".old")
-
-
-def test_fold_repin_is_inside_marker_window(tmp_path, monkeypatch):
-    """r3-ADVICE crash window: a crash BETWEEN the table swaps and the
-    marker removal must never leave (marker gone, folded stale).  The fold
-    re-pin therefore runs BEFORE os.remove(marker): simulate the crash by
-    making the marker removal raise — folded must already be [0] with the
-    marker still present, and a second (uncrashed) recovery completes."""
-    import pysearch.compact as C
-
-    lay = _layout_with_marker(tmp_path, ["postings", "lineage"])
-    _mk(lay.postings, "new")
-    _mk(lay.lineage + ".compact", "new")
-    lay.write_manifest({"stages": {"finalize": {"done": True,
-                                                "folded": [0, 1, 2]}}})
-    marker = os.path.join(lay.root, SWAP_MARKER)
-    real_remove = os.remove
-
-    def crash_on_marker(path, *a, **kw):
-        if path == marker:
-            raise OSError("simulated crash before marker removal")
-        return real_remove(path, *a, **kw)
-
-    monkeypatch.setattr(C.os, "remove", crash_on_marker)
-    try:
-        recover_compaction(lay)
-    except OSError:
-        pass
-    # invariant: fold set already consolidated while the marker survives
-    assert lay.read_manifest()["stages"]["finalize"]["folded"] == [0]
-    assert os.path.exists(marker)
-    monkeypatch.setattr(C.os, "remove", real_remove)
-    assert recover_compaction(lay) == "finished"
-    assert not os.path.exists(marker)
-    assert lay.read_manifest()["stages"]["finalize"]["folded"] == [0]
-
-
-def test_recovery_repins_folded_batches(tmp_path):
-    """A finished recovery must reset the delta-finalize fold set to the
-    consolidated batch 0 — the swapped lineage renumbered every done batch."""
-    lay = _layout_with_marker(tmp_path, ["postings", "lineage"])
-    _mk(lay.postings, "new")
-    _mk(lay.lineage, "live")
-    _mk(lay.lineage + ".compact", "new")
-    lay.write_manifest({"stages": {"finalize": {"done": True,
-                                                "folded": [0, 1, 2]}}})
-    # write_manifest rewrote the marker-bearing root? no — marker is its own
-    # file; re-assert it survived before recovering
-    assert os.path.exists(os.path.join(lay.root, SWAP_MARKER))
-    assert recover_compaction(lay) == "finished"
-    m = lay.read_manifest()
-    assert m["stages"]["finalize"]["folded"] == [0]
+def test_expire_noop_when_single_generation(tmp_path):
+    lay = _layout(tmp_path)
+    _mk(os.path.join(lay.root, "docs"), "live")
+    assert expire_generations(lay) == []
+    assert _has(lay.docs, "live")

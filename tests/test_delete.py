@@ -10,8 +10,8 @@ this engine adds Lucene's two-phase deleted-docs model:
    stats (surviving docs' scores are unchanged — pinned here);
 2. ``compact_index`` physically purges: post-purge ranks AND scores are
    bit-identical to a fresh build of the surviving corpus (pinned here,
-   including the phrase/positions path), inside the same crash-safe
-   swap-marker protocol (crash mid-swap pinned here).
+   including the phrase/positions path), committed as one atomic snapshot
+   generation flip (crash-before-commit pinned here).
 """
 
 import os
@@ -161,12 +161,15 @@ def test_purge_equals_fresh_build(spark, tmp_path):
     assert len(h) == 10
 
 
-def test_purge_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
-    """Crash AFTER the swap marker commits but with only one table
-    swapped: recovery must finish every swap, replay the marker-carried
-    manifest updates (doc counts, tombstone clear), and leave the index
-    identical to an uninterrupted purge."""
-    import pysearch.compact as cm
+def test_purge_crash_before_commit_recovers(spark, tmp_path, monkeypatch):
+    """Crash with every consolidated tree staged but BEFORE the atomic
+    manifest commit: the live index (pending tombstones included) must be
+    untouched and fully queryable, recovery must discard the staged
+    generations, and a re-run compaction must leave the index identical to
+    an uninterrupted purge.  (The old multi-step swap had post-commit
+    crash windows too; the snapshot protocol's single manifest write
+    removes them — after it there is nothing left to crash in.)"""
+    from pysearch.lineage import IndexLayout as _Layout
 
     d = str(tmp_path / "crash_ix")
     build_index(spark, corpus.webtext_df(
@@ -180,26 +183,34 @@ def test_purge_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
                     for r in lay0.read_tombstones(spark).collect()}
     pre_pending = lay0.read_manifest()["tombstones"]["pending"]
 
-    state = {"n": 0, "armed": True}
-    real = cm._finish_swap
+    real_write = _Layout.write_manifest
 
-    def crashy(table_dir):
-        if state["armed"] and state["n"] >= 1:
-            raise RuntimeError("injected crash mid-swap")
-        state["n"] += 1
-        real(table_dir)
+    def crashy(self, manifest):
+        if "generations" in manifest:  # the compaction commit write
+            raise RuntimeError("injected crash before snapshot commit")
+        return real_write(self, manifest)
 
-    monkeypatch.setattr(cm, "_finish_swap", crashy)
+    monkeypatch.setattr(_Layout, "write_manifest", crashy)
     with pytest.raises(RuntimeError, match="injected crash"):
         compact_index(spark, d)
-    state["armed"] = False
+    monkeypatch.setattr(_Layout, "write_manifest", real_write)
 
     lay = IndexLayout(d)
-    assert os.path.exists(os.path.join(lay.root, cm.SWAP_MARKER))
-    # manifest not yet updated: the crash hit before the update step
+    # uncommitted: manifest untouched, pending deletes still suppress at
+    # query time, staged next-generation trees present but unreferenced
     assert lay.read_manifest()["tombstones"]["pending"] == pre_pending
+    assert lay.generation_paths("postings").keys() == {0, 1}
+    assert lay.postings.endswith("postings")
+    hits = Searcher(spark, d).search_ids(
+        "in the realm of", k=200, case_id="6")
+    assert {urls[("6", int(r.doc_id))]
+            for r in hits.itertuples()}.isdisjoint(deleted_urls)
 
-    assert recover_compaction(lay) == "finished"
+    assert recover_compaction(lay) == "discarded"
+    assert lay.generation_paths("postings").keys() == {0}
+    # re-run compacts cleanly (compact_index sweeps recovery itself too)
+    done = compact_index(spark, d)
+    assert done["purged_docs"] == len(deleted_urls)
     m = lay.read_manifest()
     assert "tombstones" not in m
     assert not lay.list_commits(lay.tombstones)
