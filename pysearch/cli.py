@@ -110,6 +110,27 @@ def cmd_compact_index(args) -> None:
         print("nothing to compact")
 
 
+def cmd_snapshots(args) -> None:
+    """List archived time-travelable snapshots (version, timestamp, doc
+    count) — pure manifest reads, no Spark."""
+    import json
+
+    from pysearch.lineage import IndexLayout
+
+    lay = IndexLayout(args.index)
+    vs = lay.snapshots()
+    if not vs:
+        print("no snapshots")
+        return
+    for v in vs:
+        with open(f"{lay.manifest_path}.v{v}") as f:
+            m = json.load(f)
+        n = m.get("stages", {}).get("docs", {}).get("n_docs", "?")
+        pending = m.get("tombstones", {}).get("pending", 0)
+        print(f"v{v}  ts={m.get('snapshot_ts', '?')}  n_docs={n}"
+              + (f"  pending_deletes={pending}" if pending else ""))
+
+
 def cmd_expire_generations(args) -> None:
     """Remove retained pre-current snapshot generations (no Spark needed —
     pure directory maintenance)."""
@@ -203,6 +224,12 @@ def main(argv=None) -> None:
                     "survive the compaction)")
     pc.add_argument("--master", default=None)
     pc.set_defaults(fn=cmd_compact_index)
+
+    psn = sub.add_parser(
+        "snapshots",
+        help="list archived time-travelable index snapshots")
+    psn.add_argument("--index", required=True)
+    psn.set_defaults(fn=cmd_snapshots)
 
     pe = sub.add_parser(
         "expire-generations",

@@ -242,7 +242,8 @@ def _purge_blocks_transform(tomb_by_case: dict):
 
 
 def compact_index(spark, index_dir: str,
-                  retain_previous: bool = True) -> dict:
+                  retain_previous: bool = True,
+                  keep_snapshots: int = 16) -> dict:
     """Consolidate every multi-commit table of a COMPLETE index, and
     physically PURGE any pending tombstoned deletes (delete.delete_docs).
 
@@ -467,6 +468,14 @@ def compact_index(spark, index_dir: str,
             if g not in keep:
                 shutil.rmtree(p, ignore_errors=True)
     prune_dangling_snapshots(layout)
+    # bound the archived-manifest count on long append/compact streams
+    # (each micro-batch commit archives one): keep the newest
+    # ``keep_snapshots`` time-travelable versions, drop older manifests
+    # (their data may live on in the retained generations regardless)
+    vs = layout.snapshots()
+    if keep_snapshots and len(vs) > keep_snapshots:
+        for v in vs[:-keep_snapshots]:
+            os.remove(f"{layout.manifest_path}.v{v}")
 
     out = {name: n for name, (_s, _p, _sort, n) in plan.items()}
     if n_tstats > 1:

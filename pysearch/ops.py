@@ -271,15 +271,17 @@ def _ensure_engine_index(spark, sf_dir):
     return index_dir, fp
 
 
-def _search_to_source_ids(spark, index_dir, mode: str, terms=None):
+def _search_to_source_ids(spark, index_dir, mode: str, terms=None,
+                          at_version=None):
     """Run the query through the engine at ``index_dir`` and map engine
     doc_ids back to the source table's doc_id via the catalog url (robust
-    even when content dedupe dropped duplicate texts)."""
+    even when content dedupe dropped duplicate texts).  ``at_version``
+    pins the search to an archived snapshot (time-travel read)."""
     from pyspark.sql import functions as F
 
     from pysearch.query import Searcher
 
-    s = Searcher(spark, index_dir)
+    s = Searcher(spark, index_dir, at_version=at_version)
     hits = s.search_ids(" ".join(terms or _BM25_TERMS), k=10, case_id="0",
                         mode=mode)
     hits_df = spark.createDataFrame(
@@ -546,6 +548,86 @@ def st_nrt_bm25_top10(spark, sf_dir):
         F.substring("url", len("doc://docs/") + 1, 9).cast("long").alias("doc_id"),
         F.round("score", 4).alias("score_r"),
     )
+
+
+_BM25_TT_SQL = _BM25_SQL.replace(
+    "FROM documents)",
+    "FROM documents WHERE text IS NOT NULL AND length(text) % 5 <> 0)")
+
+
+def _tt_split(docs):
+    """Split `documents` for the time-travel oracle: ~4/5 base vs ~1/5
+    later-appended, keyed on length(text) — a content property BOTH Spark
+    and DuckDB compute identically (the oracle must filter the same subset
+    in SQL, unlike the NRT split whose oracle covers the whole table), and
+    exact-duplicate texts share a length so dup pairs never straddle the
+    split (append dedup picks the same winners as a subset-only build)."""
+    from pyspark.sql import functions as F
+
+    present = F.col("text").isNotNull()
+    key = F.length("text") % _NRT_MOD
+    webtext = docs.select(
+        F.format_string("doc://docs/%09d", F.col("doc_id")).alias("url"),
+        "text",
+    )
+    return (webtext.filter(present & (key != 0)),
+            webtext.filter(present & (key == 0)))
+
+
+def _ensure_tt_index(spark, sf_dir):
+    """Build-or-reuse the time-travel demo index: fresh build over the
+    base split (archiving snapshot v_base), then the arrivals APPENDED on
+    top — so ``at_version=v_base`` must reproduce the pre-append state.
+    Cached per source fingerprint; returns (index_dir, v_base)."""
+    import os
+    import shutil
+
+    from pysearch.build import build_index
+    from pysearch.lineage import IndexLayout
+    from pysearch.session import _ensure_pythonpath, ship_package
+    from pysearch.version import INDEX_FORMAT_VERSION
+
+    _ensure_pythonpath()
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    label = os.path.basename(sf_dir.rstrip("/"))
+    index_dir = f"/tmp/pysearch_ops_index_{label}_tt"
+    fp_key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _ENGINE_FP_CACHE.get(fp_key)
+    if fp is None:
+        fp = _source_fingerprint(docs)
+        _ENGINE_FP_CACHE[fp_key] = fp
+    want = f"{fp}|tt-len%{_NRT_MOD}"
+    layout = IndexLayout(index_dir)
+    m = layout.read_manifest()
+    if (m.get("format_version") == INDEX_FORMAT_VERSION
+            and m.get("analyzer") == "simple"
+            and m.get("source_fp") == want):
+        return index_dir, int(m["tt_base_version"])
+    shutil.rmtree(index_dir, ignore_errors=True)
+    base, arrivals = _tt_split(docs)
+    build_index(spark, base, index_dir, segment_size=128, analyzer="simple")
+    v_base = layout.snapshots()[-1]
+    build_index(spark, arrivals, index_dir, append=True)
+    m2 = layout.read_manifest()
+    layout.write_manifest({**m2, "source_fp": want,
+                           "tt_base_version": int(v_base)})
+    return index_dir, v_base
+
+
+@op("tt_snapshot_bm25_top10", _BM25_TT_SQL)
+def tt_snapshot_bm25_top10(spark, sf_dir):
+    """TIME-TRAVEL read (Searcher ``at_version``): the engine index is
+    built over the ~4/5 length-keyed subset of `documents` (the build
+    archives that state as snapshot v_base), then the remaining ~1/5 is
+    APPENDED.  The query searches ``at_version=v_base``, so the appended
+    docs AND their effect on corpus/term stats must be invisible —
+    value-checked against a DuckDB BM25 oracle computed over the subset
+    ALONE.  A stale read of the post-append state fails the hash check
+    both ways (extra candidate docs, shifted idf/avgdl)."""
+    index_dir, v_base = _ensure_tt_index(spark, sf_dir)
+    return _search_to_source_ids(spark, index_dir, mode="any",
+                                 at_version=v_base)
 
 
 @op("st_arrival_phrase_top10", _BM25_PHRASE_SQL)
