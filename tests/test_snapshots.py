@@ -164,6 +164,75 @@ def test_compact_no_retain_drops_superseded_generation(spark, tmp_path):
         "in the realm of", k=5, case_id="6")) == 5
 
 
+def test_serve_while_ingest(spark, tmp_path):
+    """The full ADVICE-r3 scenario, end-to-end: continuous micro-batch
+    ingestion with AUTO-COMPACTION enabled while readers query between
+    every epoch.  The long-lived default Searcher must answer after every
+    epoch (refreshing through appends AND compactions, never an error);
+    a snapshot-pinned Searcher must keep serving identical results through
+    the first compaction (superseded generation retained), and recover via
+    refresh() once a second compaction expires its generation.  Final
+    ranks match a one-shot batch build of the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from pysearch.streaming import foreach_batch_indexer
+
+    df = corpus.webtext_df(spark, cases=[(6, "in the realm of", 120, 160)])
+    chunks = [
+        df.filter(F.col("url").between(
+            f"doc://6/{lo:04d}", f"doc://6/{hi:04d}"))
+        for lo, hi in [(1, 20), (21, 40), (41, 60),
+                       (61, 80), (81, 100), (101, 120)]
+    ]
+    ix = str(tmp_path / "swi_ix")
+    handler = foreach_batch_indexer(ix, segment_size=16, compact_every=2)
+    lay = IndexLayout(ix)
+
+    def gen_postings():
+        return int(lay._generations().get("postings", 0))
+
+    handler(chunks[0], 0)
+    live = Searcher(spark, ix)  # on_stale="refresh"
+    seen = [len(live.search_ids("in the realm of", k=200, case_id="6"))]
+
+    handler(chunks[1], 1)
+    assert live.stale()
+    seen.append(len(live.search_ids("in the realm of", k=200, case_id="6")))
+
+    pinned = Searcher(spark, ix, on_stale="ignore")
+    snap = _ids(pinned.search_ids("in the realm of", k=200, case_id="6"))
+
+    handler(chunks[2], 2)  # 3 postings commits > 2 -> auto-compaction
+    assert gen_postings() == 1
+    # pinned reader serves identical results THROUGH the compaction
+    assert _ids(pinned.search_ids(
+        "in the realm of", k=200, case_id="6")) == snap
+    seen.append(len(live.search_ids("in the realm of", k=200, case_id="6")))
+
+    for i, c in enumerate(chunks[3:], start=3):
+        handler(c, i)
+        seen.append(len(live.search_ids(
+            "in the realm of", k=200, case_id="6")))
+    assert gen_postings() >= 2  # a second auto-compaction ran
+    # counts grow monotonically: every epoch's docs become searchable
+    assert seen == sorted(seen) and seen[-1] > seen[0]
+
+    # the pinned reader's generation is expired now; explicit refresh
+    # brings it to the live state (never a silent wrong answer)
+    assert pinned.stale()
+    pinned.refresh()
+    assert _ids(pinned.search_ids("in the realm of", k=200, case_id="6")) \
+        == _ids(live.search_ids("in the realm of", k=200, case_id="6"))
+
+    # equivalence with a one-shot batch build of the whole corpus
+    ix2 = str(tmp_path / "swi_oneshot")
+    build_index(spark, df, ix2, segment_size=16)
+    fresh = Searcher(spark, ix2).search_ids(
+        "in the realm of", k=200, case_id="6")
+    got = live.search_ids("in the realm of", k=200, case_id="6")
+    assert sorted(got["score"]) == sorted(fresh["score"])
+
+
 def test_second_compaction_expires_grandparent(spark, tmp_path):
     """retain_previous keeps exactly one superseded generation: the next
     compaction's retention step removes the grandparent, bounding storage
