@@ -85,9 +85,23 @@ class Searcher:
 
     def _load(self):
         spark, index_dir = self.spark, self.layout.root
+        # signature FIRST, manifest read second: a mutation landing between
+        # the two makes stale() true (next search refreshes) rather than
+        # masking a mid-load change behind a fresh-looking signature
+        self._manifest_sig = self._index_sig()
         m = self.layout.read_manifest()
         if not m.get("stages", {}).get("finalize", {}).get("done"):
             raise RuntimeError(f"index at {index_dir} is not complete")
+        # freeze ONE generation map for every table path resolved below: a
+        # compaction committing between two lazy property accesses must not
+        # hand this load a mixed-generation view (docs from the old
+        # snapshot, postings from the new); self-consistency of a single
+        # generation map is guaranteed by the atomic manifest write
+        gens = {name: int(g) for name, g in
+                m.get("generations", {}).items()}
+        path = {name: self.layout.table_path(name, gens.get(name, 0))
+                for name in ("docs", "postings", "term_stats",
+                             "corpus_stats", "tombstones")}
         cache_postings = self.cache_postings
         self.n_buckets = int(m["n_buckets"])
         self.segment_size = int(m.get("segment_size", 4096))
@@ -122,13 +136,13 @@ class Searcher:
                                      TERM_STATS)
 
         self.postings = _norm(
-            self.layout.read_commits(spark, self.layout.postings,
+            self.layout.read_commits(spark, path["postings"],
                                      schema=POSTING_BLOCKS)
         )
         if cache_postings:
             self.postings = self.postings.persist()
         self.docs = _norm(
-            self.layout.read_commits(spark, self.layout.docs, schema=DOCS)
+            self.layout.read_commits(spark, path["docs"], schema=DOCS)
         )
         # (n_docs, avgdl, sum_dl) — sum_dl is the exact long the finalize
         # divided to get avgdl; NRT hybrid search (streaming.
@@ -137,11 +151,11 @@ class Searcher:
             str(r["case_id"]): (int(r["n_docs"]), float(r["avgdl"]),
                                 int(r["sum_dl"]))
             for r in self.layout.read_commits(
-                self.spark, self.layout.corpus_stats, schema=CORPUS_STATS
+                self.spark, path["corpus_stats"], schema=CORPUS_STATS
             ).collect()
         }
         self._term_stats = _norm(
-            self.layout.read_commits(spark, self.layout.term_stats,
+            self.layout.read_commits(spark, path["term_stats"],
                                      schema=TERM_STATS)
         )
         # pending tombstoned deletes (delete.delete_docs): per-case sorted
@@ -150,14 +164,16 @@ class Searcher:
         # O(deletes since last compaction) — compaction purges them
         # physically and empties the table (delete.py docstring).
         self._tombstones: Dict[str, np.ndarray] = {}
-        if self.layout.list_commits(self.layout.tombstones):
-            tpdf = self.layout.read_tombstones(spark).toPandas()
+        if self.layout.list_commits(path["tombstones"]):
+            from pysearch.schema import TOMBSTONES
+
+            tpdf = self.layout.read_commits(
+                spark, path["tombstones"], schema=TOMBSTONES).toPandas()
             for cid, grp in tpdf.groupby("case_id"):
                 self._tombstones[str(cid)] = np.unique(
                     grp["doc_id"].to_numpy(np.int64))
         # partition-column literal type for bucket pruning filters
         self._bucket_is_str = dict(self.postings.dtypes).get("term_bucket") == "string"
-        self._manifest_sig = self._index_sig()
 
     def stale(self) -> bool:
         """True when the on-disk index changed since this Searcher loaded
