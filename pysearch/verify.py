@@ -55,6 +55,38 @@ def verify_index(spark, index_dir: str, check_crcs: bool = True) -> list[str]:
                     f"uncommitted compaction generation {name}.g{gen} "
                     "(staged by a crashed run; recover_compaction clears it)"
                 )
+    # every ADVERTISED snapshot must be readable: a listed version whose
+    # referenced generation trees/commits were removed outside the expiry
+    # path (which prunes the manifest) is an inconsistency
+    import json as _json
+
+    for v in layout.snapshots():
+        try:
+            with open(f"{layout.manifest_path}.v{v}") as f:
+                snap = _json.load(f)
+        except (OSError, ValueError):
+            problems.append(f"snapshot manifest v{v} unreadable")
+            continue
+        gens = snap.get("generations", {})
+        for name, batches in snap.get("snapshot_commits", {}).items():
+            if not batches:
+                continue
+            g = int(gens.get(name, 0))
+            base = os.path.join(layout.root, name)
+            d = base if g == 0 else f"{base}.g{g}"
+            have = {
+                int(c.split("-", 1)[1]) for c in (
+                    os.listdir(d) if os.path.isdir(d) else [])
+                if c.startswith("commit-")
+            }
+            missing = set(int(b) for b in batches) - have
+            if missing:
+                problems.append(
+                    f"snapshot v{v} references missing commits "
+                    f"{sorted(missing)} of {name} (gen {g}) — expired "
+                    "outside expire_generations? prune_dangling_snapshots "
+                    "repairs the listing"
+                )
     if m.get("format_version") != INDEX_FORMAT_VERSION:
         problems.append(
             f"format_version {m.get('format_version')} != {INDEX_FORMAT_VERSION}"
