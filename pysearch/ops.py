@@ -1573,6 +1573,140 @@ def tx_fingerprints(spark, sf_dir):
     )
 
 
+@op("tx_decontaminate_top50", f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+pos AS (
+  SELECT doc_id, l, unnest(range(1, len(l) - {_FP_K} + 2)) AS i
+  FROM toks WHERE len(l) >= {_FP_K}),
+grams AS (
+  SELECT doc_id, (i - 1) // {_FP_W} AS win,
+         {_HEX_DUCK.format(x=f"array_to_string(l[i:i+{_FP_K - 1}], ' ')")} AS hv
+  FROM pos),
+fps AS (SELECT DISTINCT doc_id, min(hv) AS fp
+        FROM grams GROUP BY doc_id, win),
+evalf AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0)
+SELECT f.doc_id, count(DISTINCT f.fp) AS n_shared
+FROM fps f JOIN evalf e ON f.fp = e.fp
+WHERE f.doc_id % 97 <> 0
+GROUP BY f.doc_id ORDER BY n_shared DESC, doc_id LIMIT 50
+""")
+def tx_decontaminate_top50(spark, sf_dir):
+    """Benchmark DECONTAMINATION — the pretrain-pipeline step that drops
+    training docs overlapping an evaluation set: the eval set here is the
+    deterministic ~1% slice doc_id % 97 == 0, overlap = shared winnowing
+    fingerprints (same k-gram/window scheme as tx_fingerprints, so a near-
+    verbatim excerpt is caught even with local edits, unlike whole-doc
+    hashes).  Returns the 50 most-contaminated train docs with their
+    shared-fingerprint counts.
+
+    Scale shape: one fingerprint scan of the corpus; the eval fingerprint
+    set is corpus_size/97-small and BROADCAST, so the contamination check
+    is a map-side semi-join — no all-pairs, no corpus-sized shuffle beyond
+    the per-doc fingerprint groupBy that tx_fingerprints already pays."""
+    from pyspark.sql import functions as F
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("l")
+    ).filter(F.size("l") >= _FP_K)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(l) - {_FP_K} + 1),"
+                f" i -> concat_ws(' ', slice(l, i, {_FP_K})))"
+            )
+        ).alias("pos", "g"),
+    ).select(
+        "doc_id",
+        F.floor(F.col("pos") / _FP_W).alias("win"),
+        F.expr(_HEX_SPARK.format(x="g")).alias("hv"),
+    )
+    fps = (
+        grams.groupBy("doc_id", "win").agg(F.min("hv").alias("fp"))
+        .select("doc_id", "fp").distinct()
+    )
+    evalf = fps.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
+    return (
+        fps.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(evalf), "fp")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "doc_id").limit(50)
+    )
+
+
+_SAMP_BUDGET = 2000  # tokens per lang — bites at every sf level
+
+@op("samp_token_budget", f"""
+WITH ws AS (
+  SELECT lang, doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT lang, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang
+                          ORDER BY n_tok DESC, doc_id) AS cum
+  FROM ws WHERE n_tok > 0)
+SELECT lang, doc_id, n_tok FROM c WHERE cum <= {_SAMP_BUDGET}
+ORDER BY lang, doc_id
+""")
+def samp_token_budget(spark, sf_dir):
+    """Token-BUDGETED mixture sampling — pick, per language, the docs a
+    fixed training-token budget admits (longest-first, doc_id tiebreak):
+    the data-mixture construction step of a pretrain pipeline ("X tokens
+    of each language").
+
+    Semantics match the oracle's per-lang cumulative-sum window, but the
+    plan is the 100 TB shape, NOT a per-lang global sort: token counts are
+    aggregated per (lang, n_tok) — a map-side-combining shuffle of (long,
+    long) rows — the budget cutoff length and mid-tie remainder are
+    derived on that TINY aggregate via a window over distinct lengths, and
+    only the single cutoff length's ties need a per-doc rank.  A naive
+    `sum() OVER (PARTITION BY lang ORDER BY ...)` would sort every doc of
+    a language in one task — billions of rows per partition at corpus
+    scale."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    B = _SAMP_BUDGET
+    ws = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang", "doc_id",
+            F.expr("size(filter(split(text, ' '), x -> x != ''))")
+            .alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    per_n = ws.groupBy("lang", "n_tok").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_tok"))
+    fits = (
+        per_n.withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum(F.col("n_tok") * F.col("cnt")).over(w)
+                - F.col("n_tok") * F.col("cnt"), F.lit(0)),
+        )
+        # docs of this length with rank k (1-based, doc_id order) are in
+        # the budget iff prefix + k*n_tok <= B
+        .withColumn("k_fit",
+                    F.floor((F.lit(B) - F.col("prefix")) / F.col("n_tok")))
+        .filter(F.col("k_fit") > 0)
+        .select("lang", "n_tok", F.least("cnt", "k_fit").alias("k"))
+    )
+    wt = Window.partitionBy("lang", "n_tok").orderBy("doc_id")
+    return (
+        ws.join(F.broadcast(fits), ["lang", "n_tok"])
+        .withColumn("_r", F.row_number().over(wt))
+        .filter(F.col("_r") <= F.col("k"))
+        .select("lang", "doc_id", "n_tok")
+        .orderBy("lang", "doc_id")
+    )
+
+
 # pretrain-filter gates (see pipeline_pretrain_filter): all three bite on
 # the synthetic corpus without zeroing it (sf0.01: 394/408/401 of 500 pass
 # individually, 246 conjunctively)
