@@ -65,6 +65,8 @@ OPS_QUERIES = [
     "ann_cosine_top5",
     "tx_quality",
     "tx_fingerprints",
+    "tx_decontaminate_top50",
+    "samp_token_budget",
     "rel_q1_pricing",
     "rel_nation_revenue",
     "st_arrival_bm25_top10",
