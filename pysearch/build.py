@@ -760,24 +760,34 @@ def _write_corpus_stats_from_term_stats(spark, layout: IndexLayout) -> None:
     )
     staging = layout.staging_dir("corpus_stats")
     corpus_stats.coalesce(1).write.mode("overwrite").parquet(staging)
-    if layout.read_manifest().get("snapshot_version"):
-        # rotate instead of replace: corpus_stats is the one table a
-        # finalize REWRITES (n_docs/avgdl are whole-corpus values, not
-        # additive), so committing it as the NEXT generation keeps every
-        # archived snapshot reading the stats it was taken with
-        # (time-travel correctness; scores depend on avgdl/n_docs).  A
-        # crash between the tree write and the pointer bump leaves the
-        # tree unreferenced — recover_compaction discards it.
-        import shutil
+    _commit_stats_rotating(layout, "corpus_stats", staging)
 
-        new_gen = int(layout._generations().get("corpus_stats", 0)) + 1
-        tdir = layout.table_path("corpus_stats", new_gen)
+
+def _commit_stats_rotating(layout: IndexLayout, name: str, staging: str,
+                           clear_current: bool = False) -> None:
+    """Install a freshly-RECOMPUTED stats table (term_stats/corpus_stats —
+    the two non-additive tables a finalize replaces wholesale): on a
+    snapshot-bearing index, commit it as the table's NEXT generation so
+    every archived snapshot keeps reading the tree it references; on a
+    fresh build (no snapshots yet), replace batch 0 in place
+    (``clear_current`` drops accumulated delta commits first).  NOT
+    thread-safe — the generation bump is a manifest read-modify-write, so
+    callers commit sequentially (parquet writes may still run
+    concurrently)."""
+    import shutil
+
+    if layout.read_manifest().get("snapshot_version"):
+        new_gen = int(layout._generations().get(name, 0)) + 1
+        tdir = layout.table_path(name, new_gen)
         shutil.rmtree(tdir, ignore_errors=True)
         os.makedirs(tdir, exist_ok=True)
         os.rename(staging, os.path.join(tdir, "commit-00000"))
-        layout.bump_generation("corpus_stats", new_gen)
+        layout.bump_generation(name, new_gen)
     else:
-        layout.commit_batch(staging, layout.corpus_stats, 0, replace=True)
+        if clear_current:
+            shutil.rmtree(layout.table_path(name), ignore_errors=True)
+        layout.commit_batch(staging, layout.table_path(name), 0,
+                            replace=True)
 
 
 def build_finalize_stage(spark, layout: IndexLayout) -> None:
@@ -821,22 +831,23 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
             "term_bucket"
         ).parquet(staging)
         # a full recompute covers everything: clear any delta commits a
-        # previous append left, then install as the single commit-00000
-        import shutil
-
-        shutil.rmtree(layout.term_stats, ignore_errors=True)
-        layout.commit_batch(staging, layout.term_stats, 0, replace=True)
+        # previous append left when installing in place
+        return ("term_stats", staging, True)
 
     def _write_corpus_stats():
         staging = layout.staging_dir("corpus_stats")
         corpus_stats.coalesce(1).write.mode("overwrite").parquet(staging)
-        layout.commit_batch(staging, layout.corpus_stats, 0, replace=True)
+        return ("corpus_stats", staging, False)
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         futures = [ex.submit(f) for f in
                    (_write_term_stats, _write_corpus_stats)]
-        for fut in futures:
-            fut.result()
+        staged = [fut.result() for fut in futures]
+    # commits are sequential: the snapshot-bearing branch of
+    # _commit_stats_rotating bumps generation pointers via manifest
+    # read-modify-writes, which must not race each other
+    for name, staging, clear in staged:
+        _commit_stats_rotating(layout, name, staging, clear_current=clear)
 
     layout.append_lineage(spark, [{
         "stage": "finalize", "partition_key": "all", "status": "done",
