@@ -552,7 +552,8 @@ def st_nrt_bm25_top10(spark, sf_dir):
 
 _BM25_TT_SQL = _BM25_SQL.replace(
     "FROM documents)",
-    "FROM documents WHERE text IS NOT NULL AND length(text) % 5 <> 0)")
+    "FROM documents WHERE text IS NOT NULL"
+    f" AND length(text) % {_NRT_MOD} <> 0)")
 
 
 def _tt_split(docs):
@@ -996,17 +997,19 @@ def dd_dedup_survivors(spark, sf_dir):
     either outside any near-dup cluster or its cluster's canonical
     representative (min doc_id) — pairs → components → surviving corpus,
     value-checked against the DuckDB recursive-closure oracle.  Scale
-    shape: the cluster frame is O(docs-in-clusters) ≪ corpus, so the final
-    keep-filter is one broadcast-sized left anti-join against the
-    non-canonical members; no corpus-sized shuffle."""
+    shape: the final keep-filter is a left anti-join on doc_id against the
+    non-canonical members — deliberately NOT broadcast-hinted: at real
+    webtext dup density the member set is a corpus fraction (CommonCrawl
+    near-dup rates run tens of percent), far past any driver/executor
+    broadcast budget at 10^12 docs.  AQE picks broadcast when the set IS
+    small and a shuffled anti-join on doc_id otherwise, which scales."""
     from pyspark.sql import functions as F
 
     docs = _t(spark, sf_dir, "documents")
     clusters = dup_clusters(dd_minhash_pairs(spark, sf_dir).select("a", "b"))
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
         .select("doc_id")
-    kept = docs.select("doc_id").join(F.broadcast(drop), "doc_id",
-                                      "left_anti")
+    kept = docs.select("doc_id").join(drop, "doc_id", "left_anti")
     n = kept.count()
     return kept.select("doc_id", F.lit(n).cast("long")
                        .alias("n_survivors")).orderBy("doc_id")
@@ -1662,11 +1665,14 @@ def samp_token_budget(spark, sf_dir):
     plan is the 100 TB shape, NOT a per-lang global sort: token counts are
     aggregated per (lang, n_tok) — a map-side-combining shuffle of (long,
     long) rows — the budget cutoff length and mid-tie remainder are
-    derived on that TINY aggregate via a window over distinct lengths, and
-    only the single cutoff length's ties need a per-doc rank.  A naive
-    `sum() OVER (PARTITION BY lang ORDER BY ...)` would sort every doc of
-    a language in one task — billions of rows per partition at corpus
-    scale."""
+    derived on that TINY aggregate via a window over distinct lengths.
+    Fully-admitted lengths (k == cnt) pass through as a semi-join with NO
+    per-doc rank; ONLY the cutoff lengths (k < cnt — at most one per lang)
+    pay a row_number window to break doc_id ties, so a corpus with one
+    dominant exact length never sorts that group in a single task.  A
+    naive `sum() OVER (PARTITION BY lang ORDER BY ...)` would sort every
+    doc of a language in one task — billions of rows per partition at
+    corpus scale."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -1695,13 +1701,27 @@ def samp_token_budget(spark, sf_dir):
         .withColumn("k_fit",
                     F.floor((F.lit(B) - F.col("prefix")) / F.col("n_tok")))
         .filter(F.col("k_fit") > 0)
-        .select("lang", "n_tok", F.least("cnt", "k_fit").alias("k"))
+        .select("lang", "n_tok", F.least("cnt", "k_fit").alias("k"),
+                F.col("cnt"))
     )
+    # fully-admitted lengths: every doc of (lang, n_tok) is in budget —
+    # a semi-join, no per-doc window
+    full = ws.join(
+        F.broadcast(fits.filter(F.col("k") >= F.col("cnt"))
+                    .select("lang", "n_tok")),
+        ["lang", "n_tok"], "left_semi")
+    # cutoff lengths (k < cnt): only these ties need a per-doc rank, and
+    # there is at most one such length per lang
+    cut = fits.filter(F.col("k") < F.col("cnt")).select("lang", "n_tok", "k")
     wt = Window.partitionBy("lang", "n_tok").orderBy("doc_id")
-    return (
-        ws.join(F.broadcast(fits), ["lang", "n_tok"])
+    partial = (
+        ws.join(F.broadcast(cut), ["lang", "n_tok"])
         .withColumn("_r", F.row_number().over(wt))
         .filter(F.col("_r") <= F.col("k"))
+        .drop("_r", "k")
+    )
+    return (
+        full.unionByName(partial)
         .select("lang", "doc_id", "n_tok")
         .orderBy("lang", "doc_id")
     )
@@ -1748,10 +1768,12 @@ def pipeline_pretrain_filter(spark, sf_dir):
     pipeline actually runs over raw webtext, value-checked as a whole
     against one DuckDB oracle (recursive-CTE closure + the same gates).
 
-    Scale shape: one token-scan aggregate for all per-doc metrics, the
-    cluster frame is O(docs-in-clusters) ≪ corpus and applied as a
-    broadcast anti-join, gates are row-local filters — no corpus-sized
-    shuffle beyond the per-doc aggregate."""
+    Scale shape: one token-scan aggregate for all per-doc metrics; the
+    non-canonical-member drop set is applied as a plain left anti-join on
+    doc_id (no broadcast hint — at real webtext dup density that set is a
+    corpus fraction, so AQE must be free to choose a shuffled anti-join);
+    gates are row-local filters — no corpus-sized shuffle beyond the
+    per-doc aggregate."""
     from pyspark.sql import functions as F
 
     stops = [s.strip("(')") for s in _STOPS_SQL.split("),(")]
@@ -1768,7 +1790,7 @@ def pipeline_pretrain_filter(spark, sf_dir):
     uniq = F.col("n_uniq") / F.col("n_tok").cast("double")
     en = F.col("n_stop") / F.col("n_tok").cast("double")
     return (
-        agg.join(F.broadcast(drop), "doc_id", "left_anti")
+        agg.join(drop, "doc_id", "left_anti")
         .filter((F.col("n_tok") >= _PF_MIN_TOK)
                 & (uniq >= _PF_MIN_UNIQ) & (en >= _PF_MIN_EN))
         .select("doc_id", "n_tok",

@@ -60,6 +60,33 @@ def test_hits_join_is_broadcast(searcher, spark):
     assert "BroadcastHashJoin" in _plan(joined)
 
 
+def test_dedup_survivors_antijoin_not_forced_broadcast(spark):
+    """The keep-one-per-cluster anti-join must survive a member set too big
+    to broadcast (at webtext dup density it is a corpus fraction): with the
+    broadcast threshold disabled the plan must fall back to a shuffled
+    anti-join — a hard-coded F.broadcast() hint would override the
+    threshold and keep a BroadcastHashJoin."""
+    import pysearch.ops as ops
+
+    sf_dir = "/root/testdata/sf0.001"
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # baseline under normal conf
+        base = [r.doc_id for r in
+                ops.dd_dedup_survivors(spark, sf_dir).collect()]
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        kept = ops.dd_dedup_survivors(spark, sf_dir)
+        rows = kept.collect()  # execute so AQE finalizes the plan
+        plan = _plan(kept)
+        anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+        assert anti, plan[:2000]
+        assert not any("Broadcast" in l for l in anti), anti
+        assert [r.doc_id for r in rows] == base
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_term_filter_reaches_scan(searcher):
     from pyspark.sql import functions as F
 
