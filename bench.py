@@ -70,6 +70,13 @@ OPS_QUERIES = [
     "rel_q1_pricing",
     "rel_nation_revenue",
     "st_arrival_bm25_top10",
+    # round-4 capabilities (r4 verdict #6): dedup end-to-end, the composed
+    # pretrain filter, NRT hybrid, and time-travel snapshot reads
+    "dd_dup_clusters",
+    "dd_dedup_survivors",
+    "pipeline_pretrain_filter",
+    "st_nrt_bm25_top10",
+    "tt_snapshot_bm25_top10",
 ]
 
 
@@ -291,7 +298,6 @@ def main() -> None:
         "n_engine_queries": len(ENGINE_QUERIES),
         # per-query values above are medians of this many in-line samples
         "query_repeats": repeats,
-        "query_samples": samples,
         # host-speed guard: single-core sha256 ops/s sampled before the
         # JVM starts and after it stops; compare across runs/rounds before
         # attributing wall-time deltas to code
@@ -302,6 +308,21 @@ def main() -> None:
         "host_cal_mt_start": round(cal_mt_start),
         "host_cal_mt_end": round(calibrate_mt()),
     }
+    # raw per-pass samples are audit data, not headline data: they tripled
+    # the JSON line past the driver's tail capture in r4 (BENCH_r04.json
+    # came back `parsed: null`), so they go to a sidecar under BENCH/ and
+    # the LAST stdout line stays a compact medians-only record
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "last_query_samples.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump({"cpus": CPUS, "sf": out["sf"],
+                       "query_repeats": repeats,
+                       "query_samples": samples}, f)
+        out["samples_file"] = os.path.relpath(
+            sidecar, os.path.dirname(os.path.abspath(__file__)))
+    except OSError:
+        pass
     print(json.dumps(out))
 
 
