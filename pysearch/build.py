@@ -765,29 +765,45 @@ def _write_corpus_stats_from_term_stats(spark, layout: IndexLayout) -> None:
 
 def _commit_stats_rotating(layout: IndexLayout, name: str, staging: str,
                            clear_current: bool = False) -> None:
-    """Install a freshly-RECOMPUTED stats table (term_stats/corpus_stats —
-    the two non-additive tables a finalize replaces wholesale): on a
-    snapshot-bearing index, commit it as the table's NEXT generation so
-    every archived snapshot keeps reading the tree it references; on a
-    fresh build (no snapshots yet), replace batch 0 in place
-    (``clear_current`` drops accumulated delta commits first).  NOT
-    thread-safe — the generation bump is a manifest read-modify-write, so
-    callers commit sequentially (parquet writes may still run
-    concurrently)."""
+    """Single-table convenience wrapper over ``_commit_stats_tables``."""
+    _commit_stats_tables(layout, [(name, staging, clear_current)])
+
+
+def _commit_stats_tables(layout: IndexLayout, staged: list) -> None:
+    """Install freshly-RECOMPUTED stats tables (term_stats/corpus_stats —
+    the two non-additive tables a finalize replaces wholesale), ALL made
+    visible by one atomic manifest write.
+
+    ``staged`` is a list of ``(name, staging_dir, clear_current)``.  On a
+    snapshot-bearing index each table's new tree is written as its NEXT
+    generation, then every generation pointer flips in a SINGLE manifest
+    write (``bump_generations``) — two sequential bumps would let a
+    Searcher refreshing between them freeze a generation map with NEW
+    term_stats but STALE corpus_stats (df > n_docs, distorted idf),
+    violating the one-atomic-manifest-write load-consistency invariant
+    that compact_index's step-3 commit honors.  On a fresh build (no
+    snapshots yet — unreachable by readers, finalize isn't marked done)
+    each table replaces batch 0 in place (``clear_current`` drops
+    accumulated delta commits first).  NOT thread-safe — callers commit
+    sequentially (parquet staging writes may still run concurrently)."""
     import shutil
 
     if layout.read_manifest().get("snapshot_version"):
-        new_gen = int(layout._generations().get(name, 0)) + 1
-        tdir = layout.table_path(name, new_gen)
-        shutil.rmtree(tdir, ignore_errors=True)
-        os.makedirs(tdir, exist_ok=True)
-        os.rename(staging, os.path.join(tdir, "commit-00000"))
-        layout.bump_generation(name, new_gen)
+        flips = {}
+        for name, staging, _clear in staged:
+            new_gen = int(layout._generations().get(name, 0)) + 1
+            tdir = layout.table_path(name, new_gen)
+            shutil.rmtree(tdir, ignore_errors=True)
+            os.makedirs(tdir, exist_ok=True)
+            os.rename(staging, os.path.join(tdir, "commit-00000"))
+            flips[name] = new_gen
+        layout.bump_generations(flips)
     else:
-        if clear_current:
-            shutil.rmtree(layout.table_path(name), ignore_errors=True)
-        layout.commit_batch(staging, layout.table_path(name), 0,
-                            replace=True)
+        for name, staging, clear_current in staged:
+            if clear_current:
+                shutil.rmtree(layout.table_path(name), ignore_errors=True)
+            layout.commit_batch(staging, layout.table_path(name), 0,
+                                replace=True)
 
 
 def build_finalize_stage(spark, layout: IndexLayout) -> None:
@@ -843,11 +859,9 @@ def build_finalize_stage(spark, layout: IndexLayout) -> None:
         futures = [ex.submit(f) for f in
                    (_write_term_stats, _write_corpus_stats)]
         staged = [fut.result() for fut in futures]
-    # commits are sequential: the snapshot-bearing branch of
-    # _commit_stats_rotating bumps generation pointers via manifest
-    # read-modify-writes, which must not race each other
-    for name, staging, clear in staged:
-        _commit_stats_rotating(layout, name, staging, clear_current=clear)
+    # both stats trees flip visible in ONE manifest write: a reader must
+    # never freeze new term_stats against stale corpus_stats (df > n_docs)
+    _commit_stats_tables(layout, staged)
 
     layout.append_lineage(spark, [{
         "stage": "finalize", "partition_key": "all", "status": "done",

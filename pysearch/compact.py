@@ -78,10 +78,14 @@ def expire_generations(layout: IndexLayout,
                        keep: int | None = None) -> list[str]:
     """Remove retained PRE-current generation trees (Iceberg
     expire_snapshots analog).  ``keep`` retains the single generation with
-    that exact number per table when it is below current (compact_index
-    passes the just-superseded generation so in-flight readers survive).
-    Returns the removed paths.  Run without ``keep`` during a maintenance
-    window to drop storage to exactly one generation per table."""
+    that exact NUMBER per table when it is below current — one int across
+    all tables, which only pins a coherent snapshot while every table sits
+    at the same generation number (independent stats rotations desync
+    them; after that, use the default bounded retention or a full sweep).
+    compact_index does NOT call this — it applies its own inline
+    2-generation retention at commit time; this is the standalone
+    maintenance-window sweep.  Returns the removed paths.  Run without
+    ``keep`` to drop storage to exactly one generation per table."""
     removed = []
     for name in TABLES:
         cur = int(layout._generations().get(name, 0))
@@ -109,9 +113,17 @@ def prune_dangling_snapshots(layout: IndexLayout) -> list[int]:
         try:
             with open(p) as f:
                 snap = json.load(f)
-        except (OSError, ValueError):
-            os.remove(p)
-            pruned.append(v)
+        except ValueError:
+            # corrupt JSON: the archive is unreadable by construction
+            try:
+                os.remove(p)
+                pruned.append(v)
+            except OSError:
+                pass  # removal blocked: retry on the next sweep
+            continue
+        except OSError:
+            # transient read failure (EACCES/EMFILE/...) says nothing about
+            # the snapshot's validity — skip, never delete on it
             continue
         gens = snap.get("generations", {})
         ok = True
@@ -130,7 +142,10 @@ def prune_dangling_snapshots(layout: IndexLayout) -> list[int]:
                 ok = False
                 break
         if not ok:
-            os.remove(p)
+            try:
+                os.remove(p)
+            except OSError:
+                continue  # removal blocked: still advertised, retry later
             pruned.append(v)
     return pruned
 

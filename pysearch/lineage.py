@@ -125,9 +125,20 @@ class IndexLayout:
         The caller must have fully written the new generation tree first —
         before this write it is invisible (recovery discards trees newer
         than the committed pointer)."""
+        self.bump_generations({name: gen})
+
+    def bump_generations(self, gens: dict) -> None:
+        """Flip SEVERAL tables' generation pointers in ONE atomic manifest
+        write.  Tables whose new trees must become visible together (e.g.
+        term_stats + corpus_stats after a stats recompute — df must never
+        exceed n_docs under any reader's frozen generation map) go through
+        here; two sequential ``bump_generation`` calls would expose the
+        mixed state to a reader loading between them."""
         self._assert_mutable()
         m = self.read_manifest()
-        m.setdefault("generations", {})[name] = int(gen)
+        g = m.setdefault("generations", {})
+        for name, gen in gens.items():
+            g[name] = int(gen)
         self.write_manifest(m)
 
     def _generations(self) -> dict:

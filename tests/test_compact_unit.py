@@ -105,6 +105,59 @@ def test_commit_is_the_manifest_write(tmp_path):
     assert _has(os.path.join(lay.root, "postings"), "old")
 
 
+def test_stats_rotation_flips_both_pointers_in_one_write(tmp_path, monkeypatch):
+    """A finalize stats recompute must never expose NEW term_stats with
+    STALE corpus_stats (df > n_docs under a reader's frozen generation
+    map): both trees flip in a SINGLE manifest write."""
+    from pysearch.build import _commit_stats_tables
+
+    lay = _layout(tmp_path, generations={})
+    m = lay.read_manifest()
+    m["snapshot_version"] = 1  # snapshot-bearing: the rotating branch
+    lay.write_manifest(m)
+    st_ts = str(tmp_path / "stage_ts")
+    st_cs = str(tmp_path / "stage_cs")
+    _mk(st_ts, "ts-new")
+    _mk(st_cs, "cs-new")
+
+    writes = []
+    orig = IndexLayout.write_manifest
+
+    def counting(self, manifest):
+        writes.append(dict(manifest.get("generations", {})))
+        orig(self, manifest)
+
+    monkeypatch.setattr(IndexLayout, "write_manifest", counting)
+    _commit_stats_tables(lay, [("term_stats", st_ts, True),
+                               ("corpus_stats", st_cs, False)])
+    assert len(writes) == 1, writes
+    assert writes[0] == {"term_stats": 1, "corpus_stats": 1}
+    assert _has(os.path.join(lay.term_stats), "ts-new") is False  # moved
+    assert _has(os.path.join(lay.term_stats, "commit-00000"), "ts-new")
+    assert _has(os.path.join(lay.corpus_stats, "commit-00000"), "cs-new")
+
+
+def test_prune_snapshots_skips_transient_read_failures(tmp_path):
+    """A snapshot archive that cannot be READ (OSError) must be skipped,
+    not deleted — only provably-corrupt JSON is auto-removed."""
+    from pysearch.compact import prune_dangling_snapshots
+
+    lay = _layout(tmp_path, generations={})
+    m = lay.read_manifest()
+    m["snapshot_version"] = 2
+    lay.write_manifest(m)
+    # v1: a directory where the archive file should be -> open() raises
+    # IsADirectoryError (an OSError that is not a JSON problem)
+    os.makedirs(f"{lay.manifest_path}.v1")
+    # v2: corrupt JSON -> removed
+    with open(f"{lay.manifest_path}.v2", "w") as f:
+        f.write("{not json")
+    pruned = prune_dangling_snapshots(lay)
+    assert pruned == [2]
+    assert os.path.isdir(f"{lay.manifest_path}.v1")  # survived
+    assert not os.path.exists(f"{lay.manifest_path}.v2")
+
+
 def test_expire_generations_removes_older_trees(tmp_path):
     lay = _layout(tmp_path, generations={"docs": 2, "postings": 1})
     _mk(os.path.join(lay.root, "docs"), "g0")
