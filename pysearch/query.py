@@ -39,6 +39,11 @@ PRUNE_FIRST_SEGMENTS = 8  # segments scored in phase 1 to establish θ
 PRUNE_MIN_POSTINGS = 1_000_000  # below this, one-pass scoring beats the
 # extra bound/θ jobs on a warm local cluster; real serving deployments with
 # cold storage set this lower
+MAX_PENDING_TOMBSTONES = 10_000_000  # pending (uncompacted) deletes a
+# Searcher will ship to executors inside scoring closures (~80 MB of int64
+# per case above this).  The Lucene-style operating rule is "compact before
+# tombstones grow"; this cap ENFORCES it with a clear error instead of a
+# silent driver/executor OOM at 10^8 pending deletes.
 
 
 class Searcher:
@@ -117,6 +122,7 @@ class Searcher:
             # scored block counts (extra metadata jobs; test-only)
             self.count_scored_blocks = False
             self.last_block_counts: Optional[dict] = None
+            self.max_pending_tombstones = MAX_PENDING_TOMBSTONES
         from pyspark.sql import functions as F
 
         def _norm(df):
@@ -167,8 +173,23 @@ class Searcher:
         if self.layout.list_commits(path["tombstones"]):
             from pysearch.schema import TOMBSTONES
 
-            tpdf = self.layout.read_commits(
-                spark, path["tombstones"], schema=TOMBSTONES).toPandas()
+            tdf = self.layout.read_commits(
+                spark, path["tombstones"], schema=TOMBSTONES)
+            # count BEFORE collecting: a parquet count() is metadata-cheap,
+            # and failing here (instead of OOMing in toPandas or shipping an
+            # oversized closure to every task) turns the documented
+            # "compact before tombstones grow" rule into an enforced bound
+            n_pending = tdf.count()
+            if n_pending > self.max_pending_tombstones:
+                raise RuntimeError(
+                    f"index at {index_dir} has {n_pending} pending "
+                    f"tombstoned deletes (> max_pending_tombstones="
+                    f"{self.max_pending_tombstones}); run "
+                    "pysearch.compact.compact_index (CLI: compact-index) "
+                    "to purge deletes physically before searching, or "
+                    "raise searcher.max_pending_tombstones explicitly"
+                )
+            tpdf = tdf.toPandas()
             for cid, grp in tpdf.groupby("case_id"):
                 self._tombstones[str(cid)] = np.unique(
                     grp["doc_id"].to_numpy(np.int64))
@@ -313,12 +334,12 @@ class Searcher:
 
     def search_ids_many(self, queries: Dict[str, str],
                         k: int = DEFAULT_MAX_RESULTS, case_id: str = "0",
-                        mode: str = "any") -> pd.DataFrame:
+                        mode: str = "any", prune: bool = True) -> pd.DataFrame:
         """Batched top-k for a whole query log in ONE postings scan.
 
         ``queries``: qid -> query string.  Returns a pandas frame
-        (qid, doc_id, score) with each query's top-k, bit-identical to
-        per-query ``search_ids(prune=False)`` (same decode, weights, sum
+        (qid, doc_id, score) with each query's top-k, identical to
+        per-query ``search_ids`` (same decode, weights, sum
         order, tie-breaks — enforced by test).  Queries with no live terms
         (or, under ``mode="all"``/``"phrase"``, any corpus-absent term)
         yield no rows.  ``mode="phrase"`` (index built with
@@ -332,7 +353,14 @@ class Searcher:
         block is decoded once and shared across queries, and only
         O(|queries| * k) rows per segment leave the executors.  This is the
         offline query-log pattern: per-query Spark-job overhead is paid
-        once for the batch instead of per query."""
+        once for the batch instead of per query.  ``prune=True`` (default;
+        gated on candidate volume like ``search_ids``) additionally runs
+        the batched lossless block-max prune (``_prune_many_blocks``):
+        per-query θs are established from one shared phase-1 pass and a
+        block is decoded only when at least one query's top-k can still
+        need it — the query-log replay stops decoding every block of the
+        union terms.  Phrase mode never prunes (its candidate volume is
+        already the conjunctive intersection)."""
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
@@ -368,18 +396,25 @@ class Searcher:
                               len(live) if mode == "all" else 0)
         if not plans:
             return empty
-        return self._score_many_blocks(plans, avgdl, case_id, k, mode)
+        do_prune = (prune and mode != "phrase"
+                    and sum(dfs[t] for t in union_terms if t in dfs)
+                    > self.prune_min_postings)
+        return self._score_many_blocks(plans, avgdl, case_id, k, mode,
+                                       prune=do_prune)
 
     def _score_many_blocks(self, plans: Dict[str, tuple], avgdl: float,
-                           case_id: str, k: int, mode: str) -> pd.DataFrame:
+                           case_id: str, k: int, mode: str,
+                           prune: bool = False) -> pd.DataFrame:
         """ONE partition-pruned postings scan scoring every prebuilt plan;
         the shared engine of ``search_ids_many`` and the NRT hybrid's
         batched index side (streaming.search_with_arrivals, which injects
         union-corpus idfs/avgdl).  ``plans``: qid -> (idfs, qtf, require),
         or (idfs, terms, qtf) under mode="phrase".  Returns pandas
-        (qid, doc_id, score), each query's top-k."""
+        (qid, doc_id, score), each query's top-k.  ``prune=True`` (callers
+        gate it on candidate volume; never under mode="phrase") runs the
+        batched lossless block-max prune first — see
+        ``_prune_many_blocks``."""
         from pyspark.sql import functions as F
-        from pyspark.sql.window import Window
 
         all_terms = sorted({t for p in plans.values() for t in p[0]})
         buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
@@ -389,9 +424,35 @@ class Searcher:
             & F.col("term").isin(all_terms)
         )
 
+        excl = self._tombstones.get(case_id)
+        p1_pdf = None
+        if prune and mode != "phrase":
+            blocks, p1_pdf = self._prune_many_blocks(blocks, plans, avgdl,
+                                                     k, mode, exclude=excl)
+        pdf = self._many_pass(blocks, plans, avgdl, k, mode, excl)
+        if p1_pdf is not None:
+            pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
+            pdf = (
+                pdf.sort_values(["qid", "score", "doc_id"],
+                                ascending=[True, False, True], kind="stable")
+                .groupby("qid", group_keys=False, sort=False).head(k)
+                .reset_index(drop=True)
+            )
+        return pdf
+
+    def _many_pass(self, blocks, plans: Dict[str, tuple], avgdl: float,
+                   k: int, mode: str,
+                   excl: Optional[np.ndarray]) -> pd.DataFrame:
+        """One applyInPandas scoring pass of every plan over ``blocks``:
+        per-segment shared decode, per-query local top-k, then a window
+        reduces to each query's global top-k before O(|queries| * k) rows
+        reach the driver.  Returns pandas (qid, doc_id, score) sorted by
+        (qid, score desc, doc_id)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
         out_schema = "qid string, doc_id long, score double"
         phrase = mode == "phrase"
-        excl = self._tombstones.get(case_id)
 
         def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
             import zlib
@@ -723,6 +784,162 @@ class Searcher:
                 "scored": phase2.count()
                 + blocks_df.filter(
                     F.col("segment_id").isin(phase1)).count(),
+            }
+        return phase2, p1
+
+    def _prune_many_blocks(self, blocks_df, plans: Dict[str, tuple],
+                           avgdl: float, k: int, mode: str,
+                           exclude: Optional[np.ndarray] = None):
+        """Per-QUERY lossless block-max pruning for the batched scan —
+        ``_prune_blocks`` generalized to a whole query log while keeping
+        the one-shared-decode property.
+
+        The per-query BM25 upper bound of a (max_tf, min_dl) metadata pair
+        factors as w_q(t) * bub, where bub is the UNWEIGHTED
+        tf-normalization bound (shared by every query) and
+        w_q(t) = idf_q(t) * qtf_q(t) is a per-(query, term) scalar.  So:
+
+        1. One metadata-only aggregate builds bub per (segment, term) for
+           the union terms; joining the tiny (qid, term, w) table and
+           summing gives each query's per-segment bound seg_ub_q, with a
+           per-query count of present terms (mode="all" drops segments
+           missing any of q's terms — lossless, all of a doc's postings
+           live in one segment).
+        2. Phase 1 scores ONE shared pass over the union of each query's
+           top-``PRUNE_FIRST_SEGMENTS`` bound segments; a query q gets
+           θ_q = its running kth score (−inf when phase 1 found fewer than
+           k hits — q then prunes nothing).  Queries whose segments ALL
+           sit in phase 1 are final there and drop out of phase 2.
+           Sharing the pass can only include EXTRA exact scores for a
+           query, so θ_q stays a valid lower bound of q's true kth score.
+        3. Block b of term t in segment s is needed by q iff
+
+               w_q(t) * bub(b) + (seg_ub_q(s) − w_q(t) * bub(s, t)) ≥ θ_q
+               ⇔  bub(b) ≥ bub(s, t) + (θ_q − seg_ub_q(s)) / w_q(t)
+
+           so each q contributes one CUT scalar per (segment, term), and
+           b must be decoded iff bub(b) ≥ min over queries of their cuts.
+           The min-cut table is (segment, term)-sized metadata (Catalyst
+           picks the join strategy — at corpus scale it stays a fraction
+           of the block payload scan it prunes); per-query rows whose cut
+           exceeds bub(s, t) — the segment's best block can't serve q —
+           drop before the min, which only removes never-admitting
+           constraints.
+
+        Losslessness per query is ``_prune_blocks``'s argument verbatim
+        (dropping b only subtracts from docs already bounded < θ_q; ≥
+        keeps kth-ties exact; conjunctive scores stay dominated by the
+        disjunctive bound).  A block kept for q1 but not needed by q2 just
+        gives q2 exact extra contributions — exact scores can never
+        wrongly displace a true top-k doc.  Returns (phase2_blocks,
+        p1_pandas); (blocks_df, None) when no query has enough segments
+        for pruning to help."""
+        from collections import defaultdict
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from pysearch import B, K1
+
+        spark = self.spark
+        qt_rows = []
+        for qid, (idfs, qtf, _require) in plans.items():
+            for t, v in idfs.items():
+                qt_rows.append((qid, t, float(v) * float(qtf.get(t, 1))))
+        qterm = spark.createDataFrame(qt_rows,
+                                      "qid string, term string, w double")
+
+        bub = (F.col("max_tf") * (K1 + 1.0)) / (
+            F.col("max_tf") + K1 * (1.0 - B + B * F.col("min_dl") / avgdl))
+        base = (
+            blocks_df.groupBy("segment_id", "term")
+            .agg(F.max("max_tf").alias("max_tf"),
+                 F.min("min_dl").alias("min_dl"))
+            .select("segment_id", "term", bub.alias("bub"))
+        )
+        contrib = base.join(F.broadcast(qterm), "term").select(
+            "qid", "segment_id", (F.col("w") * F.col("bub")).alias("ub"))
+        seg = contrib.groupBy("qid", "segment_id").agg(
+            F.sum("ub").alias("seg_ub"),
+            F.count("*").alias("n_terms"),  # distinct terms by construction
+        )
+        if mode == "all":
+            req = spark.createDataFrame(
+                [(q, int(p[2])) for q, p in plans.items()],
+                "qid string, require int")
+            seg = (seg.join(F.broadcast(req), "qid")
+                   .filter(F.col("n_terms") >= F.col("require"))
+                   .drop("require"))
+        w_rank = Window.partitionBy("qid").orderBy(
+            F.col("seg_ub").desc(), F.col("segment_id"))
+        top = (
+            seg.withColumn("_rn", F.row_number().over(w_rank))
+            .filter(F.col("_rn") <= PRUNE_FIRST_SEGMENTS + 1)
+            .select("qid", "segment_id", "_rn")
+            .collect()
+        )
+        per_q: dict = defaultdict(list)
+        for r in top:
+            per_q[r["qid"]].append((int(r["_rn"]), r["segment_id"]))
+        if not any(len(v) > PRUNE_FIRST_SEGMENTS for v in per_q.values()):
+            return blocks_df, None  # no query spans enough segments
+        phase1, final_in_p1 = set(), set()
+        for qid, v in per_q.items():
+            if len(v) <= PRUNE_FIRST_SEGMENTS:
+                # ALL of q's (require-surviving) segments are in phase 1 —
+                # q's phase-1 results are its final results
+                phase1.update(s for _rn, s in v)
+                final_in_p1.add(qid)
+            else:
+                v.sort()
+                phase1.update(s for _rn, s in v[:PRUNE_FIRST_SEGMENTS])
+        p1 = self._many_pass(
+            blocks_df.filter(F.col("segment_id").isin(list(phase1))),
+            plans, avgdl, k, mode, excl=exclude)
+
+        by_q = p1.groupby("qid", sort=False) if len(p1) else None
+        theta_rows = []
+        for qid in plans:
+            if qid in final_in_p1 or qid not in per_q:
+                continue  # answered in phase 1 / no surviving segment
+            g = (by_q.get_group(qid) if by_q is not None
+                 and qid in by_q.groups else None)
+            th = (float(g["score"].iloc[k - 1])
+                  if g is not None and len(g) >= k else float("-inf"))
+            theta_rows.append((qid, th))
+        empty_blocks = blocks_df.filter(F.lit(False))
+        if not theta_rows:
+            return empty_blocks, p1  # whole log answered in phase 1
+        theta = spark.createDataFrame(theta_rows, "qid string, theta double")
+
+        segq = (
+            seg.join(F.broadcast(theta), "qid")
+            .filter(~F.col("segment_id").isin(list(phase1)))
+            .filter(F.col("seg_ub") >= F.col("theta"))
+        )
+        cut = (
+            segq.join(F.broadcast(qterm), "qid")
+            .join(base, ["segment_id", "term"])
+            .select(
+                "segment_id", "term", "bub",
+                (F.col("bub")
+                 + (F.col("theta") - F.col("seg_ub")) / F.col("w")
+                 ).alias("cut"),
+            )
+            .filter(F.col("cut") <= F.col("bub"))  # unreachable rows drop
+            .groupBy("segment_id", "term").agg(F.min("cut").alias("cut"))
+        )
+        phase2 = (
+            blocks_df.join(cut, ["segment_id", "term"])
+            .filter(bub >= F.col("cut"))
+            .drop("cut")
+        )
+        if self.count_scored_blocks:
+            self.last_block_counts = {
+                "candidate": blocks_df.count(),
+                "scored": phase2.count()
+                + blocks_df.filter(
+                    F.col("segment_id").isin(list(phase1))).count(),
             }
         return phase2, p1
 

@@ -449,18 +449,17 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
       reproduces that exactly (index hits by doc_id, then arrivals by
       url, within equal scores).
 
-    Scale shape: the index side is the regular distributed block scorer
-    (partition-pruned scan, lossless WAND with θ from index candidates —
-    a lower bound of the union kth score, so pruning stays lossless);
-    ``prune=False`` instead scores the WHOLE query log's index side in ONE
-    postings scan (the ``search_ids_many`` engine, bit-identical to the
-    per-query unpruned scorer) — the offline query-log path.  The mem side
-    is one tokenize pass + two tiny aggregates over the batch either way;
-    only O(k · |queries|) rows reach the driver."""
+    Scale shape: the index side scores the WHOLE query log in ONE
+    partition-pruned postings scan (the ``search_ids_many`` engine —
+    shared per-segment decode, O(k · |queries|) rows to the driver);
+    ``prune=True`` (default) adds the batched lossless per-query block-max
+    prune on top (θ_q from index candidates — a lower bound of the
+    index-side kth score, so pruning stays lossless under the merge),
+    ``prune=False`` keeps the exhaustive one-pass scan.  The mem side is
+    one tokenize pass + two tiny aggregates over the batch either way."""
     from pyspark.sql import functions as F
 
     from pysearch import score as sc
-    from pysearch.build import term_bucket
 
     if mode not in ("any", "all", "phrase"):
         raise ValueError(f"mode must be 'any', 'all' or 'phrase', got {mode!r}")
@@ -530,13 +529,16 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
         toks.unpersist()
 
     # ---- index side, with the UNION stats injected (idfs/avgdl/require).
-    # prune=True (latency path): the regular per-query block scorer with
-    # lossless WAND.  prune=False (query-log path): every query's index
-    # plan scored in ONE postings scan via the batched engine — the same
-    # amortization as search_ids_many, which is bit-identical to the
-    # per-query unpruned scorer (and WAND is lossless), so both routes
-    # return the same hits.
-    excl = searcher._tombstones.get(case_id)
+    # BOTH routes score the whole query log's index side in ONE postings
+    # scan via the batched engine (the search_ids_many amortization —
+    # shared decode, O(k·|queries|) rows to the driver).  prune=True
+    # additionally runs the batched lossless per-query block-max prune
+    # (Searcher._prune_many_blocks) when candidate volume clears the gate;
+    # prune=False keeps the exhaustive one-pass scan.  Either way results
+    # are identical to per-query scoring (pruning is lossless; pinned by
+    # the NRT bit-identity tests).  θ_q comes from index-side candidates
+    # only — a lower bound of the index-side kth score, so pruning the
+    # index list stays lossless regardless of the mem-side merge.
     idx_plans: dict = {}
     for qid, (live, idfs, qtf, require, _marker) in plans.items():
         live_idx = [t for t in live if dfs_idx.get(t, 0) > 0]
@@ -549,44 +551,17 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
         else:
             idx_plans[qid] = (idfs_idx, dict(qtf), require)
     idx_hits: dict = {}
-    if idx_plans and not prune:
+    if idx_plans:
+        do_prune = (
+            prune and mode != "phrase"
+            and sum(dfs_idx.get(t, 0) for t in union_terms)
+            > searcher.prune_min_postings
+        )
         many = searcher._score_many_blocks(idx_plans, avgdl, case_id, k,
-                                           mode)
+                                           mode, prune=do_prune)
         for r in many.itertuples(index=False):
             idx_hits.setdefault(r.qid, []).append(
                 (int(r.doc_id), float(r.score)))
-    elif idx_plans:
-        for qid, plan in idx_plans.items():
-            idfs_idx = plan[0]
-            qtf = plan[2] if mode == "phrase" else plan[1]
-            buckets = sorted({term_bucket(t, searcher.n_buckets)
-                              for t in idfs_idx})
-            blocks = searcher.postings.filter(
-                (F.col("case_id") == case_id)
-                & F.col("term_bucket").isin(searcher._bucket_lit(buckets))
-                & F.col("term").isin(list(idfs_idx))
-            )
-            if mode == "phrase":
-                pdf = searcher._score_blocks_phrase(
-                    blocks, idfs_idx, plan[1], qtf, avgdl, k, exclude=excl)
-            else:
-                require = plan[2]
-                p1_pdf = None
-                if sum(dfs_idx[t] for t in idfs_idx
-                       ) > searcher.prune_min_postings:
-                    blocks, p1_pdf = searcher._prune_blocks(
-                        blocks, idfs_idx, qtf, avgdl, k, require,
-                        exclude=excl)
-                pdf = searcher._score_blocks(blocks, idfs_idx, qtf, avgdl,
-                                             k, require, exclude=excl)
-                if p1_pdf is not None:
-                    pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
-            pdf = pdf.sort_values(["score", "doc_id"],
-                                  ascending=[False, True],
-                                  kind="stable").head(k)
-            if len(pdf):
-                idx_hits[qid] = list(zip(pdf["doc_id"].astype(int),
-                                         pdf["score"].astype(float)))
 
     # one catalog lookup for every index hit across the whole query log
     url_of = {}

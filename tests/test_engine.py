@@ -596,6 +596,57 @@ def test_block_max_pruning_skips_cold_blocks(spark, tmp_path):
     assert counts["scored"] < counts["candidate"]
 
 
+def test_batched_block_pruning_matches_per_query(spark, tmp_path):
+    """Per-query block-max pruning in the BATCHED query-log scan
+    (_prune_many_blocks): results stay bit-identical to both the unpruned
+    batched pass and per-query search_ids, across match modes, while the
+    decode volume drops below the candidate block count.
+
+    Skewed corpus, 16 segments x 512 docs: 'alpha' is hot (tf=20) only in
+    the 2 lowest-local docs per segment, 'beta' hot in two other slots,
+    'rare' appears only in the first two segments (its whole posting list
+    fits in phase 1 — the query is final there), plus a dead query."""
+    import pandas as pd
+
+    n, seg = 8192, 512
+    rows = []
+    for i in range(n):
+        local = i % seg
+        parts = [("alpha " * 20) if local < 2 else "alpha"]
+        if local in (5, 6):
+            parts.append("beta " * 16)
+        elif local % 3 == 0:
+            parts.append("beta")
+        if i < 2 * seg and local == 7:
+            parts.append("rare " * 4)
+        rows.append((f"doc{i:06d}",
+                     " ".join(parts) + f" u{i:06d} " + "pad " * 10))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "text"]))
+    ix = str(tmp_path / "skew_many_ix")
+    build_index(spark, df, ix, segment_size=seg, analyzer="simple")
+
+    s = Searcher(spark, ix)
+    s.prune_min_postings = 0
+    qs = {"qa": "alpha", "qb": "beta", "qab": "alpha beta",
+          "qr": "rare", "qdead": "zzznope"}
+    for mode in ("any", "all"):
+        s.count_scored_blocks = True
+        s.last_block_counts = None
+        batch = s.search_ids_many(qs, k=10, case_id="0", mode=mode)
+        counts = s.last_block_counts
+        unpruned = s.search_ids_many(qs, k=10, case_id="0", mode=mode,
+                                     prune=False)
+        pd.testing.assert_frame_equal(batch, unpruned)
+        for qid, q in qs.items():
+            single = s.search_ids(q, k=10, case_id="0", prune=False,
+                                  mode=mode)
+            sub = batch[batch["qid"] == qid].reset_index(drop=True)
+            assert list(sub["doc_id"]) == list(single["doc_id"]), (qid, mode)
+            assert list(sub["score"]) == list(single["score"]), (qid, mode)
+        assert counts is not None, mode
+        assert counts["scored"] < counts["candidate"], (mode, counts)
+
+
 def test_searcher_staleness_guard(spark, tmp_path):
     """A Searcher whose index is appended/compacted by ANOTHER writer is
     never silently stale: default on_stale="refresh" returns post-append
