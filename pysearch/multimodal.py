@@ -11,9 +11,12 @@ Decode is import-guarded, best-real-first:
   library-free environments).  Other formats without PIL raise.
 - ``kind="audio"``: stdlib ``wave`` for RIFF/WAVE payloads — returns
   (n_frames, sample_rate, channels) in the (width, height, channels) slots.
-- ``kind="video"`` frame extraction requires ffmpeg and stays a disclosed
-  stub (``frame_sample(fake=True)`` slices byte-stride pseudo-frames so the
-  row-explosion dataflow is exercised end to end).
+- ``kind="video"``: a pure-stdlib ISO-BMFF (MP4/MOV) box walker reads real
+  container metadata — track dimensions from ``tkhd`` (16.16 fixed point)
+  and the track count — returning (width, height, n_tracks).  FRAME
+  extraction (actual codec decode) still requires ffmpeg and stays a
+  disclosed stub (``frame_sample(fake=True)`` slices byte-stride
+  pseudo-frames so the row-explosion dataflow is exercised end to end).
 
 ``fake=True`` selects a deterministic fake decoder (byte-histogram
 features, md5-seeded dimensions) for tests and benchmarks that need decode
@@ -77,6 +80,60 @@ def _decode_audio(payload: bytes):
         ) from e
 
 
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for each ISO-BMFF box in
+    buf[start:end] (ISO/IEC 14496-12 §4.2: 32-bit size + 4-char type,
+    size==1 -> 64-bit largesize, size==0 -> box extends to end)."""
+    off = start
+    while off + 8 <= end:
+        size, btype = struct.unpack(">I4s", buf[off:off + 8])
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = struct.unpack(">Q", buf[off + 8:off + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            return  # truncated/corrupt box: stop walking
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _decode_video(payload: bytes):
+    """Pure-stdlib ISO-BMFF (MP4/MOV) container metadata: the first track
+    with nonzero tkhd dimensions gives (width, height); the third slot
+    carries the total track count.  Raises for non-BMFF payloads (real
+    codec work needs ffmpeg)."""
+    is_bmff = len(payload) >= 12 and payload[4:8] in (b"ftyp", b"moov")
+    if is_bmff:
+        moov = next((b for b in _walk_boxes(payload, 0, len(payload))
+                     if b[0] == b"moov"), None)
+        if moov is not None:
+            n_tracks, w, h = 0, 0, 0
+            for btype, bs, be in _walk_boxes(payload, moov[1], moov[2]):
+                if btype != b"trak":
+                    continue
+                n_tracks += 1
+                tkhd = next((b for b in _walk_boxes(payload, bs, be)
+                             if b[0] == b"tkhd"), None)
+                if tkhd is None or (w and h):
+                    continue
+                # tkhd (§8.3.2): width/height are the LAST 8 body bytes,
+                # 16.16 fixed point, same offset for version 0 and 1
+                tw, th = struct.unpack(">II", payload[tkhd[2] - 8:tkhd[2]])
+                w, h = tw >> 16, th >> 16
+            if n_tracks:
+                return int(w), int(h), int(n_tracks)
+    raise NotImplementedError(
+        "video decode supports ISO-BMFF (MP4/MOV) container metadata via "
+        "the stdlib box walker; other containers and actual frame decode "
+        "need ffmpeg (not installed); pass fake=True for the deterministic "
+        "stand-in"
+    )
+
+
 def decode_media(payload: bytes, kind: str, fake: bool = False):
     """Decode one media payload -> (width, height, channels); for audio the
     triple carries (n_frames, sample_rate, channels).
@@ -90,8 +147,10 @@ def decode_media(payload: bytes, kind: str, fake: bool = False):
         return _decode_image(payload)
     if kind == "audio":
         return _decode_audio(payload)
+    if kind == "video":
+        return _decode_video(payload)
     raise NotImplementedError(
-        f"real decode for kind={kind!r} requires ffmpeg (not installed); "
+        f"real decode for kind={kind!r} is not supported; "
         "pass fake=True for the deterministic stand-in"
     )
 

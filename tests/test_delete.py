@@ -92,6 +92,30 @@ def test_pending_delete_suppresses_without_rescoring(spark, tmp_path):
         delete_docs(spark, d)
 
 
+def test_pending_tombstone_cap_enforced(spark, tmp_path):
+    """The "compact before tombstones grow" operating rule is an enforced
+    bound, not advice: a Searcher refusing to load a pending-delete set
+    larger than max_pending_tombstones fails with an error naming
+    compact-index; compaction (physical purge) clears the condition."""
+    d = str(tmp_path / "tomb_cap_ix")
+    build_index(spark, corpus.webtext_df(
+        spark, cases=[(6, "in the realm of", 40, 200)]), d, segment_size=16)
+    urls = sorted({u for (_c, _i), u in _url_of(spark, d).items()})
+    assert delete_docs(spark, d, urls=urls[:5]) == 5
+
+    s = Searcher(spark, d)  # default cap: loads fine
+    assert len(s.search_ids("realm", k=50, case_id="6"))
+    s.max_pending_tombstones = 3
+    with pytest.raises(RuntimeError, match="compact-index"):
+        s.refresh()
+
+    compact_index(spark, d)  # purges tombstones physically
+    s.refresh()  # same tightened cap, zero pending: loads
+    h = s.search_ids("realm", k=50, case_id="6")
+    assert set(_url_of(spark, d)[("6", int(i))]
+               for i in h["doc_id"]).isdisjoint(urls[:5])
+
+
 QUERIES = {
     "any": ("in the realm of", "6", "any"),
     "conj": ("in the realm", "6", "all"),

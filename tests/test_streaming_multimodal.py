@@ -387,8 +387,11 @@ def test_multimodal_real_decode_gated():
         decode_media(b"abc", "image", fake=False)
     with pytest.raises(NotImplementedError):  # not RIFF/WAVE
         decode_media(b"abc", "audio", fake=False)
-    with pytest.raises(NotImplementedError):  # video needs ffmpeg
+    with pytest.raises(NotImplementedError):  # not ISO-BMFF
         decode_media(b"abc", "video", fake=False)
+    with pytest.raises(NotImplementedError):  # BMFF signature, no moov
+        decode_media(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00", "video",
+                     fake=False)
 
 
 def _png(w: int, h: int, color_type: int = 6) -> bytes:
@@ -421,6 +424,58 @@ def _wav(frames: int, rate: int, channels: int) -> bytes:
     return buf.getvalue()
 
 
+def _box(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def _mp4(w: int, h: int, audio_tracks: int = 0) -> bytes:
+    """A minimal valid ISO-BMFF container: ftyp + moov(mvhd, trak(tkhd)
+    per track).  tkhd per spec §8.3.2 v0: fullbox(4) ids/times(16)
+    reserved(4) duration(4) reserved(8) layer/alt/vol/reserved(8)
+    matrix(36) then width/height as 16.16 fixed point."""
+    import struct
+
+    def tkhd(track_id, tw, th):
+        body = (b"\x00\x00\x00\x07"            # version 0, flags=enabled
+                + struct.pack(">III", 0, 0, track_id)
+                + b"\x00" * 4 + struct.pack(">I", 1000) + b"\x00" * 8
+                + b"\x00" * 8                  # layer/alternate/volume/resv
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)      # identity matrix
+                + struct.pack(">II", tw << 16, th << 16))
+        return _box(b"tkhd", body)
+
+    mvhd = _box(b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 600, 1000)
+                + b"\x00" * 80)
+    traks = [_box(b"trak", tkhd(1, w, h))]
+    for i in range(audio_tracks):
+        traks.append(_box(b"trak", tkhd(2 + i, 0, 0)))
+    moov = _box(b"moov", mvhd + b"".join(traks))
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_multimodal_real_decode_mp4():
+    """Real video container metadata decode — no ffmpeg, no optional libs:
+    the stdlib ISO-BMFF box walker reads track dimensions (16.16 fixed
+    point tkhd) and the track count from a structurally valid MP4."""
+    from pysearch.multimodal import decode_media
+
+    assert decode_media(_mp4(640, 360), "video") == (640, 360, 1)
+    assert decode_media(_mp4(1920, 1080, audio_tracks=1),
+                        "video") == (1920, 1080, 2)
+    # 64-bit largesize boxes walk too: rewrap moov with size==1 + largesize
+    import struct
+
+    p = _mp4(320, 240)
+    ftyp_len = struct.unpack(">I", p[:4])[0]
+    moov = p[ftyp_len:]
+    big = (struct.pack(">I", 1) + b"moov"
+           + struct.pack(">Q", len(moov) + 8) + moov[8:])
+    assert decode_media(p[:ftyp_len] + big, "video") == (320, 240, 1)
+
+
 def test_multimodal_real_decode_png_wav(spark):
     """Real (non-fake) decode works on real payloads without any optional
     library: PNG via the stdlib IHDR path (PIL path when installed), WAV
@@ -435,10 +490,11 @@ def test_multimodal_real_decode_png_wav(spark):
     assert decode_media(_wav(100, 8000, 2), "audio") == (100, 8000, 2)
 
     pdf = pd.DataFrame({
-        "media_id": [1, 2, 3],
-        "kind": ["image", "image", "audio"],
-        "payload": [_png(33, 21), _png(5, 7, 0), _wav(100, 8000, 2)],
-        "meta": [{}, {}, {}],
+        "media_id": [1, 2, 3, 4],
+        "kind": ["image", "image", "audio", "video"],
+        "payload": [_png(33, 21), _png(5, 7, 0), _wav(100, 8000, 2),
+                    _mp4(640, 360, audio_tracks=1)],
+        "meta": [{}, {}, {}, {}],
     })
     df = spark.createDataFrame(
         pdf,
@@ -450,6 +506,7 @@ def test_multimodal_real_decode_png_wav(spark):
     assert (rows[1].width, rows[1].height, rows[1].channels) == (33, 21, 4)
     assert (rows[2].width, rows[2].height, rows[2].channels) == (5, 7, 1)
     assert (rows[3].width, rows[3].height, rows[3].channels) == (100, 8000, 2)
+    assert (rows[4].width, rows[4].height, rows[4].channels) == (640, 360, 2)
     assert all(len(r.features) == FEATURE_DIM for r in rows.values())
 
 
