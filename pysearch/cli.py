@@ -65,7 +65,8 @@ def cmd_search(args) -> None:
         print(res[["url", "score"]].to_string(index=False))
     else:
         result = s.search(args.query, k=args.k, case_id=args.case_id,
-                          prune=not args.no_prune, mode=args.mode)
+                          prune=not args.no_prune, mode=args.mode,
+                          window=args.window)
         result.show(args.k, truncate=80)
     spark.stop()
 
@@ -186,8 +187,14 @@ def main(argv=None) -> None:
     ps.add_argument("-k", type=int, default=10)
     ps.add_argument("--case-id", default="0")
     ps.add_argument("--no-prune", action="store_true")
-    ps.add_argument("--mode", default="any", choices=["any", "all", "phrase"],
-                    help="match mode (phrase needs --store-positions index)")
+    ps.add_argument("--mode", default="any",
+                    choices=["any", "all", "phrase", "near"],
+                    help="match mode (phrase/near need a "
+                         "--store-positions index)")
+    ps.add_argument("--window", type=int, default=None,
+                    help="mode=near proximity window: all distinct query "
+                         "terms must co-occur within this many token "
+                         "positions (any order)")
     ps.add_argument("--arrivals", default=None,
                     help="parquet path of an unflushed arrival batch: "
                          "NRT hybrid search over index ∪ batch "

@@ -272,18 +272,19 @@ def _ensure_engine_index(spark, sf_dir):
 
 
 def _search_to_source_ids(spark, index_dir, mode: str, terms=None,
-                          at_version=None):
+                          at_version=None, window=None):
     """Run the query through the engine at ``index_dir`` and map engine
     doc_ids back to the source table's doc_id via the catalog url (robust
     even when content dedupe dropped duplicate texts).  ``at_version``
-    pins the search to an archived snapshot (time-travel read)."""
+    pins the search to an archived snapshot (time-travel read);
+    ``window`` is the mode="near" proximity window."""
     from pyspark.sql import functions as F
 
     from pysearch.query import Searcher
 
     s = Searcher(spark, index_dir, at_version=at_version)
     hits = s.search_ids(" ".join(terms or _BM25_TERMS), k=10, case_id="0",
-                        mode=mode)
+                        mode=mode, window=window)
     hits_df = spark.createDataFrame(
         hits.assign(score_r=hits["score"].round(4))[["doc_id", "score_r"]],
         schema="doc_id long, score_r double",
@@ -297,11 +298,12 @@ def _search_to_source_ids(spark, index_dir, mode: str, terms=None,
     )
 
 
-def _engine_search(spark, sf_dir, mode: str, terms=None):
+def _engine_search(spark, sf_dir, mode: str, terms=None, window=None):
     """The REAL engine end-to-end over `documents`: ensure the shared index,
     search, map back to source doc_ids."""
     index_dir, _fp = _ensure_engine_index(spark, sf_dir)
-    return _search_to_source_ids(spark, index_dir, mode, terms)
+    return _search_to_source_ids(spark, index_dir, mode, terms,
+                                 window=window)
 
 
 @op("t1_engine_bm25_top10", _BM25_SQL)
@@ -373,6 +375,60 @@ def t1_engine_phrase_top10(spark, sf_dir):
     positions (pos_bin), value-checked against an independent DuckDB BM25
     restricted to docs containing the phrase consecutively."""
     return _engine_search(spark, sf_dir, mode="phrase", terms=_PHRASE_TERMS)
+
+
+_NEAR_WINDOW = 3
+
+# proximity oracle: the conjunctive BM25 chain over the two terms, but only
+# docs where SOME occurrence pair sits within _NEAR_WINDOW token positions
+# (any order) survive — token positions are SQL-expressible for the simple
+# analyzer via generate_subscripts over the split list (1-based, but only
+# position DIFFERENCES enter the window test, matching the engine's 0-based
+# token indices)
+_BM25_NEAR_SQL = f"""
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+tokl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM dedup),
+tokp AS (SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+         FROM tokl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokp GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokp GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES {",".join(f"('{t}')" for t in _PHRASE_TERMS)}),
+dfq AS (SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN q ON tf.term = q.term GROUP BY tf.term),
+near AS (
+  SELECT DISTINCT a.doc_id
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id
+  WHERE a.term = '{_PHRASE_TERMS[0]}' AND b.term = '{_PHRASE_TERMS[1]}'
+    AND abs(a.pos - b.pos) <= {_NEAR_WINDOW}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN dfq ON tf.term = dfq.term
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id HAVING count(*) = {len(_PHRASE_TERMS)})
+SELECT sc.doc_id, round(sc.s, 4) AS score_r
+FROM sc JOIN near ON sc.doc_id = near.doc_id
+ORDER BY sc.s DESC, sc.doc_id LIMIT 10
+"""
+
+
+@op("t1_engine_near_top10", _BM25_NEAR_SQL)
+def t1_engine_near_top10(spark, sf_dir):
+    """mode="near": unordered PROXIMITY retrieval through the REAL engine —
+    posting-list intersection plus a minimal-window sweep over the
+    index-side term positions (pos_bin; score._near_matched_docs), the
+    Lucene-span capability the phrase machinery generalizes to.
+    Value-checked against an independent DuckDB BM25 restricted to docs
+    whose terms co-occur within the window."""
+    return _engine_search(spark, sf_dir, mode="near", terms=_PHRASE_TERMS,
+                          window=_NEAR_WINDOW)
 
 
 # delete oracle: identical BM25 chain, but docs with doc_id % 7 == 0 are

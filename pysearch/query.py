@@ -266,7 +266,8 @@ class Searcher:
     # ------------------------------------------------------------------
     def search_ids(self, query: str, k: int = DEFAULT_MAX_RESULTS,
                    case_id: str = "0", prune: bool = True,
-                   mode: str = "any") -> pd.DataFrame:
+                   mode: str = "any",
+                   window: Optional[int] = None) -> pd.DataFrame:
         """Top-k (doc_id, score), deterministic. k<0 -> reference default
         (index_search.go:96-97).
 
@@ -279,18 +280,29 @@ class Searcher:
         ``store_positions=True``) additionally requires the analyzed terms
         at CONSECUTIVE positions — posting-list intersection plus
         position-adjacency from the index's pos_bin; phrase hits score
-        bit-identically to their mode="all" scores.  Phrase queries skip
-        WAND pruning: their candidate volume is already the (small)
-        conjunctive intersection of the query terms."""
+        bit-identically to their mode="all" scores.
+        ``mode="near"`` (positions required too) is unordered PROXIMITY
+        retrieval: the distinct analyzed terms must co-occur within
+        ``window`` token positions (max chosen position − min chosen
+        position ≤ window, any order — Lucene-span-style); near hits also
+        score bit-identically to their mode="all" scores.  window=1 with
+        two terms admits adjacency in either order, so phrase hits are a
+        subset of near hits at window=len(terms)−1.
+        Phrase/near queries skip WAND pruning: their candidate volume is
+        already the (small) conjunctive intersection of the query terms."""
         from pyspark.sql import functions as F
 
         self._check_fresh()
-        if mode not in ("any", "all", "phrase"):
-            raise ValueError(f"mode must be any|all|phrase, got {mode!r}")
-        if mode == "phrase" and not self.positions_stored:
+        if mode not in ("any", "all", "phrase", "near"):
             raise ValueError(
-                "mode='phrase' needs an index built with store_positions=True"
+                f"mode must be any|all|phrase|near, got {mode!r}")
+        if mode in ("phrase", "near") and not self.positions_stored:
+            raise ValueError(
+                f"mode={mode!r} needs an index built with "
+                "store_positions=True"
             )
+        if mode == "near" and (window is None or window < 0):
+            raise ValueError("mode='near' needs window >= 0")
         if k is None or k < 0:
             k = DEFAULT_MAX_RESULTS
         terms, qtf = self._analyze_query(query)
@@ -299,7 +311,7 @@ class Searcher:
         n_docs, avgdl, _sum_dl = self._corpus[case_id]
         dfs = self._term_dfs(case_id, terms)
         live = [t for t in set(terms) if t in dfs]
-        if not live or (mode in ("all", "phrase")
+        if not live or (mode in ("all", "phrase", "near")
                         and len(live) < len(set(terms))):
             return pd.DataFrame(columns=["doc_id", "score"])
         idfs = {t: sc.idf(n_docs, dfs[t]) for t in live}
@@ -313,9 +325,10 @@ class Searcher:
         )
 
         excl = self._tombstones.get(case_id)
-        if mode == "phrase":
-            return self._score_blocks_phrase(blocks, idfs, terms, qtf,
-                                             avgdl, k, exclude=excl)
+        if mode in ("phrase", "near"):
+            return self._score_blocks_phrase(
+                blocks, idfs, terms, qtf, avgdl, k, exclude=excl,
+                window=window if mode == "near" else None)
 
         # pruning pays for itself only when there is real volume to skip;
         # df is already known, so gate on total candidate postings
@@ -334,7 +347,8 @@ class Searcher:
 
     def search_ids_many(self, queries: Dict[str, str],
                         k: int = DEFAULT_MAX_RESULTS, case_id: str = "0",
-                        mode: str = "any", prune: bool = True) -> pd.DataFrame:
+                        mode: str = "any", prune: bool = True,
+                        window: Optional[int] = None) -> pd.DataFrame:
         """Batched top-k for a whole query log in ONE postings scan.
 
         ``queries``: qid -> query string.  Returns a pandas frame
@@ -359,18 +373,24 @@ class Searcher:
         per-query θs are established from one shared phase-1 pass and a
         block is decoded only when at least one query's top-k can still
         need it — the query-log replay stops decoding every block of the
-        union terms.  Phrase mode never prunes (its candidate volume is
-        already the conjunctive intersection)."""
+        union terms.  Phrase/near modes never prune (their candidate
+        volume is already the conjunctive intersection).  ``mode="near"``
+        batches unordered-proximity queries, each within the shared
+        ``window`` (search_ids semantics)."""
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
         self._check_fresh()
-        if mode not in ("any", "all", "phrase"):
-            raise ValueError(f"mode must be any|all|phrase, got {mode!r}")
-        if mode == "phrase" and not self.positions_stored:
+        if mode not in ("any", "all", "phrase", "near"):
             raise ValueError(
-                "mode='phrase' needs an index built with store_positions=True"
+                f"mode must be any|all|phrase|near, got {mode!r}")
+        if mode in ("phrase", "near") and not self.positions_stored:
+            raise ValueError(
+                f"mode={mode!r} needs an index built with "
+                "store_positions=True"
             )
+        if mode == "near" and (window is None or window < 0):
+            raise ValueError("mode='near' needs window >= 0")
         if k is None or k < 0:
             k = DEFAULT_MAX_RESULTS
         empty = pd.DataFrame(columns=["qid", "doc_id", "score"])
@@ -385,18 +405,20 @@ class Searcher:
         plans: Dict[str, tuple] = {}
         for qid, (terms, qtf) in analyzed.items():
             live = [t for t in set(terms) if t in dfs]
-            if not live or (mode in ("all", "phrase")
+            if not live or (mode in ("all", "phrase", "near")
                             and len(live) < len(set(terms))):
                 continue
             idfs = {t: sc.idf(n_docs, dfs[t]) for t in live}
             if mode == "phrase":
                 plans[qid] = (idfs, list(terms), dict(qtf))
+            elif mode == "near":
+                plans[qid] = (idfs, list(terms), dict(qtf), int(window))
             else:
                 plans[qid] = (idfs, dict(qtf),
                               len(live) if mode == "all" else 0)
         if not plans:
             return empty
-        do_prune = (prune and mode != "phrase"
+        do_prune = (prune and mode in ("any", "all")
                     and sum(dfs[t] for t in union_terms if t in dfs)
                     > self.prune_min_postings)
         return self._score_many_blocks(plans, avgdl, case_id, k, mode,
@@ -426,7 +448,7 @@ class Searcher:
 
         excl = self._tombstones.get(case_id)
         p1_pdf = None
-        if prune and mode != "phrase":
+        if prune and mode in ("any", "all"):
             blocks, p1_pdf = self._prune_many_blocks(blocks, plans, avgdl,
                                                      k, mode, exclude=excl)
         pdf = self._many_pass(blocks, plans, avgdl, k, mode, excl)
@@ -452,7 +474,7 @@ class Searcher:
         from pyspark.sql.window import Window
 
         out_schema = "qid string, doc_id long, score double"
-        phrase = mode == "phrase"
+        phrase = mode in ("phrase", "near")
 
         def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
             import zlib
@@ -571,12 +593,14 @@ class Searcher:
 
     def _score_blocks_phrase(self, blocks_df, idfs, qterms, qtf, avgdl,
                              k,
-                             exclude: Optional[np.ndarray] = None
+                             exclude: Optional[np.ndarray] = None,
+                             window: Optional[int] = None
                              ) -> pd.DataFrame:
         """Distributed exact-phrase scoring: per segment, posting-list
         intersection + position adjacency (score.score_segment_blocks_phrase)
         then the usual union-of-local-top-ks.  Payloads are CRC-checked
-        (3-buffer xor AND the separate positions CRC)."""
+        (3-buffer xor AND the separate positions CRC).  ``window`` switches
+        the position test to unordered proximity (mode="near")."""
         from pyspark.sql import functions as F
 
         out_schema = "doc_id long, score double"
@@ -598,7 +622,8 @@ class Searcher:
                     pdf["dls_bin"], pdf["pos_bin"])
             )
             ids, scores = sc.score_segment_blocks_phrase(
-                rows, idfs, qterms, qtf, avgdl, k, exclude=exclude
+                rows, idfs, qterms, qtf, avgdl, k, exclude=exclude,
+                window=window
             )
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
@@ -1007,7 +1032,8 @@ class Searcher:
     def search(self, query: str, k: int = DEFAULT_MAX_RESULTS,
                case_id: str = "0", prune: bool = True,
                best_filter: bool = True, max_spans: int = 100,
-               mode: str = "any", spans: str = "auto"):
+               mode: str = "any", spans: str = "auto",
+               window: "Optional[int]" = None):
         """Full search: top-k + phrase spans + Best filter + line numbers.
 
         Returns a Spark DataFrame with MATCHES schema (SURVEY §1.1 match-set
@@ -1038,7 +1064,8 @@ class Searcher:
         if use_index_pos and not self.positions_stored:
             raise ValueError("index was built without store_positions=True")
 
-        hits = self.search_ids(query, k, case_id, prune, mode)
+        hits = self.search_ids(query, k, case_id, prune, mode,
+                               window=window)
         spark = self.spark
         if hits.empty:
             return spark.createDataFrame([], schema=MATCHES)

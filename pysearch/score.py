@@ -181,6 +181,78 @@ def _phrase_matched_docs(
     return np.asarray(matched, dtype=np.int64)
 
 
+def _min_span(seqs: List[np.ndarray]) -> int:
+    """Smallest max(p)-min(p) over one position chosen from each sorted
+    sequence — the classic k-list minimal-window sweep over the merged
+    position stream (two pointers + per-list counts)."""
+    k = len(seqs)
+    if k == 1:
+        return 0 if len(seqs[0]) else np.iinfo(np.int64).max
+    allpos = np.concatenate(seqs)
+    labels = np.repeat(np.arange(k), [len(s) for s in seqs])
+    o = np.argsort(allpos, kind="stable")
+    allpos, labels = allpos[o], labels[o]
+    counts = np.zeros(k, dtype=np.int64)
+    missing, left = k, 0
+    best = np.iinfo(np.int64).max
+    for right in range(allpos.size):
+        lb = labels[right]
+        if counts[lb] == 0:
+            missing -= 1
+        counts[lb] += 1
+        while missing == 0:
+            span = int(allpos[right] - allpos[left])
+            if span < best:
+                best = span
+            ll = labels[left]
+            counts[ll] -= 1
+            if counts[ll] == 0:
+                missing += 1
+            left += 1
+    return best
+
+
+def _near_matched_docs(
+    decoded: Dict[str, tuple],
+    qterms: List[str],
+    window: int,
+) -> np.ndarray:
+    """Docs of one segment whose DISTINCT query terms all co-occur within
+    ``window`` token positions: some choice of one occurrence per term has
+    max(position) - min(position) <= window, any order (Lucene-span-style
+    unordered proximity; window=1 admits exactly the two-term adjacency
+    pairs in either order).  Same decoded shape as _phrase_matched_docs."""
+    distinct_terms = sorted(set(qterms))
+    empty = np.empty(0, dtype=np.int64)
+    if any(t not in decoded for t in distinct_terms):
+        return empty
+    common = decoded[distinct_terms[0]][0]
+    for t in distinct_terms[1:]:
+        common = np.intersect1d(common, decoded[t][0], assume_unique=True)
+    if common.size == 0:
+        return empty
+
+    posmap: Dict[str, tuple] = {}
+    for t in distinct_terms:
+        ids, tfs, _dls, pos = decoded[t]
+        ends = np.cumsum(tfs)
+        starts = ends - tfs
+        posmap[t] = ({int(d): i for i, d in enumerate(ids)}, starts, ends,
+                     pos)
+
+    matched: List[int] = []
+    for d in common:
+        d = int(d)
+        seqs = []
+        for t in distinct_terms:
+            idxt, st, en, pt = posmap[t]
+            j = idxt[d]
+            seqs.append(pt[st[j]:en[j]])
+        if _min_span(seqs) <= window:
+            matched.append(d)
+    return np.asarray(matched, dtype=np.int64)
+
+
 def score_segment_blocks_multi(
     block_rows: Sequence[tuple],
     plans: Dict[str, tuple],
@@ -236,10 +308,11 @@ def score_segment_blocks_multi_phrase(
 
     ``block_rows``: (term, n, doc_ids_bin, tfs_bin, dls_bin, pos_bin).
     ``plans``: qid -> (idfs, qterms, qtf) with ``qterms`` the analyzed terms
-    IN ORDER (duplicates kept).  Bit-identical to per-query
+    IN ORDER (duplicates kept), or (idfs, qterms, qtf, window) for
+    unordered-PROXIMITY queries (mode="near").  Bit-identical to per-query
     ``score_segment_blocks_phrase`` by construction: same decode, same
-    ``_phrase_matched_docs`` intersection, same ``_topk_from_decoded``
-    arithmetic (pinned by test)."""
+    ``_phrase_matched_docs``/``_near_matched_docs`` match, same
+    ``_topk_from_decoded`` arithmetic (pinned by test)."""
     per_term: dict = {}
     for term, n, ib, tb, db, pb in block_rows:
         per_term.setdefault(term, []).append((n, ib, tb, db, pb))
@@ -256,8 +329,10 @@ def score_segment_blocks_multi_phrase(
     out_q: List[str] = []
     out_ids: List[np.ndarray] = []
     out_scores: List[np.ndarray] = []
-    for qid, (idfs, qterms, qtf) in plans.items():
-        mset = _phrase_matched_docs(decoded, qterms)
+    for qid, plan in plans.items():
+        idfs, qterms, qtf = plan[0], plan[1], plan[2]
+        mset = (_phrase_matched_docs(decoded, qterms) if len(plan) < 4
+                else _near_matched_docs(decoded, qterms, plan[3]))
         if mset.size == 0:
             continue
         ids, sums = _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
@@ -278,6 +353,7 @@ def score_segment_blocks_phrase(
     avgdl: float,
     k: int,
     exclude: np.ndarray | None = None,
+    window: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-PHRASE top-k over one segment: posting-list intersection plus
     position-adjacency from the index's term positions (pos_bin) — the
@@ -290,7 +366,11 @@ def score_segment_blocks_phrase(
     some position p has qterms[i] at p+i for every i.  Matching docs are
     scored with the SAME arithmetic as conjunctive BM25 (ascending-term
     concatenation + reduceat), so a phrase hit's score is bit-identical to
-    its mode="all" score (pinned by test)."""
+    its mode="all" score (pinned by test).
+
+    ``window`` switches to unordered PROXIMITY matching (mode="near"): a
+    doc matches iff its distinct query terms co-occur within ``window``
+    token positions (_near_matched_docs); scoring is unchanged."""
     per_term: dict = {}
     for term, n, ib, tb, db, pb in block_rows:
         per_term.setdefault(term, []).append((n, ib, tb, db, pb))
@@ -310,11 +390,12 @@ def score_segment_blocks_phrase(
         pos = codec.unpack_positions_batch(tfs, [r[4] for r in rows_t])
         decoded[term] = (ids, tfs, dls, pos)
 
-    mset = _phrase_matched_docs(decoded, qterms)
+    mset = (_phrase_matched_docs(decoded, qterms) if window is None
+            else _near_matched_docs(decoded, qterms, window))
     if mset.size == 0:
         return empty
-    # scoring restricted to phrase hits, same arithmetic as conjunctive —
-    # a phrase hit's score is bit-identical to its mode="all" score
+    # scoring restricted to phrase/near hits, same arithmetic as
+    # conjunctive — a hit's score is bit-identical to its mode="all" score
     return _topk_from_decoded(decoded, idfs, qtf, avgdl, k, restrict=mset,
                               exclude=exclude)
 

@@ -259,3 +259,94 @@ def test_search_many_phrase_requires_positions(spark, tmp_path):
     s = Searcher(spark, d)
     with _pytest.raises(ValueError, match="store_positions"):
         s.search_ids_many({"q": "be the person"}, case_id="1", mode="phrase")
+
+
+def test_near_mode_matches_brute_force(pos_searcher):
+    """mode="near" == brute force: docs where some choice of one occurrence
+    per distinct analyzed term has max(pos)-min(pos) <= window; hit scores
+    bit-equal the conjunctive (mode="all") scores; window=inf degenerates
+    to mode="all"; phrase hits are a subset of near(len(qt)-1) hits."""
+    from itertools import product
+
+    from pysearch.analyze import analyze
+
+    for case_id, q, window in [("4", "good intentions", 2),
+                               ("3", "person who", 1),
+                               ("1", "be the person who", 4),
+                               ("5", "prefer python", 3)]:
+        qt = sorted(set(analyze(q)))
+        docs = (
+            pos_searcher.docs.filter(f"case_id = '{case_id}'")
+            .select("doc_id", "text").collect()
+        )
+        want = []
+        for r in docs:
+            toks = analyze(r["text"])
+            seqs = [[i for i, t in enumerate(toks) if t == term]
+                    for term in qt]
+            if all(seqs) and min(
+                max(c) - min(c) for c in product(*seqs)
+            ) <= window:
+                want.append(int(r["doc_id"]))
+        hits = pos_searcher.search_ids(q, k=100000, case_id=case_id,
+                                       mode="near", window=window)
+        assert sorted(int(d) for d in hits["doc_id"]) == sorted(want), (
+            case_id, q, window)
+        assert want  # non-trivial
+        conj = pos_searcher.search_ids(q, k=100000, case_id=case_id,
+                                       mode="all")
+        cscore = dict(zip(conj["doc_id"], conj["score"]))
+        assert all(cscore[d] == s
+                   for d, s in zip(hits["doc_id"], hits["score"]))
+        # window=inf == conjunctive, bit-equal
+        inf = pos_searcher.search_ids(q, k=100000, case_id=case_id,
+                                      mode="near", window=10**9)
+        assert list(inf["doc_id"]) == list(conj["doc_id"])
+        assert list(inf["score"]) == list(conj["score"])
+        # phrase subset: adjacency implies span len(qt)-1
+        ph = pos_searcher.search_ids(q, k=100000, case_id=case_id,
+                                     mode="phrase")
+        near_ph = pos_searcher.search_ids(
+            q, k=100000, case_id=case_id, mode="near",
+            window=max(1, len(analyze(q)) - 1))
+        assert set(ph["doc_id"]) <= set(near_ph["doc_id"])
+
+
+def test_near_mode_validation_and_batch(pos_searcher, spark, tmp_path):
+    """mode="near" argument validation + batched query-log parity."""
+    with pytest.raises(ValueError, match="window"):
+        pos_searcher.search_ids("person who", case_id="3", mode="near")
+    with pytest.raises(ValueError, match="window"):
+        pos_searcher.search_ids_many({"q": "person who"}, case_id="3",
+                                     mode="near")
+    d = str(tmp_path / "nopos_near")
+    build_index(spark, corpus.webtext_df(
+        spark, cases=[(1, "be the person who", 30, 120)]), d,
+        segment_size=64, store_positions=False)
+    with pytest.raises(ValueError, match="store_positions"):
+        Searcher(spark, d).search_ids("be the", case_id="1", mode="near",
+                                      window=2)
+
+    qs = {"q1": "good intentions", "q2": "intentions for", "q3": "nothere"}
+    batch = pos_searcher.search_ids_many(qs, k=10, case_id="4", mode="near",
+                                         window=2)
+    for qid, q in qs.items():
+        single = pos_searcher.search_ids(q, k=10, case_id="4", mode="near",
+                                         window=2)
+        sub = batch[batch["qid"] == qid]
+        assert list(sub["doc_id"]) == list(single["doc_id"]), qid
+        assert list(sub["score"]) == list(single["score"]), qid
+
+
+def test_min_span_unit():
+    """The k-list minimal-window sweep against a brute-force cross
+    product on randomized inputs."""
+    from itertools import product
+
+    rng = random.Random(7)
+    for _ in range(200):
+        k = rng.randint(1, 4)
+        seqs = [np.array(sorted(rng.sample(range(40), rng.randint(1, 6))),
+                         dtype=np.int64) for _ in range(k)]
+        brute = min(max(c) - min(c) for c in product(*seqs))
+        assert sc._min_span(seqs) == brute, seqs
