@@ -77,6 +77,8 @@ OPS_QUERIES = [
     "pipeline_pretrain_filter",
     "st_nrt_bm25_top10",
     "tt_snapshot_bm25_top10",
+    # round-5 capability: unordered proximity retrieval over pos_bin
+    "t1_engine_near_top10",
 ]
 
 

@@ -418,9 +418,13 @@ class Searcher:
                               len(live) if mode == "all" else 0)
         if not plans:
             return empty
+        # the batch gate scales with the query count: the shared decode
+        # already amortizes the scan across plans, so the AVERAGE per-query
+        # candidate volume must clear the same bar as the single-query path
+        # before the extra bound/θ jobs can pay for themselves
         do_prune = (prune and mode in ("any", "all")
                     and sum(dfs[t] for t in union_terms if t in dfs)
-                    > self.prune_min_postings)
+                    > self.prune_min_postings * len(plans))
         return self._score_many_blocks(plans, avgdl, case_id, k, mode,
                                        prune=do_prune)
 
@@ -858,7 +862,9 @@ class Searcher:
         gives q2 exact extra contributions — exact scores can never
         wrongly displace a true top-k doc.  Returns (phase2_blocks,
         p1_pandas); (blocks_df, None) when no query has enough segments
-        for pruning to help."""
+        for pruning to help, or when the phase-1 union would already
+        cover more than half the candidate segments (coverage bail-out —
+        the caller's one-pass scan is then the better plan)."""
         from collections import defaultdict
 
         from pyspark.sql import functions as F
@@ -918,6 +924,14 @@ class Searcher:
             else:
                 v.sort()
                 phase1.update(s for _rn, s in v[:PRUNE_FIRST_SEGMENTS])
+        # coverage bail-out: when the per-query top-P unions already span
+        # most candidate segments (common on small/local indexes, or query
+        # logs whose hot segments are disjoint), phase 2 can only prune the
+        # remainder — not enough decode to pay for a second pass + the
+        # bound jobs.  One metadata-only count decides.
+        n_segs = seg.select("segment_id").distinct().count()
+        if 2 * len(phase1) > n_segs:
+            return blocks_df, None
         p1 = self._many_pass(
             blocks_df.filter(F.col("segment_id").isin(list(phase1))),
             plans, avgdl, k, mode, excl=exclude)

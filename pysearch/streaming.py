@@ -553,9 +553,9 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
     idx_hits: dict = {}
     if idx_plans:
         do_prune = (
-            prune and mode != "phrase"
+            prune and mode in ("any", "all")
             and sum(dfs_idx.get(t, 0) for t in union_terms)
-            > searcher.prune_min_postings
+            > searcher.prune_min_postings * len(idx_plans)
         )
         many = searcher._score_many_blocks(idx_plans, avgdl, case_id, k,
                                            mode, prune=do_prune)

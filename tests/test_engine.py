@@ -646,6 +646,19 @@ def test_batched_block_pruning_matches_per_query(spark, tmp_path):
         assert counts is not None, mode
         assert counts["scored"] < counts["candidate"], (mode, counts)
 
+    # the batch gate scales with |queries| (shared decode raises the
+    # amortization bar): at the default gate this small corpus must skip
+    # pruning entirely — no bound jobs, no counts recorded
+    from pysearch.query import PRUNE_MIN_POSTINGS
+
+    s.prune_min_postings = PRUNE_MIN_POSTINGS
+    s.count_scored_blocks = True
+    s.last_block_counts = None
+    gated = s.search_ids_many(qs, k=10, case_id="0")
+    assert s.last_block_counts is None
+    pd.testing.assert_frame_equal(
+        gated, s.search_ids_many(qs, k=10, case_id="0", prune=False))
+
 
 def test_searcher_staleness_guard(spark, tmp_path):
     """A Searcher whose index is appended/compacted by ANOTHER writer is
