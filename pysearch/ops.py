@@ -431,6 +431,40 @@ def t1_engine_near_top10(spark, sf_dir):
                           window=_NEAR_WINDOW)
 
 
+# per-term query boosts (the reference's commented-out aspiration,
+# search_pdfs.go:176-186): the boost multiplies the term's idf weight, so
+# the oracle is the OR-of-terms BM25 with a per-term w factor
+_BOOST_W = {"spark": 2.0, "join": 1.0, "fast": 0.5}
+_BM25_BOOST_SQL = (
+    _BM25_SQL
+    .replace(
+        "q(term) AS (VALUES "
+        + ",".join(f"('{t}')" for t in _BM25_TERMS) + ")",
+        "q(term, w) AS (VALUES "
+        + ",".join(f"('{t}', {w})" for t, w in _BOOST_W.items()) + ")",
+    )
+    .replace(
+        "dfq AS (SELECT tf.term, count(*)::DOUBLE AS df",
+        "dfq AS (SELECT tf.term, any_value(q.w) AS w, count(*)::DOUBLE AS df",
+    )
+    .replace("sum(ln(", "sum(dfq.w * ln(")
+)
+assert "q.w" in _BM25_BOOST_SQL and "dfq.w * ln(" in _BM25_BOOST_SQL
+
+
+@op("t1_engine_boost_top10", _BM25_BOOST_SQL)
+def t1_engine_boost_top10(spark, sf_dir):
+    """Query-time per-term BOOSTS through the REAL engine (``spark^2.0
+    join fast^0.5`` — Lucene caret syntax; query.parse_boosts): each boost
+    multiplies its term's idf weight, the one weight that feeds scoring AND
+    the WAND/block-max pruning bounds, so boosted queries stay lossless
+    under pruning.  Value-checked against a DuckDB BM25 with a per-term
+    weight factor."""
+    return _engine_search(
+        spark, sf_dir, mode="any",
+        terms=tuple(f"{t}^{w}" for t, w in _BOOST_W.items()))
+
+
 # delete oracle: identical BM25 chain, but docs with doc_id % 7 == 0 are
 # REMOVED after the dedup step — mirroring the engine side, where those
 # docs are tombstoned out of a copy of the index (delete_docs) and

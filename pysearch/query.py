@@ -24,6 +24,7 @@ stats and reuses the postings DataFrame across queries.
 from __future__ import annotations
 
 import os
+import re
 from collections import Counter
 from typing import Dict, List, Optional
 
@@ -44,6 +45,40 @@ MAX_PENDING_TOMBSTONES = 10_000_000  # pending (uncompacted) deletes a
 # per case above this).  The Lucene-style operating rule is "compact before
 # tombstones grow"; this cap ENFORCES it with a clear error instead of a
 # silent driver/executor OOM at 10^8 pending deletes.
+
+
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+
+
+def parse_boosts(query: str):
+    """Split Lucene-style per-term boosts (``spark^2 join fast^0.5``) out
+    of a query string BEFORE analysis.  Returns ``(clean_query,
+    raw_boosts)`` where ``raw_boosts`` maps the RAW (pre-analysis) token to
+    its multiplier; repeated boosts on the same raw token compose
+    multiplicatively.  Tokens without a ``^<number>`` suffix pass through
+    untouched, so unboosted queries round-trip bit-identically.
+
+    The reference sketched query-time boosts but never shipped them
+    (commented out at /root/reference/internal/doclib/search_pdfs.go:176-186);
+    here they are first-class: the boost multiplies the term's idf weight,
+    so scoring, WAND/block-max pruning bounds, and the batched query-log
+    path all see one consistent per-term weight."""
+    toks: List[str] = []
+    boosts: Dict[str, float] = {}
+    for raw in query.split():
+        m = _BOOST_RE.match(raw)
+        if m:
+            b = float(m.group(2))
+            if b <= 0:
+                raise ValueError(
+                    f"term boost must be > 0, got {raw!r} (a non-positive "
+                    "weight would invalidate the WAND upper bounds)"
+                )
+            toks.append(m.group(1))
+            boosts[m.group(1)] = boosts.get(m.group(1), 1.0) * b
+        else:
+            toks.append(raw)
+    return " ".join(toks), boosts
 
 
 class Searcher:
@@ -263,11 +298,33 @@ class Searcher:
             if self._df_cache[(case_id, t)] > 0
         }
 
+    def _apply_boosts(self, idfs: Dict[str, float],
+                      raw_boosts: Optional[Dict[str, float]],
+                      boosts: Optional[Dict[str, float]]) -> Dict[str, float]:
+        """Multiply per-term boosts into the idf weights — ONE consistent
+        per-term weight feeds scoring, the WAND/block-max bounds, and the
+        batched plans, so boosted queries stay lossless under pruning.
+        ``raw_boosts`` keys are pre-analysis tokens (the ``^`` syntax) and
+        run through the same analyzer chain as the query; ``boosts`` keys
+        are already-analyzed terms.  Both compose multiplicatively."""
+        if not raw_boosts and not boosts:
+            return idfs
+        mult: Dict[str, float] = {}
+        for raw, b in (raw_boosts or {}).items():
+            for t in set(self._analyze(raw)):
+                mult[t] = mult.get(t, 1.0) * b
+        for t, b in (boosts or {}).items():
+            if b <= 0:
+                raise ValueError(f"term boost must be > 0, got {t!r}: {b}")
+            mult[t] = mult.get(t, 1.0) * b
+        return {t: w * mult.get(t, 1.0) for t, w in idfs.items()}
+
     # ------------------------------------------------------------------
     def search_ids(self, query: str, k: int = DEFAULT_MAX_RESULTS,
                    case_id: str = "0", prune: bool = True,
                    mode: str = "any",
-                   window: Optional[int] = None) -> pd.DataFrame:
+                   window: Optional[int] = None,
+                   boosts: Optional[Dict[str, float]] = None) -> pd.DataFrame:
         """Top-k (doc_id, score), deterministic. k<0 -> reference default
         (index_search.go:96-97).
 
@@ -289,7 +346,15 @@ class Searcher:
         two terms admits adjacency in either order, so phrase hits are a
         subset of near hits at window=len(terms)−1.
         Phrase/near queries skip WAND pruning: their candidate volume is
-        already the (small) conjunctive intersection of the query terms."""
+        already the (small) conjunctive intersection of the query terms.
+
+        Per-term BOOSTS (the reference's commented-out aspiration,
+        search_pdfs.go:176-186): ``spark^2 join fast^0.5`` in the query
+        string, or ``boosts={analyzed_term: w}``.  A boost multiplies the
+        term's idf weight, the ONE weight that feeds scoring and every
+        pruning bound, so boosted queries stay bit-identical across
+        prune on/off and the batched path (enforced by test).  Boosts
+        compose multiplicatively and must be > 0."""
         from pyspark.sql import functions as F
 
         self._check_fresh()
@@ -305,6 +370,7 @@ class Searcher:
             raise ValueError("mode='near' needs window >= 0")
         if k is None or k < 0:
             k = DEFAULT_MAX_RESULTS
+        query, raw_boosts = parse_boosts(query)
         terms, qtf = self._analyze_query(query)
         if case_id not in self._corpus:
             return pd.DataFrame(columns=["doc_id", "score"])
@@ -314,7 +380,8 @@ class Searcher:
         if not live or (mode in ("all", "phrase", "near")
                         and len(live) < len(set(terms))):
             return pd.DataFrame(columns=["doc_id", "score"])
-        idfs = {t: sc.idf(n_docs, dfs[t]) for t in live}
+        idfs = self._apply_boosts(
+            {t: sc.idf(n_docs, dfs[t]) for t in live}, raw_boosts, boosts)
         require = len(live) if mode == "all" else 0
         buckets = sorted({term_bucket(t, self.n_buckets) for t in live})
 
@@ -398,7 +465,9 @@ class Searcher:
             return empty
         n_docs, avgdl, _sum_dl = self._corpus[case_id]
 
-        analyzed = {qid: self._analyze_query(q) for qid, q in queries.items()}
+        parsed = {qid: parse_boosts(q) for qid, q in queries.items()}
+        analyzed = {qid: self._analyze_query(q)
+                    for qid, (q, _rb) in parsed.items()}
         union_terms = sorted({t for terms, _ in analyzed.values() for t in terms})
         dfs = self._term_dfs(case_id, union_terms)  # one batched stats probe
 
@@ -408,7 +477,9 @@ class Searcher:
             if not live or (mode in ("all", "phrase", "near")
                             and len(live) < len(set(terms))):
                 continue
-            idfs = {t: sc.idf(n_docs, dfs[t]) for t in live}
+            idfs = self._apply_boosts(
+                {t: sc.idf(n_docs, dfs[t]) for t in live},
+                parsed[qid][1], None)
             if mode == "phrase":
                 plans[qid] = (idfs, list(terms), dict(qtf))
             elif mode == "near":
@@ -1083,7 +1154,9 @@ class Searcher:
         spark = self.spark
         if hits.empty:
             return spark.createDataFrame([], schema=MATCHES)
-        qterms = self._analyze(query)
+        # boosts change scores, not spans: strip the ^ syntax before the
+        # span-construction analysis so boosted terms still align
+        qterms = self._analyze(parse_boosts(query)[0])
         offsets_fn = self._analyze_offsets
 
         hits_df = spark.createDataFrame(hits, schema="doc_id long, score double")

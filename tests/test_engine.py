@@ -239,6 +239,61 @@ def test_search_many_matches_single(searcher):
     assert searcher.search_ids_many(qs, k=10, case_id="999").empty
 
 
+def test_boosted_scores(searcher):
+    """Per-term boosts: boost=1 round-trips bit-identically; boosted
+    scores equal the weighted sum of the per-term contributions; caret
+    syntax == explicit dict == forced pruning == batched path, all
+    bit-identical; non-positive boosts are rejected."""
+    case, n = "6", 500
+    base = searcher.search_ids("realm software", k=n, case_id=case)
+    same = searcher.search_ids("realm^1.0 software^1", k=n, case_id=case)
+    assert list(same["doc_id"]) == list(base["doc_id"])
+    assert list(same["score"]) == list(base["score"])  # bit-equal
+
+    s1 = dict(zip(*(searcher.search_ids("realm", k=n, case_id=case)[c]
+                    for c in ("doc_id", "score"))))
+    s2 = dict(zip(*(searcher.search_ids("software", k=n, case_id=case)[c]
+                    for c in ("doc_id", "score"))))
+    w1, w2 = 2.0, 0.5
+    q = f"realm^{w1} software^{w2}"
+    boosted = searcher.search_ids(q, k=n, case_id=case)
+    exp = {int(d): w1 * s1.get(d, 0.0) + w2 * s2.get(d, 0.0)
+           for d in set(s1) | set(s2)}
+    assert len(boosted) == len(exp)
+    for d, s in zip(boosted["doc_id"], boosted["score"]):
+        # (idf*w)*tfnorm vs w*(idf*tfnorm): association differs, so a few
+        # ulps of slack — the cross-form identities below stay bit-exact
+        assert abs(s - exp[int(d)]) <= 1e-9 * max(1.0, abs(s))
+    assert list(boosted["score"]) != list(base["score"])  # the boost bites
+
+    tb = {searcher._analyze("realm")[0]: w1,
+          searcher._analyze("software")[0]: w2}
+    dictform = searcher.search_ids("realm software", k=n, case_id=case,
+                                   boosts=tb)
+    assert list(dictform["doc_id"]) == list(boosted["doc_id"])
+    assert list(dictform["score"]) == list(boosted["score"])
+
+    old = searcher.prune_min_postings
+    try:
+        searcher.prune_min_postings = 0  # force WAND + block pruning
+        pruned = searcher.search_ids(q, k=n, case_id=case)
+    finally:
+        searcher.prune_min_postings = old
+    assert list(pruned["doc_id"]) == list(boosted["doc_id"])
+    assert list(pruned["score"]) == list(boosted["score"])
+
+    many = searcher.search_ids_many({"b": q}, k=10, case_id=case)
+    one = searcher.search_ids(q, k=10, case_id=case)
+    assert list(many["doc_id"]) == list(one["doc_id"])
+    assert list(many["score"]) == list(one["score"])
+
+    with pytest.raises(ValueError, match="boost must be > 0"):
+        searcher.search_ids("realm^0 software", case_id=case)
+    with pytest.raises(ValueError, match="boost must be > 0"):
+        searcher.search_ids("realm software", case_id=case,
+                            boosts={"realm": -1.0})
+
+
 def test_compact_index(spark, tmp_path):
     """Compaction collapses append commit batches to one per table with
     bit-identical query results, a consistent index, and unchanged resume
