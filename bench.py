@@ -77,8 +77,10 @@ OPS_QUERIES = [
     "pipeline_pretrain_filter",
     "st_nrt_bm25_top10",
     "tt_snapshot_bm25_top10",
-    # round-5 capability: unordered proximity retrieval over pos_bin
+    # round-5 capabilities: unordered proximity retrieval over pos_bin,
+    # Lucene boolean occurs (+must -must_not should)
     "t1_engine_near_top10",
+    "t1_engine_bool_top10",
 ]
 
 

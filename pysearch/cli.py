@@ -188,8 +188,9 @@ def main(argv=None) -> None:
     ps.add_argument("--case-id", default="0")
     ps.add_argument("--no-prune", action="store_true")
     ps.add_argument("--mode", default="any",
-                    choices=["any", "all", "phrase", "near"],
-                    help="match mode (phrase/near need a "
+                    choices=["any", "all", "phrase", "near", "boolean"],
+                    help="match mode (boolean: Lucene '+must -not should' "
+                         "syntax in the query string; phrase/near need a "
                          "--store-positions index)")
     ps.add_argument("--window", type=int, default=None,
                     help="mode=near proximity window: all distinct query "

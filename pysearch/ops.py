@@ -465,6 +465,47 @@ def t1_engine_boost_top10(spark, sf_dir):
         terms=tuple(f"{t}^{w}" for t, w in _BOOST_W.items()))
 
 
+# boolean-occurs oracle (Lucene BooleanQuery: MUST 'spark', MUST_NOT
+# 'join', SHOULD 'fast'): scoring terms are must+should; the must gate is
+# an IN over the tf postings, the must_not gate a NOT IN — both over the
+# SAME deduped corpus the engine indexes
+_BOOL_MUST, _BOOL_NOT, _BOOL_SHOULD = "spark", "join", "fast"
+_BM25_BOOL_SQL = (
+    _BM25_SQL
+    .replace(
+        "q(term) AS (VALUES "
+        + ",".join(f"('{t}')" for t in _BM25_TERMS) + ")",
+        f"q(term) AS (VALUES ('{_BOOL_MUST}'),('{_BOOL_SHOULD}'))",
+    )
+    .replace(
+        "  GROUP BY tf.doc_id)",
+        f"  WHERE tf.doc_id IN (SELECT doc_id FROM tf"
+        f" WHERE term = '{_BOOL_MUST}')\n"
+        f"    AND tf.doc_id NOT IN (SELECT doc_id FROM tf"
+        f" WHERE term = '{_BOOL_NOT}')\n"
+        "  GROUP BY tf.doc_id)",
+    )
+)
+assert "NOT IN" in _BM25_BOOL_SQL and f"('{_BOOL_SHOULD}')" in _BM25_BOOL_SQL
+
+
+@op("t1_engine_bool_top10", _BM25_BOOL_SQL)
+def t1_engine_bool_top10(spark, sf_dir):
+    """Lucene-BooleanQuery occurs through the REAL engine (``+spark -join
+    fast`` — classic +/− syntax; query.parse_boolean →
+    Searcher.search_ids_boolean): the doc must contain every MUST term and
+    no MUST_NOT term, and scores over the must+should terms it contains.
+    Both gates are segment-local posting-list set ops (intersection /
+    union-into-excludes) around the shared top-k funnel, so boolean scores
+    are bit-identical to the equivalent any/all queries by construction.
+    Value-checked against a DuckDB BM25 with IN / NOT IN gates.  (No
+    reference analog: the reference exposes only the OR match query,
+    search_pdfs.go:187-194.)"""
+    return _engine_search(
+        spark, sf_dir, mode="boolean",
+        terms=(f"+{_BOOL_MUST}", f"-{_BOOL_NOT}", _BOOL_SHOULD))
+
+
 # delete oracle: identical BM25 chain, but docs with doc_id % 7 == 0 are
 # REMOVED after the dedup step — mirroring the engine side, where those
 # docs are tombstoned out of a copy of the index (delete_docs) and

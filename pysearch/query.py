@@ -81,6 +81,38 @@ def parse_boosts(query: str):
     return " ".join(toks), boosts
 
 
+def parse_boolean(query: str):
+    """Split a Lucene-classic boolean query string into clauses BEFORE
+    analysis: ``+tok`` is a MUST clause, ``-tok`` a MUST_NOT clause, a bare
+    token a SHOULD clause (``+spark -join fast^0.5``).  Returns
+    ``(must_raw, should_raw, not_raw)`` lists of raw tokens; must/should
+    tokens may still carry ``^boost`` suffixes (parse_boosts runs on them
+    downstream).  A boost on a MUST_NOT clause is rejected — a pure filter
+    has no score to weight, so a silent drop would hide a query bug.
+
+    The reference exposes only the OR-of-terms match query
+    (/root/reference/internal/doclib/search_pdfs.go:187-194); boolean
+    occurs (must/should/must_not) are the Lucene BooleanQuery model layered
+    over the same index."""
+    must_raw: List[str] = []
+    should_raw: List[str] = []
+    not_raw: List[str] = []
+    for raw in query.split():
+        if raw.startswith("+") and len(raw) > 1:
+            must_raw.append(raw[1:])
+        elif raw.startswith("-") and len(raw) > 1:
+            tok = raw[1:]
+            if _BOOST_RE.match(tok):
+                raise ValueError(
+                    f"boost on a MUST_NOT clause is meaningless: {raw!r} "
+                    "(prohibited terms gate, they never score)"
+                )
+            not_raw.append(tok)
+        else:
+            should_raw.append(raw)
+    return must_raw, should_raw, not_raw
+
+
 class Searcher:
     def __init__(self, spark, index_dir: str, cache_postings: bool = False,
                  on_stale: str = "refresh", at_version: int | None = None):
@@ -358,9 +390,15 @@ class Searcher:
         from pyspark.sql import functions as F
 
         self._check_fresh()
+        if mode == "boolean":
+            must_raw, should_raw, not_raw = parse_boolean(query)
+            return self.search_ids_boolean(
+                must=" ".join(must_raw), should=" ".join(should_raw),
+                must_not=" ".join(not_raw), k=k, case_id=case_id,
+                boosts=boosts)
         if mode not in ("any", "all", "phrase", "near"):
             raise ValueError(
-                f"mode must be any|all|phrase|near, got {mode!r}")
+                f"mode must be any|all|phrase|near|boolean, got {mode!r}")
         if mode in ("phrase", "near") and not self.positions_stored:
             raise ValueError(
                 f"mode={mode!r} needs an index built with "
@@ -411,6 +449,87 @@ class Searcher:
         pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
                               kind="stable").head(k).reset_index(drop=True)
         return pdf
+
+    def search_ids_boolean(self, must: str = "", should: str = "",
+                           must_not: str = "",
+                           k: int = DEFAULT_MAX_RESULTS,
+                           case_id: str = "0",
+                           boosts: Optional[Dict[str, float]] = None
+                           ) -> pd.DataFrame:
+        """Lucene-BooleanQuery top-k: a doc matches iff it contains EVERY
+        analyzed ``must`` term and NO analyzed ``must_not`` term; its score
+        is the BM25 sum over the must+should terms it contains (boosted via
+        ``^`` syntax or ``boosts=``, exactly like search_ids).  Also
+        reachable as ``search_ids(query, mode="boolean")`` with Lucene
+        classic syntax: ``+spark -join fast^0.5``.
+
+        Semantics pinned by tests:
+        - must-only queries score bit-identically to ``mode="all"``,
+          should-only to ``mode="any"`` (all paths funnel through
+          score._topk_from_decoded);
+        - a must term absent from the corpus -> empty result (as in
+          mode="all"); an absent should term drops silently; an absent
+          must_not term is a no-op;
+        - no live positive (must/should) clause -> empty result (Lucene's
+          pure-negation MatchNoDocs behavior);
+        - a term in both must and must_not -> empty (gates contradict).
+
+        Scale shape: both gates are segment-local because all of a doc's
+        postings live in exactly one segment (doc-range partitioning) —
+        the must gate is a posting-list intersection, the must_not gate a
+        postings union merged into the tombstone excludes, and the global
+        answer stays the top-k of the union of segment top-ks.  No
+        block-max prune on this path: must queries are already bounded by
+        the (small) intersection candidate set, and a θ bound that stays
+        lossless under not-term gating needs not-aware block metadata —
+        decode volume is the scan of must ∪ should ∪ must_not postings,
+        same order as mode="all" plus the prohibited terms' lists."""
+        from pyspark.sql import functions as F
+
+        self._check_fresh()
+        if k is None or k < 0:
+            k = DEFAULT_MAX_RESULTS
+        must_q, must_boosts = parse_boosts(must)
+        should_q, should_boosts = parse_boosts(should)
+        if any(_BOOST_RE.match(t) for t in must_not.split()):
+            raise ValueError(
+                "boost on a MUST_NOT clause is meaningless "
+                "(prohibited terms gate, they never score)")
+        must_terms = self._analyze(must_q)
+        should_terms = self._analyze(should_q)
+        not_terms = sorted(set(self._analyze(must_not)))
+        raw_boosts = dict(must_boosts)
+        for t, b in should_boosts.items():
+            raw_boosts[t] = raw_boosts.get(t, 1.0) * b
+        pos_terms = must_terms + should_terms
+        qtf = Counter(pos_terms)
+        empty = pd.DataFrame(columns=["doc_id", "score"])
+        if case_id not in self._corpus or not pos_terms:
+            return empty
+        n_docs, avgdl, _sum_dl = self._corpus[case_id]
+        dfs = self._term_dfs(case_id, pos_terms + not_terms)
+        must_live = sorted({t for t in must_terms if t in dfs})
+        if len(must_live) < len(set(must_terms)):
+            return empty  # a required term is corpus-absent
+        live = sorted({t for t in pos_terms if t in dfs})
+        if not live:
+            return empty
+        not_live = [t for t in not_terms if t in dfs]
+        idfs = self._apply_boosts(
+            {t: sc.idf(n_docs, dfs[t]) for t in live}, raw_boosts, boosts)
+        scan_terms = sorted(set(live) | set(not_live))
+        buckets = sorted({term_bucket(t, self.n_buckets)
+                          for t in scan_terms})
+        blocks = self.postings.filter(
+            (F.col("case_id") == case_id)
+            & F.col("term_bucket").isin(self._bucket_lit(buckets))
+            & F.col("term").isin(scan_terms)
+        )
+        excl = self._tombstones.get(case_id)
+        return self._score_blocks_boolean(blocks, idfs, qtf, avgdl, k,
+                                          must_terms=must_live,
+                                          not_terms=not_live,
+                                          exclude=excl)
 
     def search_ids_many(self, queries: Dict[str, str],
                         k: int = DEFAULT_MAX_RESULTS, case_id: str = "0",
@@ -660,6 +779,50 @@ class Searcher:
         )
         from pyspark.sql import functions as F
 
+        return (
+            sdf.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .toPandas()
+        )
+
+    def _score_blocks_boolean(self, blocks_df, idfs, qtf, avgdl, k,
+                              must_terms, not_terms,
+                              exclude: Optional[np.ndarray] = None
+                              ) -> pd.DataFrame:
+        """Distributed boolean scoring (score.score_segment_blocks_boolean):
+        per segment, must-intersection + not-union gates around the shared
+        top-k funnel, then the usual union-of-local-top-ks.  Payloads are
+        CRC-checked exactly like _score_blocks."""
+        from pyspark.sql import functions as F
+
+        out_schema = "doc_id long, score double"
+
+        def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            import zlib
+
+            for ib, tb, db, crc in zip(pdf["doc_ids_bin"], pdf["tfs_bin"],
+                                       pdf["dls_bin"], pdf["crc32"]):
+                got = zlib.crc32(ib) ^ zlib.crc32(tb) ^ zlib.crc32(db)
+                if got != crc:
+                    raise IOError(
+                        f"posting block CRC mismatch in segment {key[0]}: "
+                        f"{got} != {crc}"
+                    )
+            rows = list(
+                zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"], pdf["tfs_bin"],
+                    pdf["dls_bin"])
+            )
+            ids, scores = sc.score_segment_blocks_boolean(
+                rows, idfs, qtf, avgdl, k,
+                must_terms=must_terms, not_terms=not_terms, exclude=exclude)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        sdf = (
+            blocks_df.select("segment_id", "term", "n", "doc_ids_bin",
+                             "tfs_bin", "dls_bin", "crc32")
+            .groupBy("segment_id")
+            .applyInPandas(score_one, schema=out_schema)
+        )
         return (
             sdf.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
@@ -1155,8 +1318,14 @@ class Searcher:
         if hits.empty:
             return spark.createDataFrame([], schema=MATCHES)
         # boosts change scores, not spans: strip the ^ syntax before the
-        # span-construction analysis so boosted terms still align
-        qterms = self._analyze(parse_boosts(query)[0])
+        # span-construction analysis so boosted terms still align; under
+        # mode="boolean", spans come from the POSITIVE clauses only (a
+        # prohibited term never occurs in a matched doc)
+        span_query = query
+        if mode == "boolean":
+            must_raw, should_raw, _not_raw = parse_boolean(query)
+            span_query = " ".join(must_raw + should_raw)
+        qterms = self._analyze(parse_boosts(span_query)[0])
         offsets_fn = self._analyze_offsets
 
         hits_df = spark.createDataFrame(hits, schema="doc_id long, score double")

@@ -137,6 +137,62 @@ def _topk_from_decoded(
     return uniq[o], sums[o]
 
 
+def score_segment_blocks_boolean(
+    block_rows: Sequence[tuple],
+    idfs: Dict[str, float],
+    qtf: Dict[str, int],
+    avgdl: float,
+    k: int,
+    must_terms: Sequence[str],
+    not_terms: Sequence[str],
+    exclude: np.ndarray | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Lucene-BooleanQuery-style segment scoring: a doc survives iff it
+    contains EVERY term in ``must_terms`` and NO term in ``not_terms``;
+    its score is the BM25 sum over the scoring terms (``idfs`` = must +
+    should) it contains.  Both gates are segment-local because all of a
+    doc's postings live in exactly one segment: the must gate is the
+    posting-list intersection of the must terms, the not gate is the
+    union of the not terms' postings merged into the tombstone excludes —
+    then the shared ``_topk_from_decoded`` funnel applies them through its
+    existing restrict/exclude hooks, so boolean scores are bit-identical
+    to the equivalent any/all queries by construction.
+
+    ``not_terms`` must be decoded (present in ``block_rows``' scan) but
+    NOT in ``idfs``, so they gate without contributing score."""
+    import functools
+
+    per_term: dict = {}
+    for term, n, ib, tb, db in block_rows:
+        per_term.setdefault(term, []).append((n, ib, tb, db))
+
+    decoded: Dict[str, tuple] = {}
+    for term, rows_t in per_term.items():
+        decoded[term] = codec.unpack_blocks_batch(
+            [r[0] for r in rows_t], [r[1] for r in rows_t],
+            [r[2] for r in rows_t], [r[3] for r in rows_t],
+        )
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    restrict = None
+    if must_terms:
+        if any(t not in decoded for t in must_terms):
+            return empty  # a required term missing from this segment
+        restrict = decoded[must_terms[0]][0]
+        for t in must_terms[1:]:
+            restrict = np.intersect1d(restrict, decoded[t][0],
+                                      assume_unique=True)
+        if restrict.size == 0:
+            return empty
+    neg = [decoded[t][0] for t in not_terms if t in decoded]
+    excl = exclude
+    if neg:
+        neg_all = functools.reduce(np.union1d, neg)
+        excl = (neg_all if excl is None or not excl.size
+                else np.union1d(excl, neg_all))
+    return _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
+                              restrict=restrict, exclude=excl)
+
+
 def _phrase_matched_docs(
     decoded: Dict[str, tuple],
     qterms: List[str],

@@ -294,6 +294,77 @@ def test_boosted_scores(searcher):
                             boosts={"realm": -1.0})
 
 
+def test_boolean_occurs(searcher):
+    """Lucene BooleanQuery occurs (+must -must_not should): must-only ==
+    mode="all" bit-identically, should-only == mode="any" bit-identically,
+    the must_not gate removes exactly the docs matching the prohibited
+    term (set arithmetic vs the single-term result sets), absent clauses
+    behave per Lucene (absent must -> empty, absent should -> dropped,
+    absent must_not -> no-op), and boosts compose on positive clauses
+    only."""
+    case, n = "6", 500
+
+    # clause-mode equivalences (all paths share _topk_from_decoded)
+    allm = searcher.search_ids("realm software", k=n, case_id=case,
+                               mode="all")
+    must = searcher.search_ids("+realm +software", k=n, case_id=case,
+                               mode="boolean")
+    assert list(must["doc_id"]) == list(allm["doc_id"])
+    assert list(must["score"]) == list(allm["score"])  # bit-equal
+    anym = searcher.search_ids("realm software", k=n, case_id=case)
+    should = searcher.search_ids("realm software", k=n, case_id=case,
+                                 mode="boolean")
+    assert list(should["doc_id"]) == list(anym["doc_id"])
+    assert list(should["score"]) == list(anym["score"])
+
+    # the not-gate: +realm -software == docs(realm) \ docs(software),
+    # scored by the realm term alone
+    s1 = dict(zip(*(searcher.search_ids("realm", k=n, case_id=case)[c]
+                    for c in ("doc_id", "score"))))
+    s2 = dict(zip(*(searcher.search_ids("software", k=n, case_id=case)[c]
+                    for c in ("doc_id", "score"))))
+    assert set(s1) & set(s2), "fixture must have overlapping term docsets"
+    gated = searcher.search_ids("+realm -software", k=n, case_id=case,
+                                mode="boolean")
+    assert set(int(d) for d in gated["doc_id"]) == set(s1) - set(s2)
+    assert len(gated) < len(s1)  # the gate bites
+    for d, s in zip(gated["doc_id"], gated["score"]):
+        assert s == s1[d]  # bit-equal single-term scores
+
+    # explicit-clause API == syntax form
+    expl = searcher.search_ids_boolean(must="realm", must_not="software",
+                                       k=n, case_id=case)
+    assert list(expl["doc_id"]) == list(gated["doc_id"])
+    assert list(expl["score"]) == list(gated["score"])
+
+    # absent-term clause semantics
+    assert searcher.search_ids("+zzzznotaword realm", k=n, case_id=case,
+                               mode="boolean").empty  # absent must
+    drop = searcher.search_ids("realm zzzznotaword", k=n, case_id=case,
+                               mode="boolean")  # absent should drops
+    only = searcher.search_ids("realm", k=n, case_id=case)
+    assert list(drop["doc_id"]) == list(only["doc_id"])
+    assert list(drop["score"]) == list(only["score"])
+    noop = searcher.search_ids("+realm -zzzznotaword", k=n, case_id=case,
+                               mode="boolean")  # absent must_not no-op
+    alls = searcher.search_ids("realm", k=n, case_id=case, mode="all")
+    assert list(noop["doc_id"]) == list(alls["doc_id"])
+    assert list(noop["score"]) == list(alls["score"])
+    assert searcher.search_ids("-realm", k=n, case_id=case,
+                               mode="boolean").empty  # pure negation
+    assert searcher.search_ids("+realm -realm", k=n, case_id=case,
+                               mode="boolean").empty  # contradiction
+
+    # boosts ride the positive clauses; boosting a must_not is rejected
+    b1 = searcher.search_ids("+realm^2 -software", k=n, case_id=case,
+                             mode="boolean")
+    for d, s in zip(b1["doc_id"], b1["score"]):
+        assert abs(s - 2.0 * s1[d]) <= 1e-9 * max(1.0, abs(s))
+    with pytest.raises(ValueError, match="MUST_NOT"):
+        searcher.search_ids("+realm -software^2", k=n, case_id=case,
+                            mode="boolean")
+
+
 def test_compact_index(spark, tmp_path):
     """Compaction collapses append commit batches to one per table with
     bit-identical query results, a consistent index, and unchanged resume
