@@ -66,7 +66,7 @@ def cmd_search(args) -> None:
     else:
         result = s.search(args.query, k=args.k, case_id=args.case_id,
                           prune=not args.no_prune, mode=args.mode,
-                          window=args.window)
+                          window=args.window, distance=args.fuzzy_distance)
         result.show(args.k, truncate=80)
     spark.stop()
 
@@ -188,10 +188,15 @@ def main(argv=None) -> None:
     ps.add_argument("--case-id", default="0")
     ps.add_argument("--no-prune", action="store_true")
     ps.add_argument("--mode", default="any",
-                    choices=["any", "all", "phrase", "near", "boolean"],
+                    choices=["any", "all", "phrase", "near", "boolean",
+                             "fuzzy"],
                     help="match mode (boolean: Lucene '+must -not should' "
-                         "syntax in the query string; phrase/near need a "
+                         "syntax in the query string; fuzzy: 'term~d' "
+                         "edit-distance suffixes; phrase/near need a "
                          "--store-positions index)")
+    ps.add_argument("--fuzzy-distance", type=int, default=None,
+                    help="mode=fuzzy default edit distance for query terms "
+                         "without a ~d suffix (0-2)")
     ps.add_argument("--window", type=int, default=None,
                     help="mode=near proximity window: all distinct query "
                          "terms must co-occur within this many token "

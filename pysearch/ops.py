@@ -506,6 +506,63 @@ def t1_engine_bool_top10(spark, sf_dir):
         terms=(f"+{_BOOL_MUST}", f"-{_BOOL_NOT}", _BOOL_SHOULD))
 
 
+# fuzzy oracle (Lucene FuzzyQuery: 'sparh~1 fast~1'): each query term
+# expands to the corpus terms within its edit distance, capped at the top
+# 50 per query term by (weight desc, df desc, term asc); each expanded
+# term scores as an OR clause with weight 1 - dist/min(len) folded into
+# its idf.  DuckDB's levenshtein is classic (no transpositions), same as
+# Spark's F.levenshtein, so both sides derive the SAME expansion from the
+# deduped corpus
+_FUZZY_Q = (("sparh", 1), ("fast", 1))
+_BM25_FUZZY_SQL = _BM25_SQL.split("q(term) AS")[0] + f"""q(term, d) AS (VALUES {",".join(f"('{t}', {d})" for t, d in _FUZZY_Q)}),
+vocab AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qe AS (
+  SELECT term, w, df FROM (
+    SELECT v.term, v.df,
+           (1 - levenshtein(v.term, q.term)::DOUBLE
+                / least(length(v.term), length(q.term))) AS w,
+           row_number() OVER (
+             PARTITION BY q.term
+             ORDER BY (1 - levenshtein(v.term, q.term)::DOUBLE
+                       / least(length(v.term), length(q.term))) DESC,
+                      v.df DESC, v.term ASC) AS rn
+    FROM vocab v JOIN q
+      ON abs(length(v.term) - length(q.term)) <= q.d
+     AND levenshtein(v.term, q.term) <= q.d
+    WHERE levenshtein(v.term, q.term)
+          < least(length(v.term), length(q.term))
+  ) WHERE rn <= 50),
+qex AS (SELECT term, max(w) AS w, any_value(df) AS df FROM qe GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(qex.w * ln(1 + (st.n - qex.df + 0.5) / (qex.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN qex ON tf.term = qex.term
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score_r FROM sc ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+@op("t1_engine_fuzzy_top10", _BM25_FUZZY_SQL)
+def t1_engine_fuzzy_top10(spark, sf_dir):
+    """Lucene-FuzzyQuery retrieval through the REAL engine (``sparh~1
+    fast~1`` — edit-distance suffixes; query.parse_fuzzy →
+    Searcher.search_ids_fuzzy): each term expands over the term_stats
+    vocabulary with native F.levenshtein inside ONE distributed job
+    (length-band prefilter pushed to the scan, Lucene's top-50-per-term
+    cap applied in Spark), and every expanded term scores as an OR clause
+    with similarity weight 1 - dist/min(len) folded into its idf — the one
+    weight feeding scoring and the pruning bounds.  Value-checked against
+    a DuckDB BM25 whose expansion is derived with the SAME classic
+    levenshtein over the same deduped corpus.  (The reference sketched
+    fuzzy search but never shipped it, search_pdfs.go:176-186.)"""
+    return _engine_search(
+        spark, sf_dir, mode="fuzzy",
+        terms=tuple(f"{t}~{d}" for t, d in _FUZZY_Q))
+
+
 # delete oracle: identical BM25 chain, but docs with doc_id % 7 == 0 are
 # REMOVED after the dedup step — mirroring the engine side, where those
 # docs are tombstoned out of a copy of the index (delete_docs) and
@@ -1631,6 +1688,71 @@ def tx_quality(spark, sf_dir):
             F.round(F.col("chars") / F.col("n_tok").cast("double"), 4).alias("avg_tok_len_r"),
             F.round(F.col("n_uniq") / F.col("n_tok").cast("double"), 4).alias("uniq_ratio_r"),
         )
+        .orderBy("doc_id")
+    )
+
+
+@op("tx_repetition", """
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+agg AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT term) AS n_uniq
+        FROM tok GROUP BY doc_id),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+       FROM t WHERE len(toks) >= 2),
+bgc AS (SELECT doc_id, max(c) AS top2g FROM (
+          SELECT doc_id, bigram, count(*) AS c FROM bg
+          GROUP BY doc_id, bigram) GROUP BY doc_id)
+SELECT a.doc_id,
+       round(1 - a.n_uniq / a.n_tok::DOUBLE, 4) AS dup_tok_frac_r,
+       round(coalesce(b.top2g, 0) * 2 / a.n_tok::DOUBLE, 4) AS top2g_frac_r,
+       CASE WHEN round(1 - a.n_uniq / a.n_tok::DOUBLE, 4) <= 0.6
+             AND round(coalesce(b.top2g, 0) * 2
+                       / a.n_tok::DOUBLE, 4) <= 0.15
+            THEN 1 ELSE 0 END AS keep_i
+FROM agg a LEFT JOIN bgc b USING (doc_id) ORDER BY a.doc_id
+""")
+def tx_repetition(spark, sf_dir):
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1, token-level
+    analogs): per doc, the duplicate-token fraction (1 - types/tokens) and
+    the fraction of tokens covered by the single most frequent bigram;
+    keep_i = 1 when both sit under the pipeline thresholds (<= 0.6 /
+    <= 0.15 — the rounded values are compared so the Spark and DuckDB
+    sides agree at the boundary).
+
+    Scale shape: bigrams are built ARRAY-NATIVELY (transform over the
+    already-split token array — no self-join, no window over positions),
+    then one explode + partial-aggregated groupBys; nothing reaches the
+    driver.  At 10^12 docs this is two token-scan aggregates, the same
+    cost class as tx_quality."""
+    from pyspark.sql import functions as F
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+    )
+    agg = t.select("doc_id", F.explode("toks").alias("term")).groupBy(
+        "doc_id").agg(F.count("*").alias("n_tok"),
+                      F.countDistinct("term").alias("n_uniq"))
+    bg = t.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(toks, 1, size(toks) - 1), "
+            "(x, i) -> concat(x, ' ', toks[i + 1]))")).alias("bigram"),
+    )
+    bgc = (bg.groupBy("doc_id", "bigram").count()
+           .groupBy("doc_id").agg(F.max("count").alias("top2g")))
+    dup = F.round(1 - F.col("n_uniq") / F.col("n_tok").cast("double"), 4)
+    t2g = F.round(F.coalesce(F.col("top2g"), F.lit(0)) * 2
+                  / F.col("n_tok").cast("double"), 4)
+    return (
+        agg.join(bgc, "doc_id", "left")
+        .select("doc_id", dup.alias("dup_tok_frac_r"),
+                t2g.alias("top2g_frac_r"))
+        .withColumn("keep_i",
+                    ((F.col("dup_tok_frac_r") <= 0.6)
+                     & (F.col("top2g_frac_r") <= 0.15)).cast("int"))
         .orderBy("doc_id")
     )
 

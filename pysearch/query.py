@@ -26,7 +26,7 @@ from __future__ import annotations
 import os
 import re
 from collections import Counter
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -111,6 +111,37 @@ def parse_boolean(query: str):
         else:
             should_raw.append(raw)
     return must_raw, should_raw, not_raw
+
+
+_FUZZY_RE = re.compile(r"^(.+)~(\d)$")
+MAX_FUZZY_DISTANCE = 2  # Lucene's LevenshteinAutomata ceiling
+
+
+def parse_fuzzy(query: str, default_distance: int = 0):
+    """Split Lucene fuzzy suffixes (``relam~1 software``) out of a query
+    string BEFORE analysis.  Returns ``(clean_query, raw_fuzzy)`` where
+    ``raw_fuzzy`` maps each RAW token to its max edit distance; tokens
+    without a ``~d`` suffix get ``default_distance``.  Distances above
+    MAX_FUZZY_DISTANCE (2, Lucene's automaton ceiling — here the ceiling
+    keeps the expansion scan's length-band prefilter selective) are
+    rejected.  Run parse_boosts FIRST: the Lucene grammar is
+    ``term~d^boost`` with the boost suffix outermost."""
+    toks: List[str] = []
+    fuzz: Dict[str, int] = {}
+    for raw in query.split():
+        m = _FUZZY_RE.match(raw)
+        if m:
+            d = int(m.group(2))
+            if d > MAX_FUZZY_DISTANCE:
+                raise ValueError(
+                    f"fuzzy distance must be <= {MAX_FUZZY_DISTANCE}, "
+                    f"got {raw!r}")
+            toks.append(m.group(1))
+            fuzz[m.group(1)] = max(fuzz.get(m.group(1), 0), d)
+        else:
+            toks.append(raw)
+            fuzz.setdefault(raw, default_distance)
+    return " ".join(toks), fuzz
 
 
 class Searcher:
@@ -356,7 +387,8 @@ class Searcher:
                    case_id: str = "0", prune: bool = True,
                    mode: str = "any",
                    window: Optional[int] = None,
-                   boosts: Optional[Dict[str, float]] = None) -> pd.DataFrame:
+                   boosts: Optional[Dict[str, float]] = None,
+                   distance: Optional[int] = None) -> pd.DataFrame:
         """Top-k (doc_id, score), deterministic. k<0 -> reference default
         (index_search.go:96-97).
 
@@ -396,9 +428,14 @@ class Searcher:
                 must=" ".join(must_raw), should=" ".join(should_raw),
                 must_not=" ".join(not_raw), k=k, case_id=case_id,
                 boosts=boosts)
+        if mode == "fuzzy":
+            return self.search_ids_fuzzy(
+                query, k=k, case_id=case_id, prune=prune,
+                distance=distance, boosts=boosts)
         if mode not in ("any", "all", "phrase", "near"):
             raise ValueError(
-                f"mode must be any|all|phrase|near|boolean, got {mode!r}")
+                "mode must be any|all|phrase|near|boolean|fuzzy, "
+                f"got {mode!r}")
         if mode in ("phrase", "near") and not self.positions_stored:
             raise ValueError(
                 f"mode={mode!r} needs an index built with "
@@ -530,6 +567,147 @@ class Searcher:
                                           must_terms=must_live,
                                           not_terms=not_live,
                                           exclude=excl)
+
+    def expand_fuzzy(self, case_id: str, fuzzy: "Dict[str, Tuple[int, float]]",
+                     max_expansions: int = 50) -> "Dict[str, Tuple[float, int]]":
+        """Expand analyzed query terms to corpus terms within their edit
+        distance — the Lucene FuzzyQuery/FuzzyTermsEnum model over the
+        term_stats table.  ``fuzzy`` maps analyzed term -> (distance,
+        boost); returns {expanded_term: (weight, df)} where weight =
+        boost * (1 - dist / min(len(q), len(e))) (Lucene's FuzzyTermsEnum
+        similarity boost; exact matches weigh boost * 1) and an expanded
+        term matched by several query terms keeps its MAX weight (Lucene's
+        BooleanQuery rewrite dedup).
+
+        Scale shape: ONE distributed job over term_stats — a
+        vocabulary-sized metadata table, not the postings — with a length
+        band |len(e) - len(q)| <= d pushed to the parquet scan, native
+        F.levenshtein (JVM codegen, no UDF) for the distance, and Lucene's
+        top-``max_expansions`` cap applied per query term IN Spark
+        (row_number over (weight desc, df desc, term asc) — deterministic)
+        so at most |q| * max_expansions rows reach the driver no matter
+        how loose the distance or how large the vocabulary."""
+        from functools import reduce
+        from operator import or_
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        qrows = [(q, int(d), float(b)) for q, (d, b) in fuzzy.items()]
+        conds = [
+            (F.length("term") >= len(q) - d) & (F.length("term") <= len(q) + d)
+            & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
+            for q, d, _b in qrows
+        ]
+        cand = (
+            self._term_stats.filter(F.col("case_id") == case_id)
+            .filter(reduce(or_, conds))
+            # df is additive across append-batch stats commits
+            .groupBy("term").agg(F.sum("df").alias("df"))
+        )
+        q_df = self.spark.createDataFrame(qrows, "q string, d int, b double")
+        j = (
+            cand.join(F.broadcast(q_df),
+                      F.levenshtein(F.col("term"), F.col("q")) <= F.col("d"))
+            .withColumn(
+                "w",
+                F.col("b") * (
+                    F.lit(1.0)
+                    - F.levenshtein(F.col("term"), F.col("q"))
+                    / F.least(F.length("term"), F.length("q"))
+                ),
+            )
+            .filter(F.col("w") > 0)  # dist == min length conveys nothing
+        )
+        win = Window.partitionBy("q").orderBy(
+            F.desc("w"), F.desc("df"), F.asc("term"))
+        rows = (
+            j.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= max_expansions)
+            .groupBy("term").agg(F.max("w").alias("w"),
+                                 F.any_value("df").alias("df"))
+            .collect()
+        )
+        return {r["term"]: (float(r["w"]), int(r["df"])) for r in rows}
+
+    def search_ids_fuzzy(self, query: str, k: int = DEFAULT_MAX_RESULTS,
+                         case_id: str = "0", prune: bool = True,
+                         distance: Optional[int] = None,
+                         boosts: Optional[Dict[str, float]] = None,
+                         max_expansions: int = 50,
+                         return_expansion: bool = False):
+        """Lucene-FuzzyQuery top-k: each query term expands to the corpus
+        terms within its max edit distance (``relam~1``; unsuffixed terms
+        use ``distance``, default 0 = exact), every expanded term scores
+        as an OR clause with weight boost * (1 - dist/min(len)) folded
+        into its idf — the ONE weight feeding scoring and the WAND/
+        block-max bounds, so fuzzy queries stay lossless under pruning.
+        Repeated query terms dedup (qtf = 1 per expanded term — Lucene's
+        BooleanQuery rewrite).  Also reachable as ``search_ids(query,
+        mode="fuzzy", distance=d)``.  The reference sketched fuzzy search
+        but never shipped it (commented out, search_pdfs.go:176-186)."""
+        from pyspark.sql import functions as F
+
+        self._check_fresh()
+        if k is None or k < 0:
+            k = DEFAULT_MAX_RESULTS
+        d_default = 0 if distance is None else int(distance)
+        if d_default < 0 or d_default > MAX_FUZZY_DISTANCE:
+            raise ValueError(
+                f"distance must be 0..{MAX_FUZZY_DISTANCE}, got {distance}")
+        query, raw_boosts = parse_boosts(query)
+        query, raw_fuzzy = parse_fuzzy(query, default_distance=d_default)
+        # rekey ^boosts written inside a ~d suffix (term~1^2 parses the
+        # boost first, leaving the ~1 on the raw key)
+        for key in list(raw_boosts):
+            m = _FUZZY_RE.match(key)
+            if m:
+                b = raw_boosts.pop(key)
+                raw_boosts[m.group(1)] = raw_boosts.get(m.group(1), 1.0) * b
+        empty = pd.DataFrame(columns=["doc_id", "score"])
+        if case_id not in self._corpus:
+            return (empty, {}) if return_expansion else empty
+        # per analyzed term: (max distance, composed boost) over the raw
+        # tokens that produced it, through the same analyzer as the query
+        fuzzy: Dict[str, Tuple[int, float]] = {}
+        for raw, d in raw_fuzzy.items():
+            b = raw_boosts.get(raw, 1.0)
+            for t in set(self._analyze(raw)):
+                d0, b0 = fuzzy.get(t, (0, 1.0))
+                fuzzy[t] = (max(d0, d), b0 * b)
+        for t, b in (boosts or {}).items():
+            if b <= 0:
+                raise ValueError(f"term boost must be > 0, got {t!r}: {b}")
+            d0, b0 = fuzzy.get(t, (d_default, 1.0))
+            fuzzy[t] = (d0, b0 * b)
+        if not fuzzy:
+            return (empty, {}) if return_expansion else empty
+        n_docs, avgdl, _sum_dl = self._corpus[case_id]
+        expanded = self.expand_fuzzy(case_id, fuzzy,
+                                     max_expansions=max_expansions)
+        if not expanded:
+            return (empty, {}) if return_expansion else empty
+        idfs = {e: sc.idf(n_docs, df) * w for e, (w, df) in expanded.items()}
+        qtf = {e: 1 for e in expanded}
+        dfs = {e: df for e, (_w, df) in expanded.items()}
+        buckets = sorted({term_bucket(e, self.n_buckets) for e in expanded})
+        blocks = self.postings.filter(
+            (F.col("case_id") == case_id)
+            & F.col("term_bucket").isin(self._bucket_lit(buckets))
+            & F.col("term").isin(list(expanded))
+        )
+        excl = self._tombstones.get(case_id)
+        p1_pdf = None
+        if prune and sum(dfs.values()) > self.prune_min_postings:
+            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl, k,
+                                                0, exclude=excl)
+        pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k, 0,
+                                 exclude=excl)
+        if p1_pdf is not None:
+            pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
+        pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="stable").head(k).reset_index(drop=True)
+        return (pdf, expanded) if return_expansion else pdf
 
     def search_ids_many(self, queries: Dict[str, str],
                         k: int = DEFAULT_MAX_RESULTS, case_id: str = "0",
@@ -1281,7 +1459,8 @@ class Searcher:
                case_id: str = "0", prune: bool = True,
                best_filter: bool = True, max_spans: int = 100,
                mode: str = "any", spans: str = "auto",
-               window: "Optional[int]" = None):
+               window: "Optional[int]" = None,
+               distance: "Optional[int]" = None):
         """Full search: top-k + phrase spans + Best filter + line numbers.
 
         Returns a Spark DataFrame with MATCHES schema (SURVEY §1.1 match-set
@@ -1312,20 +1491,31 @@ class Searcher:
         if use_index_pos and not self.positions_stored:
             raise ValueError("index was built without store_positions=True")
 
-        hits = self.search_ids(query, k, case_id, prune, mode,
-                               window=window)
+        expanded = None
+        if mode == "fuzzy":
+            hits, expanded = self.search_ids_fuzzy(
+                query, k, case_id, prune, distance=distance,
+                return_expansion=True)
+        else:
+            hits = self.search_ids(query, k, case_id, prune, mode,
+                                   window=window)
         spark = self.spark
         if hits.empty:
             return spark.createDataFrame([], schema=MATCHES)
         # boosts change scores, not spans: strip the ^ syntax before the
         # span-construction analysis so boosted terms still align; under
         # mode="boolean", spans come from the POSITIVE clauses only (a
-        # prohibited term never occurs in a matched doc)
-        span_query = query
-        if mode == "boolean":
-            must_raw, should_raw, _not_raw = parse_boolean(query)
-            span_query = " ".join(must_raw + should_raw)
-        qterms = self._analyze(parse_boosts(span_query)[0])
+        # prohibited term never occurs in a matched doc); under
+        # mode="fuzzy", spans come from the EXPANDED terms (the query's
+        # misspelling never occurs in a matched doc — its expansions do)
+        if expanded is not None:
+            qterms = sorted(expanded)
+        else:
+            span_query = query
+            if mode == "boolean":
+                must_raw, should_raw, _not_raw = parse_boolean(query)
+                span_query = " ".join(must_raw + should_raw)
+            qterms = self._analyze(parse_boosts(span_query)[0])
         offsets_fn = self._analyze_offsets
 
         hits_df = spark.createDataFrame(hits, schema="doc_id long, score double")

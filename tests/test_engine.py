@@ -365,6 +365,92 @@ def test_boolean_occurs(searcher):
                             mode="boolean")
 
 
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_query(searcher):
+    """Lucene FuzzyQuery (term~d): distance-0 fuzzy == mode="any"
+    bit-identically; the expansion equals a brute-force Levenshtein sweep
+    of the case vocabulary with Lucene's similarity weights; a
+    misspelling's scores are the weight-scaled exact-term scores; boosts
+    compose; the top-N cap is deterministic; pruning is lossless; d > 2
+    is rejected."""
+    case, n = "6", 500
+
+    base = searcher.search_ids("realm software", k=n, case_id=case)
+    d0 = searcher.search_ids("realm software", k=n, case_id=case,
+                             mode="fuzzy", distance=0)
+    assert list(d0["doc_id"]) == list(base["doc_id"])
+    assert list(d0["score"]) == list(base["score"])  # bit-equal
+
+    # expansion == brute-force Levenshtein over the case vocabulary
+    from pyspark.sql import functions as F
+    vocab = {
+        r["term"]: int(r["df"])
+        for r in searcher._term_stats.filter(F.col("case_id") == case)
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    q, d = "relam", 2
+    want = {
+        t: (1.0 - _levenshtein(q, t) / min(len(q), len(t)), df)
+        for t, df in vocab.items()
+        if _levenshtein(q, t) <= d and _levenshtein(q, t) < min(len(q), len(t))
+    }
+    got = searcher.expand_fuzzy(case, {q: (d, 1.0)})
+    assert got == want
+    assert "realm" in got  # the transposed misspelling reaches d=2
+
+    # single-expansion misspelling: scores == weight * exact scores
+    exact = dict(zip(*(searcher.search_ids("realm", k=n, case_id=case)[c]
+                       for c in ("doc_id", "score"))))
+    only = searcher.expand_fuzzy(case, {"reolm": (1, 1.0)})
+    assert set(only) == {"realm"} and only["realm"][0] == 1.0 - 1.0 / 5.0
+    fz = searcher.search_ids("reolm~1", k=n, case_id=case, mode="fuzzy")
+    assert set(fz["doc_id"]) == set(exact)
+    w = only["realm"][0]
+    for doc, s in zip(fz["doc_id"], fz["score"]):
+        assert abs(s - w * exact[doc]) <= 1e-9 * max(1.0, abs(s))
+
+    # boost composes multiplicatively on the fuzzy weight
+    fb = searcher.search_ids("reolm~1^2", k=10, case_id=case, mode="fuzzy")
+    f1 = searcher.search_ids("reolm~1", k=10, case_id=case, mode="fuzzy")
+    assert list(fb["doc_id"]) == list(f1["doc_id"])
+    for s2, s1 in zip(fb["score"], f1["score"]):
+        assert abs(s2 - 2.0 * s1) <= 1e-12 * max(1.0, abs(s2))
+
+    # Lucene's max_expansions cap keeps the best (w desc, df desc, term)
+    best = max(want.items(), key=lambda kv: (kv[1][0], kv[1][1], kv[0]))
+    capped = searcher.expand_fuzzy(case, {q: (d, 1.0)}, max_expansions=1)
+    assert capped == {best[0]: best[1]}
+
+    # pruning is lossless on the fuzzy path (weights fold into idf)
+    old = searcher.prune_min_postings
+    try:
+        searcher.prune_min_postings = 0
+        pruned = searcher.search_ids("relam~2 software", k=n, case_id=case,
+                                     mode="fuzzy")
+    finally:
+        searcher.prune_min_postings = old
+    plain = searcher.search_ids("relam~2 software", k=n, case_id=case,
+                                mode="fuzzy")
+    assert list(pruned["doc_id"]) == list(plain["doc_id"])
+    assert list(pruned["score"]) == list(plain["score"])
+
+    with pytest.raises(ValueError, match="fuzzy distance"):
+        searcher.search_ids("realm~3", k=5, case_id=case, mode="fuzzy")
+    with pytest.raises(ValueError, match="distance must be"):
+        searcher.search_ids("realm", k=5, case_id=case, mode="fuzzy",
+                            distance=5)
+
+
 def test_compact_index(spark, tmp_path):
     """Compaction collapses append commit batches to one per table with
     bit-identical query results, a consistent index, and unchanged resume
