@@ -78,9 +78,12 @@ OPS_QUERIES = [
     "st_nrt_bm25_top10",
     "tt_snapshot_bm25_top10",
     # round-5 capabilities: unordered proximity retrieval over pos_bin,
-    # Lucene boolean occurs (+must -must_not should)
+    # Lucene boolean occurs (+must -must_not should), fuzzy edit-distance
+    # expansion (term~d)
     "t1_engine_near_top10",
     "t1_engine_bool_top10",
+    "t1_engine_fuzzy_top10",
+    "tx_repetition",
 ]
 
 
