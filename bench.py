@@ -83,6 +83,7 @@ OPS_QUERIES = [
     "t1_engine_near_top10",
     "t1_engine_bool_top10",
     "t1_engine_fuzzy_top10",
+    "t1_engine_prefix_top10",
     "tx_repetition",
 ]
 

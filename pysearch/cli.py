@@ -192,7 +192,8 @@ def main(argv=None) -> None:
                              "fuzzy"],
                     help="match mode (boolean: Lucene '+must -not should' "
                          "syntax in the query string; fuzzy: 'term~d' "
-                         "edit-distance suffixes; phrase/near need a "
+                         "edit-distance and 'term*' prefix-wildcard "
+                         "suffixes; phrase/near need a "
                          "--store-positions index)")
     ps.add_argument("--fuzzy-distance", type=int, default=None,
                     help="mode=fuzzy default edit distance for query terms "

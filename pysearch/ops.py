@@ -563,6 +563,46 @@ def t1_engine_fuzzy_top10(spark, sf_dir):
         terms=tuple(f"{t}~{d}" for t, d in _FUZZY_Q))
 
 
+# prefix (trailing-wildcard) oracle (Lucene PrefixQuery: 's* fast'): the
+# prefix clause expands to every corpus term starting with 's' (capped at
+# the top 50 by df desc, term asc — Lucene's rewrite cap), the bare term
+# stays exact; all expansions weigh 1, so the oracle is the plain
+# OR-of-terms BM25 over the expanded set
+_PREFIX_P, _PREFIX_EXACT = "s", "fast"
+_BM25_PREFIX_SQL = _BM25_SQL.split("q(term) AS")[0] + f"""vocab AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+pe AS (SELECT term, df FROM (
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+  FROM vocab WHERE term LIKE '{_PREFIX_P}%') WHERE rn <= 50),
+qex AS (SELECT term, df FROM pe UNION
+        SELECT term, df FROM vocab WHERE term = '{_PREFIX_EXACT}'),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - qex.df + 0.5) / (qex.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN qex ON tf.term = qex.term
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score_r FROM sc ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+@op("t1_engine_prefix_top10", _BM25_PREFIX_SQL)
+def t1_engine_prefix_top10(spark, sf_dir):
+    """Lucene-PrefixQuery retrieval through the REAL engine (``s* fast``
+    — trailing wildcard; query.parse_fuzzy → Searcher.search_ids_fuzzy's
+    MultiTermQuery expansion): the prefix expands over the term_stats
+    vocabulary with a startswith predicate pushed to the scan, capped at
+    the top 50 per clause IN Spark, and every expanded term scores as an
+    OR clause at weight 1.  Value-checked against a DuckDB BM25 whose
+    expansion is a LIKE over the same deduped corpus with the same cap.
+    (Wildcard terms bypass the analyzer — Lucene's rule — so the prefix
+    matches what the user typed.)"""
+    return _engine_search(
+        spark, sf_dir, mode="fuzzy",
+        terms=(f"{_PREFIX_P}*", _PREFIX_EXACT))
+
+
 # delete oracle: identical BM25 chain, but docs with doc_id % 7 == 0 are
 # REMOVED after the dedup step — mirroring the engine side, where those
 # docs are tombstoned out of a copy of the index (delete_docs) and

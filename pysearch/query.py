@@ -114,22 +114,30 @@ def parse_boolean(query: str):
 
 
 _FUZZY_RE = re.compile(r"^(.+)~(\d)$")
+_PREFIX_RE = re.compile(r"^(.+)\*$")
 MAX_FUZZY_DISTANCE = 2  # Lucene's LevenshteinAutomata ceiling
 
 
 def parse_fuzzy(query: str, default_distance: int = 0):
-    """Split Lucene fuzzy suffixes (``relam~1 software``) out of a query
-    string BEFORE analysis.  Returns ``(clean_query, raw_fuzzy)`` where
-    ``raw_fuzzy`` maps each RAW token to its max edit distance; tokens
-    without a ``~d`` suffix get ``default_distance``.  Distances above
-    MAX_FUZZY_DISTANCE (2, Lucene's automaton ceiling — here the ceiling
-    keeps the expansion scan's length-band prefilter selective) are
-    rejected.  Run parse_boosts FIRST: the Lucene grammar is
-    ``term~d^boost`` with the boost suffix outermost."""
+    """Split Lucene MultiTermQuery suffixes out of a query string BEFORE
+    analysis: ``relam~1`` is a fuzzy clause (max edit distance 1),
+    ``spar*`` a trailing-wildcard PREFIX clause.  Returns ``(clean_query,
+    raw_fuzzy, raw_prefixes)``: ``raw_fuzzy`` maps each remaining RAW
+    token to its max edit distance (tokens without a ``~d`` suffix get
+    ``default_distance``); ``raw_prefixes`` lists the prefix tokens,
+    LOWERCASED but otherwise un-analyzed — Lucene's wildcard rule: a
+    stemmer would mangle the prefix the user typed, so wildcard terms
+    bypass the analyzer.  Distances above MAX_FUZZY_DISTANCE (2, Lucene's
+    automaton ceiling — here the ceiling keeps the expansion scan's
+    length-band prefilter selective) are rejected.  Run parse_boosts
+    FIRST: the Lucene grammar is ``term~d^boost`` / ``term*^boost`` with
+    the boost suffix outermost."""
     toks: List[str] = []
     fuzz: Dict[str, int] = {}
+    prefixes: List[str] = []
     for raw in query.split():
         m = _FUZZY_RE.match(raw)
+        pm = _PREFIX_RE.match(raw)
         if m:
             d = int(m.group(2))
             if d > MAX_FUZZY_DISTANCE:
@@ -138,10 +146,12 @@ def parse_fuzzy(query: str, default_distance: int = 0):
                     f"got {raw!r}")
             toks.append(m.group(1))
             fuzz[m.group(1)] = max(fuzz.get(m.group(1), 0), d)
+        elif pm:
+            prefixes.append(pm.group(1).lower())
         else:
             toks.append(raw)
             fuzz.setdefault(raw, default_distance)
-    return " ".join(toks), fuzz
+    return " ".join(toks), fuzz, prefixes
 
 
 class Searcher:
@@ -568,36 +578,43 @@ class Searcher:
                                           not_terms=not_live,
                                           exclude=excl)
 
-    def expand_fuzzy(self, case_id: str, fuzzy: "Dict[str, Tuple[int, float]]",
-                     max_expansions: int = 50) -> "Dict[str, Tuple[float, int]]":
-        """Expand analyzed query terms to corpus terms within their edit
-        distance — the Lucene FuzzyQuery/FuzzyTermsEnum model over the
-        term_stats table.  ``fuzzy`` maps analyzed term -> (distance,
-        boost); returns {expanded_term: (weight, df)} where weight =
-        boost * (1 - dist / min(len(q), len(e))) (Lucene's FuzzyTermsEnum
-        similarity boost; exact matches weigh boost * 1) and an expanded
-        term matched by several query terms keeps its MAX weight (Lucene's
-        BooleanQuery rewrite dedup).
+    def expand_fuzzy(self, case_id: str,
+                     fuzzy: "Dict[str, Tuple[int, float]]",
+                     max_expansions: int = 50,
+                     prefixes: "Optional[Dict[str, float]]" = None
+                     ) -> "Dict[str, Tuple[float, int]]":
+        """Expand query terms to corpus terms — the Lucene MultiTermQuery
+        (FuzzyQuery / PrefixQuery) rewrite over the term_stats table.
+        ``fuzzy`` maps analyzed term -> (distance, boost); ``prefixes``
+        maps lowercased prefix -> boost.  Returns {expanded_term:
+        (weight, df)} where a fuzzy expansion weighs boost * (1 - dist /
+        min(len(q), len(e))) (Lucene's FuzzyTermsEnum similarity boost;
+        exact matches weigh boost * 1), a prefix expansion weighs its
+        boost, and an expanded term matched by several query clauses
+        keeps its MAX weight (Lucene's BooleanQuery rewrite dedup).
 
         Scale shape: ONE distributed job over term_stats — a
         vocabulary-sized metadata table, not the postings — with a length
-        band |len(e) - len(q)| <= d pushed to the parquet scan, native
-        F.levenshtein (JVM codegen, no UDF) for the distance, and Lucene's
-        top-``max_expansions`` cap applied per query term IN Spark
+        band |len(e) - len(q)| <= d (fuzzy) / a startswith predicate
+        (prefix) pushed to the parquet scan, native F.levenshtein (JVM
+        codegen, no UDF) for the distance, and Lucene's
+        top-``max_expansions`` cap applied per query clause IN Spark
         (row_number over (weight desc, df desc, term asc) — deterministic)
-        so at most |q| * max_expansions rows reach the driver no matter
-        how loose the distance or how large the vocabulary."""
+        so at most |clauses| * max_expansions rows reach the driver no
+        matter how loose the clause or how large the vocabulary."""
         from functools import reduce
         from operator import or_
 
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        qrows = [(q, int(d), float(b)) for q, (d, b) in fuzzy.items()]
+        qrows = [(q, int(d), float(b), "f") for q, (d, b) in fuzzy.items()]
+        qrows += [(p, 0, float(b), "p") for p, b in (prefixes or {}).items()]
         conds = [
             (F.length("term") >= len(q) - d) & (F.length("term") <= len(q) + d)
             & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
-            for q, d, _b in qrows
+            if kind == "f" else F.col("term").startswith(q)
+            for q, d, _b, kind in qrows
         ]
         cand = (
             self._term_stats.filter(F.col("case_id") == case_id)
@@ -605,21 +622,26 @@ class Searcher:
             # df is additive across append-batch stats commits
             .groupBy("term").agg(F.sum("df").alias("df"))
         )
-        q_df = self.spark.createDataFrame(qrows, "q string, d int, b double")
+        q_df = self.spark.createDataFrame(
+            qrows, "q string, d int, b double, kind string")
+        match = (
+            (F.col("kind") == "f")
+            & (F.levenshtein(F.col("term"), F.col("q")) <= F.col("d"))
+        ) | ((F.col("kind") == "p")
+             & F.col("term").startswith(F.col("q")))
+        sim = (F.lit(1.0)
+               - F.levenshtein(F.col("term"), F.col("q"))
+               / F.least(F.length("term"), F.length("q")))
         j = (
-            cand.join(F.broadcast(q_df),
-                      F.levenshtein(F.col("term"), F.col("q")) <= F.col("d"))
+            cand.join(F.broadcast(q_df), match)
             .withColumn(
                 "w",
-                F.col("b") * (
-                    F.lit(1.0)
-                    - F.levenshtein(F.col("term"), F.col("q"))
-                    / F.least(F.length("term"), F.length("q"))
-                ),
+                F.col("b") * F.when(F.col("kind") == "f", sim)
+                             .otherwise(F.lit(1.0)),
             )
             .filter(F.col("w") > 0)  # dist == min length conveys nothing
         )
-        win = Window.partitionBy("q").orderBy(
+        win = Window.partitionBy("q", "kind").orderBy(
             F.desc("w"), F.desc("df"), F.asc("term"))
         rows = (
             j.withColumn("rn", F.row_number().over(win))
@@ -636,12 +658,14 @@ class Searcher:
                          boosts: Optional[Dict[str, float]] = None,
                          max_expansions: int = 50,
                          return_expansion: bool = False):
-        """Lucene-FuzzyQuery top-k: each query term expands to the corpus
-        terms within its max edit distance (``relam~1``; unsuffixed terms
-        use ``distance``, default 0 = exact), every expanded term scores
-        as an OR clause with weight boost * (1 - dist/min(len)) folded
-        into its idf — the ONE weight feeding scoring and the WAND/
-        block-max bounds, so fuzzy queries stay lossless under pruning.
+        """Lucene-MultiTermQuery top-k: each query term expands to the
+        corpus terms within its max edit distance (``relam~1``; unsuffixed
+        terms use ``distance``, default 0 = exact) or matching its prefix
+        (``spar*`` — trailing wildcard, bypasses the analyzer per Lucene's
+        wildcard rule); every expanded term scores as an OR clause with
+        weight boost * (1 - dist/min(len)) (fuzzy) or boost (prefix)
+        folded into its idf — the ONE weight feeding scoring and the WAND/
+        block-max bounds, so expanded queries stay lossless under pruning.
         Repeated query terms dedup (qtf = 1 per expanded term — Lucene's
         BooleanQuery rewrite).  Also reachable as ``search_ids(query,
         mode="fuzzy", distance=d)``.  The reference sketched fuzzy search
@@ -656,14 +680,16 @@ class Searcher:
             raise ValueError(
                 f"distance must be 0..{MAX_FUZZY_DISTANCE}, got {distance}")
         query, raw_boosts = parse_boosts(query)
-        query, raw_fuzzy = parse_fuzzy(query, default_distance=d_default)
-        # rekey ^boosts written inside a ~d suffix (term~1^2 parses the
-        # boost first, leaving the ~1 on the raw key)
+        query, raw_fuzzy, raw_prefixes = parse_fuzzy(
+            query, default_distance=d_default)
+        # rekey ^boosts written inside a ~d or * suffix (term~1^2 parses
+        # the boost first, leaving the ~1 / * on the raw key)
         for key in list(raw_boosts):
-            m = _FUZZY_RE.match(key)
+            m = _FUZZY_RE.match(key) or _PREFIX_RE.match(key)
             if m:
                 b = raw_boosts.pop(key)
-                raw_boosts[m.group(1)] = raw_boosts.get(m.group(1), 1.0) * b
+                k2 = m.group(1) if _FUZZY_RE.match(key) else m.group(1).lower()
+                raw_boosts[k2] = raw_boosts.get(k2, 1.0) * b
         empty = pd.DataFrame(columns=["doc_id", "score"])
         if case_id not in self._corpus:
             return (empty, {}) if return_expansion else empty
@@ -680,11 +706,13 @@ class Searcher:
                 raise ValueError(f"term boost must be > 0, got {t!r}: {b}")
             d0, b0 = fuzzy.get(t, (d_default, 1.0))
             fuzzy[t] = (d0, b0 * b)
-        if not fuzzy:
+        prefixes = {p: raw_boosts.get(p, 1.0) for p in set(raw_prefixes)}
+        if not fuzzy and not prefixes:
             return (empty, {}) if return_expansion else empty
         n_docs, avgdl, _sum_dl = self._corpus[case_id]
         expanded = self.expand_fuzzy(case_id, fuzzy,
-                                     max_expansions=max_expansions)
+                                     max_expansions=max_expansions,
+                                     prefixes=prefixes)
         if not expanded:
             return (empty, {}) if return_expansion else empty
         idfs = {e: sc.idf(n_docs, df) * w for e, (w, df) in expanded.items()}

@@ -451,6 +451,50 @@ def test_fuzzy_query(searcher):
                             distance=5)
 
 
+def test_prefix_query(searcher):
+    """Lucene PrefixQuery (term*): the expansion equals a brute-force
+    startswith sweep of the case vocabulary at weight 1; a prefix query
+    scores bit-identically to the distance-0 fuzzy query over its
+    expanded terms (same idf weights -> same plan); prefix boosts scale;
+    the wildcard bypasses the analyzer."""
+    case, n = "6", 500
+    from pyspark.sql import functions as F
+
+    vocab = {
+        r["term"]: int(r["df"])
+        for r in searcher._term_stats.filter(F.col("case_id") == case)
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    want = {t: (1.0, df) for t, df in vocab.items() if t.startswith("rea")}
+    got = searcher.expand_fuzzy(case, {}, prefixes={"rea": 1.0})
+    assert got == want and len(got) >= 2
+
+    # prefix == d0-fuzzy over the expanded terms, bit-identically (both
+    # build the same {term: idf} and qtf=1 plan)
+    via_pfx = searcher.search_ids("rea* software", k=n, case_id=case,
+                                  mode="fuzzy")
+    spelled = searcher.search_ids(" ".join(sorted(want)) + " software",
+                                  k=n, case_id=case, mode="fuzzy",
+                                  distance=0)
+    assert list(via_pfx["doc_id"]) == list(spelled["doc_id"])
+    assert list(via_pfx["score"]) == list(spelled["score"])
+
+    # boost rides the prefix clause
+    b2 = searcher.search_ids("rea*^2", k=10, case_id=case, mode="fuzzy")
+    b1 = searcher.search_ids("rea*", k=10, case_id=case, mode="fuzzy")
+    assert list(b2["doc_id"]) == list(b1["doc_id"])
+    for s2, s1 in zip(b2["score"], b1["score"]):
+        assert abs(s2 - 2.0 * s1) <= 1e-12 * max(1.0, abs(s2))
+
+    # absent prefix -> empty; the wildcard is not analyzed (uppercase
+    # input lowercases, nothing else)
+    assert searcher.search_ids("zzz*", k=5, case_id=case,
+                               mode="fuzzy").empty
+    up = searcher.search_ids("REA*", k=10, case_id=case, mode="fuzzy")
+    assert list(up["doc_id"]) == list(b1["doc_id"])
+    assert list(up["score"]) == list(b1["score"])
+
+
 def test_compact_index(spark, tmp_path):
     """Compaction collapses append commit batches to one per table with
     bit-identical query results, a consistent index, and unchanged resume
