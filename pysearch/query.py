@@ -704,8 +704,9 @@ class Searcher:
         for t, b in (boosts or {}).items():
             if b <= 0:
                 raise ValueError(f"term boost must be > 0, got {t!r}: {b}")
-            d0, b0 = fuzzy.get(t, (d_default, 1.0))
-            fuzzy[t] = (d0, b0 * b)
+            if t in fuzzy:  # boosts weight query terms, never add clauses
+                d0, b0 = fuzzy[t]
+                fuzzy[t] = (d0, b0 * b)
         prefixes = {p: raw_boosts.get(p, 1.0) for p in set(raw_prefixes)}
         if not fuzzy and not prefixes:
             return (empty, {}) if return_expansion else empty
@@ -775,7 +776,9 @@ class Searcher:
         self._check_fresh()
         if mode not in ("any", "all", "phrase", "near"):
             raise ValueError(
-                f"mode must be any|all|phrase|near, got {mode!r}")
+                f"mode must be any|all|phrase|near, got {mode!r} "
+                "(boolean/fuzzy are single-query modes — loop over "
+                "search_ids for those)")
         if mode in ("phrase", "near") and not self.positions_stored:
             raise ValueError(
                 f"mode={mode!r} needs an index built with "
