@@ -769,16 +769,23 @@ class Searcher:
         union terms.  Phrase/near modes never prune (their candidate
         volume is already the conjunctive intersection).  ``mode="near"``
         batches unordered-proximity queries, each within the shared
-        ``window`` (search_ids semantics)."""
+        ``window`` (search_ids semantics).  ``mode="boolean"`` batches
+        Lucene ``+must -must_not should`` queries (search_ids_boolean
+        semantics): scoring AND prohibited terms decode once per segment,
+        each plan applies its own gates over the shared arrays,
+        bit-identical to per-query boolean (enforced by test); boolean
+        never prunes (same reason as the single-query path — the must
+        intersection already bounds candidates and θ bounds are not
+        not-term-aware)."""
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
         self._check_fresh()
-        if mode not in ("any", "all", "phrase", "near"):
+        if mode not in ("any", "all", "phrase", "near", "boolean"):
             raise ValueError(
-                f"mode must be any|all|phrase|near, got {mode!r} "
-                "(boolean/fuzzy are single-query modes — loop over "
-                "search_ids for those)")
+                f"mode must be any|all|phrase|near|boolean, got {mode!r} "
+                "(fuzzy is a single-query mode — its expansion job "
+                "dominates; loop over search_ids for fuzzy logs)")
         if mode in ("phrase", "near") and not self.positions_stored:
             raise ValueError(
                 f"mode={mode!r} needs an index built with "
@@ -792,6 +799,13 @@ class Searcher:
         if case_id not in self._corpus or not queries:
             return empty
         n_docs, avgdl, _sum_dl = self._corpus[case_id]
+
+        if mode == "boolean":
+            plans = self._boolean_plans(queries, case_id, n_docs)
+            if not plans:
+                return empty
+            return self._score_many_blocks(plans, avgdl, case_id, k, mode,
+                                           prune=False)
 
         parsed = {qid: parse_boosts(q) for qid, q in queries.items()}
         analyzed = {qid: self._analyze_query(q)
@@ -827,6 +841,49 @@ class Searcher:
         return self._score_many_blocks(plans, avgdl, case_id, k, mode,
                                        prune=do_prune)
 
+    def _boolean_plans(self, queries: Dict[str, str], case_id: str,
+                       n_docs: int) -> Dict[str, tuple]:
+        """Build batched boolean plans (qid -> (idfs, qtf, must_live,
+        not_live)) from Lucene ``+must -must_not should`` query strings —
+        ONE batched df probe over the union of every clause's terms.
+        Clause semantics are search_ids_boolean's: a query with a
+        corpus-absent MUST term or no live positive clause drops (it
+        yields no rows); absent should terms drop; absent must_not terms
+        are no-ops."""
+        parts: Dict[str, tuple] = {}
+        union: set = set()
+        for qid, q in queries.items():
+            must_raw, should_raw, not_raw = parse_boolean(q)
+            must_q, mb = parse_boosts(" ".join(must_raw))
+            should_q, sb = parse_boosts(" ".join(should_raw))
+            if any(_BOOST_RE.match(t) for t in not_raw):
+                raise ValueError(
+                    "boost on a MUST_NOT clause is meaningless "
+                    "(prohibited terms gate, they never score)")
+            must_terms = self._analyze(must_q)
+            should_terms = self._analyze(should_q)
+            not_terms = sorted(set(self._analyze(" ".join(not_raw))))
+            rb = dict(mb)
+            for t, b in sb.items():
+                rb[t] = rb.get(t, 1.0) * b
+            parts[qid] = (must_terms, should_terms, not_terms, rb)
+            union |= set(must_terms) | set(should_terms) | set(not_terms)
+        dfs = self._term_dfs(case_id, sorted(union))
+        plans: Dict[str, tuple] = {}
+        for qid, (must_terms, should_terms, not_terms, rb) in parts.items():
+            pos = must_terms + should_terms
+            must_live = sorted({t for t in must_terms if t in dfs})
+            if not pos or len(must_live) < len(set(must_terms)):
+                continue
+            live = sorted({t for t in pos if t in dfs})
+            if not live:
+                continue
+            idfs = self._apply_boosts(
+                {t: sc.idf(n_docs, dfs[t]) for t in live}, rb, None)
+            plans[qid] = (idfs, dict(Counter(pos)), tuple(must_live),
+                          tuple(t for t in not_terms if t in dfs))
+        return plans
+
     def _score_many_blocks(self, plans: Dict[str, tuple], avgdl: float,
                            case_id: str, k: int, mode: str,
                            prune: bool = False) -> pd.DataFrame:
@@ -841,7 +898,10 @@ class Searcher:
         ``_prune_many_blocks``."""
         from pyspark.sql import functions as F
 
-        all_terms = sorted({t for p in plans.values() for t in p[0]})
+        term_set = {t for p in plans.values() for t in p[0]}
+        if mode == "boolean":  # prohibited terms decode too (gate-only)
+            term_set |= {t for p in plans.values() for t in p[3]}
+        all_terms = sorted(term_set)
         buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
         blocks = self.postings.filter(
             (F.col("case_id") == case_id)
@@ -908,9 +968,14 @@ class Searcher:
                     zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"],
                         pdf["tfs_bin"], pdf["dls_bin"])
                 )
-                qids, ids_l, scores_l = sc.score_segment_blocks_multi(
-                    rows, plans, avgdl, k, exclude=excl
-                )
+                if mode == "boolean":
+                    qids, ids_l, scores_l = (
+                        sc.score_segment_blocks_multi_boolean(
+                            rows, plans, avgdl, k, exclude=excl))
+                else:
+                    qids, ids_l, scores_l = sc.score_segment_blocks_multi(
+                        rows, plans, avgdl, k, exclude=excl
+                    )
             if not qids:
                 return pd.DataFrame(columns=["qid", "doc_id", "score"])
             return pd.DataFrame({

@@ -159,38 +159,18 @@ def score_segment_blocks_boolean(
     to the equivalent any/all queries by construction.
 
     ``not_terms`` must be decoded (present in ``block_rows``' scan) but
-    NOT in ``idfs``, so they gate without contributing score."""
-    import functools
-
-    per_term: dict = {}
-    for term, n, ib, tb, db in block_rows:
-        per_term.setdefault(term, []).append((n, ib, tb, db))
-
-    decoded: Dict[str, tuple] = {}
-    for term, rows_t in per_term.items():
-        decoded[term] = codec.unpack_blocks_batch(
-            [r[0] for r in rows_t], [r[1] for r in rows_t],
-            [r[2] for r in rows_t], [r[3] for r in rows_t],
-        )
-    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-    restrict = None
-    if must_terms:
-        if any(t not in decoded for t in must_terms):
-            return empty  # a required term missing from this segment
-        restrict = decoded[must_terms[0]][0]
-        for t in must_terms[1:]:
-            restrict = np.intersect1d(restrict, decoded[t][0],
-                                      assume_unique=True)
-        if restrict.size == 0:
-            return empty
-    neg = [decoded[t][0] for t in not_terms if t in decoded]
-    excl = exclude
-    if neg:
-        neg_all = functools.reduce(np.union1d, neg)
-        excl = (neg_all if excl is None or not excl.size
-                else np.union1d(excl, neg_all))
-    return _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
-                              restrict=restrict, exclude=excl)
+    NOT in ``idfs``, so they gate without contributing score.  One-plan
+    form of ``score_segment_blocks_multi_boolean`` (the batched engine),
+    so single and batched boolean scores are bit-identical by
+    construction."""
+    qids, ids_l, scores_l = score_segment_blocks_multi_boolean(
+        block_rows,
+        {"q": (idfs, qtf, tuple(must_terms), tuple(not_terms))},
+        avgdl, k, exclude=exclude,
+    )
+    if not qids:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    return ids_l[0], scores_l[0]
 
 
 def _phrase_matched_docs(
@@ -343,6 +323,65 @@ def score_segment_blocks_multi(
     for qid, (idfs, qtf, require) in plans.items():
         ids, sums = _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
                                        require=require, exclude=exclude)
+        if ids.size == 0:
+            continue
+        out_q.append(qid)
+        out_ids.append(ids)
+        out_scores.append(sums)
+    return out_q, out_ids, out_scores
+
+
+def score_segment_blocks_multi_boolean(
+    block_rows: Sequence[tuple],
+    plans: Dict[str, tuple],
+    avgdl: float,
+    k: int,
+    exclude: np.ndarray | None = None,
+) -> Tuple[List[str], List[np.ndarray], List[np.ndarray]]:
+    """Score MANY boolean queries over one segment's blocks in a single
+    pass: decode every term present in any plan (scoring AND prohibited)
+    exactly once, then apply each query's must-intersection / not-union
+    gates around the shared ``_topk_from_decoded`` funnel — bit-identical
+    to per-query ``score_segment_blocks_boolean`` by construction.
+
+    ``plans``: qid -> (idfs, qtf, must_terms, not_terms); ``idfs`` holds
+    the scoring (must + should) terms only, so prohibited terms gate
+    without contributing score."""
+    import functools
+
+    per_term: dict = {}
+    for term, n, ib, tb, db in block_rows:
+        per_term.setdefault(term, []).append((n, ib, tb, db))
+
+    decoded: Dict[str, tuple] = {}
+    for term, rows_t in per_term.items():
+        decoded[term] = codec.unpack_blocks_batch(
+            [r[0] for r in rows_t], [r[1] for r in rows_t],
+            [r[2] for r in rows_t], [r[3] for r in rows_t],
+        )
+
+    out_q: List[str] = []
+    out_ids: List[np.ndarray] = []
+    out_scores: List[np.ndarray] = []
+    for qid, (idfs, qtf, must_terms, not_terms) in plans.items():
+        restrict = None
+        if must_terms:
+            if any(t not in decoded for t in must_terms):
+                continue  # a required term missing from this segment
+            restrict = decoded[must_terms[0]][0]
+            for t in must_terms[1:]:
+                restrict = np.intersect1d(restrict, decoded[t][0],
+                                          assume_unique=True)
+            if restrict.size == 0:
+                continue
+        neg = [decoded[t][0] for t in not_terms if t in decoded]
+        excl = exclude
+        if neg:
+            neg_all = functools.reduce(np.union1d, neg)
+            excl = (neg_all if excl is None or not excl.size
+                    else np.union1d(excl, neg_all))
+        ids, sums = _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
+                                       restrict=restrict, exclude=excl)
         if ids.size == 0:
             continue
         out_q.append(qid)

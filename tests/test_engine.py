@@ -364,6 +364,23 @@ def test_boolean_occurs(searcher):
         searcher.search_ids("+realm -software^2", k=n, case_id=case,
                             mode="boolean")
 
+    # the batched query-log path: every plan shape bit-identical to the
+    # per-query boolean (shared decode, per-plan gates)
+    qs = {
+        "gated": "+realm -software",
+        "must": "+realm +software",
+        "should": "realm software",
+        "absent": "+zzzznotaword realm",
+        "boosted": "realm^2 -software",
+    }
+    many = searcher.search_ids_many(qs, k=15, case_id=case, mode="boolean")
+    for qid, q in qs.items():
+        one = searcher.search_ids(q, k=15, case_id=case, mode="boolean")
+        sub = many[many["qid"] == qid].reset_index(drop=True)
+        assert list(sub["doc_id"]) == list(one["doc_id"]), qid
+        assert list(sub["score"]) == list(one["score"]), qid
+    assert not (many["qid"] == "absent").any()
+
 
 def _levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
