@@ -106,7 +106,11 @@ def _decode_video(payload: bytes):
     with nonzero tkhd dimensions gives (width, height); the third slot
     carries the total track count.  Raises for non-BMFF payloads (real
     codec work needs ffmpeg)."""
-    is_bmff = len(payload) >= 12 and payload[4:8] in (b"ftyp", b"moov")
+    # any top-level box type a real file can START with qualifies —
+    # unoptimized/progressive layouts lead with wide/free/skip/mdat and
+    # put moov last (ISO 14496-12 imposes no box order)
+    is_bmff = len(payload) >= 12 and payload[4:8] in (
+        b"ftyp", b"moov", b"wide", b"free", b"skip", b"mdat")
     if is_bmff:
         moov = next((b for b in _walk_boxes(payload, 0, len(payload))
                      if b[0] == b"moov"), None)

@@ -156,7 +156,8 @@ def parse_fuzzy(query: str, default_distance: int = 0):
 
 class Searcher:
     def __init__(self, spark, index_dir: str, cache_postings: bool = False,
-                 on_stale: str = "refresh", at_version: int | None = None):
+                 on_stale: str = "refresh", at_version: int | None = None,
+                 max_pending_tombstones: int | None = None):
         """``cache_postings=True`` persists the postings table in executor
         memory for repeated-query workloads (right on a warm serving
         cluster; leave off for one-shot jobs or indexes larger than cluster
@@ -177,7 +178,14 @@ class Searcher:
         deletes, and compactions SINCE are invisible — and never refreshes
         (a snapshot is immutable).  ``IndexLayout(dir).snapshots()`` lists
         the available versions.  Readable as long as the referenced trees
-        exist (see compact.expire_generations)."""
+        exist (see compact.expire_generations).
+
+        ``max_pending_tombstones`` overrides the load-time cap on pending
+        (uncompacted) deletes this Searcher will ship into scoring
+        closures (default MAX_PENDING_TOMBSTONES = 10M).  The right fix
+        above the cap is compact_index; the override exists for readers
+        that cannot run maintenance (read-only replicas) and accept the
+        driver/executor memory cost."""
         self.spark = spark
         self.layout = IndexLayout(index_dir, at_version=at_version)
         self.cache_postings = cache_postings
@@ -186,6 +194,8 @@ class Searcher:
                 f"on_stale must be refresh|raise|ignore, got {on_stale!r}"
             )
         self.on_stale = "ignore" if at_version is not None else on_stale
+        if max_pending_tombstones is not None:
+            self.max_pending_tombstones = int(max_pending_tombstones)
         self._load()
 
     def _index_sig(self):
@@ -230,7 +240,8 @@ class Searcher:
             # scored block counts (extra metadata jobs; test-only)
             self.count_scored_blocks = False
             self.last_block_counts: Optional[dict] = None
-            self.max_pending_tombstones = MAX_PENDING_TOMBSTONES
+            self.max_pending_tombstones = getattr(
+                self, "max_pending_tombstones", MAX_PENDING_TOMBSTONES)
         from pyspark.sql import functions as F
 
         def _norm(df):
@@ -295,7 +306,7 @@ class Searcher:
                     f"{self.max_pending_tombstones}); run "
                     "pysearch.compact.compact_index (CLI: compact-index) "
                     "to purge deletes physically before searching, or "
-                    "raise searcher.max_pending_tombstones explicitly"
+                    "construct with Searcher(..., max_pending_tombstones=N)"
                 )
             tpdf = tdf.toPandas()
             for cid, grp in tpdf.groupby("case_id"):
@@ -834,9 +845,12 @@ class Searcher:
         # the batch gate scales with the query count: the shared decode
         # already amortizes the scan across plans, so the AVERAGE per-query
         # candidate volume must clear the same bar as the single-query path
-        # before the extra bound/θ jobs can pay for themselves
+        # before the extra bound/θ jobs can pay for themselves.  Volume is
+        # summed over the SURVIVING plans' terms — a dropped query's terms
+        # are never scanned, so they must not tip the gate
+        plan_terms = {t for p in plans.values() for t in p[0]}
         do_prune = (prune and mode in ("any", "all")
-                    and sum(dfs[t] for t in union_terms if t in dfs)
+                    and sum(dfs[t] for t in plan_terms)
                     > self.prune_min_postings * len(plans))
         return self._score_many_blocks(plans, avgdl, case_id, k, mode,
                                        prune=do_prune)
@@ -853,13 +867,10 @@ class Searcher:
         parts: Dict[str, tuple] = {}
         union: set = set()
         for qid, q in queries.items():
+            # (parse_boolean already rejected any '-term^boost' token)
             must_raw, should_raw, not_raw = parse_boolean(q)
             must_q, mb = parse_boosts(" ".join(must_raw))
             should_q, sb = parse_boosts(" ".join(should_raw))
-            if any(_BOOST_RE.match(t) for t in not_raw):
-                raise ValueError(
-                    "boost on a MUST_NOT clause is meaningless "
-                    "(prohibited terms gate, they never score)")
             must_terms = self._analyze(must_q)
             should_terms = self._analyze(should_q)
             not_terms = sorted(set(self._analyze(" ".join(not_raw))))

@@ -108,6 +108,12 @@ def test_pending_tombstone_cap_enforced(spark, tmp_path):
     s.max_pending_tombstones = 3
     with pytest.raises(RuntimeError, match="compact-index"):
         s.refresh()
+    # the error's escape hatch must work on FIRST construction (the cap
+    # fires inside __init__ where no instance exists to mutate)
+    with pytest.raises(RuntimeError, match="max_pending_tombstones=N"):
+        Searcher(spark, d, max_pending_tombstones=3)
+    s2 = Searcher(spark, d, max_pending_tombstones=5)
+    assert len(s2.search_ids("realm", k=50, case_id="6"))
 
     compact_index(spark, d)  # purges tombstones physically
     s.refresh()  # same tightened cap, zero pending: loads

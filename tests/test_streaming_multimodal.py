@@ -475,6 +475,18 @@ def test_multimodal_real_decode_mp4():
            + struct.pack(">Q", len(moov) + 8) + moov[8:])
     assert decode_media(p[:ftyp_len] + big, "video") == (320, 240, 1)
 
+    # unoptimized/progressive layouts lead with wide/free/mdat and put
+    # moov LAST (ISO 14496-12 imposes no box order) — the signature gate
+    # must accept them
+    q = _mp4(640, 360)
+    q_ftyp_len = struct.unpack(">I", q[:4])[0]
+    tail = q[q_ftyp_len:]  # the moov box
+    for lead in (b"wide", b"free", b"skip"):
+        assert decode_media(_box(lead, b"") + tail,
+                            "video") == (640, 360, 1)
+    assert decode_media(_box(b"mdat", b"\x00" * 32) + tail,
+                        "video") == (640, 360, 1)
+
 
 def test_multimodal_real_decode_png_wav(spark):
     """Real (non-fake) decode works on real payloads without any optional
