@@ -432,6 +432,11 @@ class Searcher:
         subset of near hits at window=len(terms)−1.
         Phrase/near queries skip WAND pruning: their candidate volume is
         already the (small) conjunctive intersection of the query terms.
+        ``mode="boolean"`` parses Lucene classic ``+must -must_not
+        should`` syntax and routes to :meth:`search_ids_boolean`;
+        ``mode="fuzzy"`` parses ``term~d`` edit-distance and ``term*``
+        prefix-wildcard suffixes (unsuffixed terms use ``distance``,
+        default 0) and routes to :meth:`search_ids_fuzzy`.
 
         Per-term BOOSTS (the reference's commented-out aspiration,
         search_pdfs.go:176-186): ``spark^2 join fast^0.5`` in the query
@@ -1585,6 +1590,12 @@ class Searcher:
         - ``"auto"`` (default): ``"index"`` when the index stores
           positions, else ``"reanalyze"``.  Both paths produce identical
           spans (pinned by test).
+
+        ``mode``/``window``/``distance`` follow :meth:`search_ids`
+        (any|all|phrase|near|boolean|fuzzy).  Span terms adapt to the
+        mode: boolean uses the positive clauses only, fuzzy/prefix uses
+        the expanded terms (a misspelling or wildcard never occurs in a
+        matched doc — its expansions do).
         """
         from pyspark.sql import functions as F
 
