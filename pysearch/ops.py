@@ -506,6 +506,43 @@ def t1_engine_bool_top10(spark, sf_dir):
         terms=(f"+{_BOOL_MUST}", f"-{_BOOL_NOT}", _BOOL_SHOULD))
 
 
+# facet oracle (Lucene facets analog): aggregate the engine's top-10 by a
+# catalog field — hit count and best score per source lang
+_BM25_FACET_SQL = _BM25_SQL.replace(
+    "SELECT doc_id, round(s, 4) AS score_r FROM sc "
+    "ORDER BY s DESC, doc_id LIMIT 10",
+    """hits AS (SELECT doc_id, round(s, 4) AS score_r FROM sc
+         ORDER BY s DESC, doc_id LIMIT 10)
+SELECT d.lang, count(*) AS n_hits, max(h.score_r) AS top_score_r
+FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang""",
+).replace("GROUP BY tf.doc_id)", "GROUP BY tf.doc_id),", 1)
+assert "hits AS" in _BM25_FACET_SQL and _BM25_FACET_SQL.count("LIMIT 10") == 1
+
+
+@op("t1_engine_facet_lang", _BM25_FACET_SQL)
+def t1_engine_facet_lang(spark, sf_dir):
+    """Result FACETING over the engine's ranked hits (the Lucene facets
+    model): the real engine's BM25 top-10 joins back to the source
+    catalog and aggregates per lang — hit count + best score.  At scale
+    this is a broadcast of the k hit rows against the docs table
+    (partition-pruned on doc_id at real layouts) and a tiny aggregate;
+    the engine ranking itself is unchanged, so the facet values are
+    pinned by the same determinism that pins the top-10.  Value-checked
+    against the DuckDB BM25 top-10 aggregated the same way."""
+    from pyspark.sql import functions as F
+
+    hits = _engine_search(spark, sf_dir, mode="any")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        docs.join(F.broadcast(hits), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_hits"),
+             F.max("score_r").alias("top_score_r"))
+        .orderBy("lang")
+    )
+
+
 # fuzzy oracle (Lucene FuzzyQuery: 'sparh~1 fast~1'): each query term
 # expands to the corpus terms within its edit distance, capped at the top
 # 50 per query term by (weight desc, df desc, term asc); each expanded
