@@ -640,6 +640,41 @@ def t1_engine_prefix_top10(spark, sf_dir):
         terms=(f"{_PREFIX_P}*", _PREFIX_EXACT))
 
 
+# regexp oracle (Lucene RegexpQuery: '/s[cp][a-z]+/ fast'): the regexp
+# clause expands to every corpus term the WHOLE-TERM-anchored pattern
+# matches (capped at the top 50 by df desc, term asc — the same
+# MultiTermQuery rewrite cap as prefix), the bare term stays exact; all
+# expansions weigh 1 (constant score), so the oracle is the plain
+# OR-of-terms BM25 over the expanded set.  The pattern sticks to the
+# regex subset Java (Spark rlike) and RE2 (DuckDB regexp_matches) agree
+# on: character classes, +, anchors.
+_REGEXP_PAT, _REGEXP_EXACT = "s[cp][a-z]+", "fast"
+_BM25_REGEXP_SQL = _BM25_PREFIX_SQL.replace(
+    f"WHERE term LIKE '{_PREFIX_P}%'",
+    f"WHERE regexp_matches(term, '^(?:{_REGEXP_PAT})$')",
+).replace(f"term = '{_PREFIX_EXACT}'", f"term = '{_REGEXP_EXACT}'")
+assert "regexp_matches" in _BM25_REGEXP_SQL and "LIKE" not in _BM25_REGEXP_SQL
+
+
+@op("t1_engine_regexp_top10", _BM25_REGEXP_SQL)
+def t1_engine_regexp_top10(spark, sf_dir):
+    """Lucene-RegexpQuery retrieval through the REAL engine
+    (``/s[cp][a-z]+/ fast`` — slash syntax, whole-term match;
+    query.parse_fuzzy → Searcher.search_ids_fuzzy's MultiTermQuery
+    expansion): the regexp expands over the term_stats vocabulary with an
+    rlike predicate pushed to the scan — ONE distributed job over the
+    vocabulary-sized metadata table, never the postings — capped at the
+    top 50 per clause IN Spark, and every expanded term scores as an OR
+    clause at weight 1 folded into its idf, so regexp queries stay
+    lossless under block-max pruning.  Value-checked against a DuckDB
+    BM25 whose expansion is regexp_matches over the same deduped corpus
+    with the same cap.  (Regexp clauses bypass the analyzer — Lucene's
+    MultiTermQuery rule.)"""
+    return _engine_search(
+        spark, sf_dir, mode="fuzzy",
+        terms=(f"/{_REGEXP_PAT}/", _REGEXP_EXACT))
+
+
 # delete oracle: identical BM25 chain, but docs with doc_id % 7 == 0 are
 # REMOVED after the dedup step — mirroring the engine side, where those
 # docs are tombstoned out of a copy of the index (delete_docs) and

@@ -115,30 +115,41 @@ def parse_boolean(query: str):
 
 _FUZZY_RE = re.compile(r"^(.+)~(\d)$")
 _PREFIX_RE = re.compile(r"^(.+)\*$")
+_REGEX_RE = re.compile(r"^/(.+)/$")
 MAX_FUZZY_DISTANCE = 2  # Lucene's LevenshteinAutomata ceiling
 
 
 def parse_fuzzy(query: str, default_distance: int = 0):
     """Split Lucene MultiTermQuery suffixes out of a query string BEFORE
     analysis: ``relam~1`` is a fuzzy clause (max edit distance 1),
-    ``spar*`` a trailing-wildcard PREFIX clause.  Returns ``(clean_query,
-    raw_fuzzy, raw_prefixes)``: ``raw_fuzzy`` maps each remaining RAW
-    token to its max edit distance (tokens without a ``~d`` suffix get
-    ``default_distance``); ``raw_prefixes`` lists the prefix tokens,
-    LOWERCASED but otherwise un-analyzed — Lucene's wildcard rule: a
-    stemmer would mangle the prefix the user typed, so wildcard terms
-    bypass the analyzer.  Distances above MAX_FUZZY_DISTANCE (2, Lucene's
-    automaton ceiling — here the ceiling keeps the expansion scan's
-    length-band prefilter selective) are rejected.  Run parse_boosts
-    FIRST: the Lucene grammar is ``term~d^boost`` / ``term*^boost`` with
-    the boost suffix outermost."""
+    ``spar*`` a trailing-wildcard PREFIX clause, ``/s[cp]an?k?/`` a
+    REGEXP clause (Lucene RegexpQuery slash syntax).  Returns
+    ``(clean_query, raw_fuzzy, raw_prefixes, raw_regexps)``:
+    ``raw_fuzzy`` maps each remaining RAW token to its max edit distance
+    (tokens without a ``~d`` suffix get ``default_distance``);
+    ``raw_prefixes`` lists the prefix tokens, LOWERCASED but otherwise
+    un-analyzed — Lucene's wildcard rule: a stemmer would mangle the
+    prefix the user typed, so wildcard terms bypass the analyzer;
+    ``raw_regexps`` lists the regexp bodies (slashes stripped,
+    LOWERCASED — Lucene RegexpQuery also bypasses the analyzer, and the
+    index vocabulary is lowercase).  Like Lucene, a regexp must match the
+    WHOLE term (callers anchor with ``^(?:...)$``).  Distances above
+    MAX_FUZZY_DISTANCE (2, Lucene's automaton ceiling — here the ceiling
+    keeps the expansion scan's length-band prefilter selective) are
+    rejected.  Run parse_boosts FIRST: the Lucene grammar is
+    ``term~d^boost`` / ``term*^boost`` / ``/re/^boost`` with the boost
+    suffix outermost."""
     toks: List[str] = []
     fuzz: Dict[str, int] = {}
     prefixes: List[str] = []
+    regexps: List[str] = []
     for raw in query.split():
+        rm = _REGEX_RE.match(raw)
         m = _FUZZY_RE.match(raw)
         pm = _PREFIX_RE.match(raw)
-        if m:
+        if rm:
+            regexps.append(rm.group(1).lower())
+        elif m:
             d = int(m.group(2))
             if d > MAX_FUZZY_DISTANCE:
                 raise ValueError(
@@ -151,7 +162,7 @@ def parse_fuzzy(query: str, default_distance: int = 0):
         else:
             toks.append(raw)
             fuzz.setdefault(raw, default_distance)
-    return " ".join(toks), fuzz, prefixes
+    return " ".join(toks), fuzz, prefixes, regexps
 
 
 class Searcher:
@@ -434,9 +445,10 @@ class Searcher:
         already the (small) conjunctive intersection of the query terms.
         ``mode="boolean"`` parses Lucene classic ``+must -must_not
         should`` syntax and routes to :meth:`search_ids_boolean`;
-        ``mode="fuzzy"`` parses ``term~d`` edit-distance and ``term*``
-        prefix-wildcard suffixes (unsuffixed terms use ``distance``,
-        default 0) and routes to :meth:`search_ids_fuzzy`.
+        ``mode="fuzzy"`` parses ``term~d`` edit-distance, ``term*``
+        prefix-wildcard and ``/regexp/`` whole-term-regexp clauses
+        (unsuffixed terms use ``distance``, default 0) and routes to
+        :meth:`search_ids_fuzzy`.
 
         Per-term BOOSTS (the reference's commented-out aspiration,
         search_pdfs.go:176-186): ``spark^2 join fast^0.5`` in the query
@@ -597,27 +609,34 @@ class Searcher:
     def expand_fuzzy(self, case_id: str,
                      fuzzy: "Dict[str, Tuple[int, float]]",
                      max_expansions: int = 50,
-                     prefixes: "Optional[Dict[str, float]]" = None
+                     prefixes: "Optional[Dict[str, float]]" = None,
+                     regexps: "Optional[Dict[str, float]]" = None
                      ) -> "Dict[str, Tuple[float, int]]":
         """Expand query terms to corpus terms — the Lucene MultiTermQuery
-        (FuzzyQuery / PrefixQuery) rewrite over the term_stats table.
-        ``fuzzy`` maps analyzed term -> (distance, boost); ``prefixes``
-        maps lowercased prefix -> boost.  Returns {expanded_term:
-        (weight, df)} where a fuzzy expansion weighs boost * (1 - dist /
-        min(len(q), len(e))) (Lucene's FuzzyTermsEnum similarity boost;
-        exact matches weigh boost * 1), a prefix expansion weighs its
-        boost, and an expanded term matched by several query clauses
-        keeps its MAX weight (Lucene's BooleanQuery rewrite dedup).
+        (FuzzyQuery / PrefixQuery / RegexpQuery) rewrite over the
+        term_stats table.  ``fuzzy`` maps analyzed term -> (distance,
+        boost); ``prefixes`` maps lowercased prefix -> boost; ``regexps``
+        maps lowercased regexp body -> boost (anchored here as
+        ``^(?:body)$`` — Lucene's whole-term match rule; the dialect is
+        Spark's JVM rlike).  Returns {expanded_term: (weight, df)} where
+        a fuzzy expansion weighs boost * (1 - dist / min(len(q), len(e)))
+        (Lucene's FuzzyTermsEnum similarity boost; exact matches weigh
+        boost * 1), a prefix/regexp expansion weighs its boost (constant
+        score per clause, Lucene's MultiTermQuery rewrite), and an
+        expanded term matched by several query clauses keeps its MAX
+        weight (Lucene's BooleanQuery rewrite dedup).
 
         Scale shape: ONE distributed job over term_stats — a
         vocabulary-sized metadata table, not the postings — with a length
         band |len(e) - len(q)| <= d (fuzzy) / a startswith predicate
-        (prefix) pushed to the parquet scan, native F.levenshtein (JVM
-        codegen, no UDF) for the distance, and Lucene's
-        top-``max_expansions`` cap applied per query clause IN Spark
-        (row_number over (weight desc, df desc, term asc) — deterministic)
-        so at most |clauses| * max_expansions rows reach the driver no
-        matter how loose the clause or how large the vocabulary."""
+        (prefix) / an rlike (regexp) pushed to the parquet scan, native
+        F.levenshtein (JVM codegen, no UDF) for the distance, and
+        Lucene's top-``max_expansions`` cap applied per query clause IN
+        Spark (row_number over (weight desc, df desc, term asc) —
+        deterministic) so at most |clauses| * max_expansions rows reach
+        the driver no matter how loose the clause or how large the
+        vocabulary."""
+        import re as _re
         from functools import reduce
         from operator import or_
 
@@ -626,10 +645,19 @@ class Searcher:
 
         qrows = [(q, int(d), float(b), "f") for q, (d, b) in fuzzy.items()]
         qrows += [(p, 0, float(b), "p") for p, b in (prefixes or {}).items()]
+        for r, b in (regexps or {}).items():
+            anchored = f"^(?:{r})$"
+            try:  # fail fast on the driver, not inside an executor task
+                _re.compile(anchored)
+            except _re.error as e:
+                raise ValueError(f"bad regexp clause /{r}/: {e}") from None
+            qrows.append((anchored, 0, float(b), "r"))
         conds = [
             (F.length("term") >= len(q) - d) & (F.length("term") <= len(q) + d)
             & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
-            if kind == "f" else F.col("term").startswith(q)
+            if kind == "f"
+            else (F.col("term").startswith(q) if kind == "p"
+                  else F.col("term").rlike(q))
             for q, d, _b, kind in qrows
         ]
         cand = (
@@ -644,7 +672,9 @@ class Searcher:
             (F.col("kind") == "f")
             & (F.levenshtein(F.col("term"), F.col("q")) <= F.col("d"))
         ) | ((F.col("kind") == "p")
-             & F.col("term").startswith(F.col("q")))
+             & F.col("term").startswith(F.col("q"))) | (
+            (F.col("kind") == "r")
+            & F.regexp_like(F.col("term"), F.col("q")))
         sim = (F.lit(1.0)
                - F.levenshtein(F.col("term"), F.col("q"))
                / F.least(F.length("term"), F.length("q")))
@@ -676,16 +706,19 @@ class Searcher:
                          return_expansion: bool = False):
         """Lucene-MultiTermQuery top-k: each query term expands to the
         corpus terms within its max edit distance (``relam~1``; unsuffixed
-        terms use ``distance``, default 0 = exact) or matching its prefix
-        (``spar*`` — trailing wildcard, bypasses the analyzer per Lucene's
-        wildcard rule); every expanded term scores as an OR clause with
-        weight boost * (1 - dist/min(len)) (fuzzy) or boost (prefix)
-        folded into its idf — the ONE weight feeding scoring and the WAND/
-        block-max bounds, so expanded queries stay lossless under pruning.
-        Repeated query terms dedup (qtf = 1 per expanded term — Lucene's
-        BooleanQuery rewrite).  Also reachable as ``search_ids(query,
-        mode="fuzzy", distance=d)``.  The reference sketched fuzzy search
-        but never shipped it (commented out, search_pdfs.go:176-186)."""
+        terms use ``distance``, default 0 = exact), matching its prefix
+        (``spar*`` — trailing wildcard) or matching its regexp
+        (``/s[cp][a-z]+/`` — Lucene RegexpQuery slash syntax, whole-term
+        match; wildcard and regexp clauses bypass the analyzer per
+        Lucene's rule); every expanded term scores as an OR clause with
+        weight boost * (1 - dist/min(len)) (fuzzy) or boost
+        (prefix/regexp) folded into its idf — the ONE weight feeding
+        scoring and the WAND/block-max bounds, so expanded queries stay
+        lossless under pruning.  Repeated query terms dedup (qtf = 1 per
+        expanded term — Lucene's BooleanQuery rewrite).  Also reachable as
+        ``search_ids(query, mode="fuzzy", distance=d)``.  The reference
+        sketched fuzzy search but never shipped it (commented out,
+        search_pdfs.go:176-186)."""
         from pyspark.sql import functions as F
 
         self._check_fresh()
@@ -696,12 +729,14 @@ class Searcher:
             raise ValueError(
                 f"distance must be 0..{MAX_FUZZY_DISTANCE}, got {distance}")
         query, raw_boosts = parse_boosts(query)
-        query, raw_fuzzy, raw_prefixes = parse_fuzzy(
+        query, raw_fuzzy, raw_prefixes, raw_regexps = parse_fuzzy(
             query, default_distance=d_default)
-        # rekey ^boosts written inside a ~d or * suffix (term~1^2 parses
-        # the boost first, leaving the ~1 / * on the raw key)
+        # rekey ^boosts written inside a ~d, * or /re/ suffix (term~1^2
+        # parses the boost first, leaving the ~1 / * / slashes on the raw
+        # key)
         for key in list(raw_boosts):
-            m = _FUZZY_RE.match(key) or _PREFIX_RE.match(key)
+            m = _FUZZY_RE.match(key) or _PREFIX_RE.match(key) \
+                or _REGEX_RE.match(key)
             if m:
                 b = raw_boosts.pop(key)
                 k2 = m.group(1) if _FUZZY_RE.match(key) else m.group(1).lower()
@@ -724,12 +759,14 @@ class Searcher:
                 d0, b0 = fuzzy[t]
                 fuzzy[t] = (d0, b0 * b)
         prefixes = {p: raw_boosts.get(p, 1.0) for p in set(raw_prefixes)}
-        if not fuzzy and not prefixes:
+        regexps = {r: raw_boosts.get(r, 1.0) for r in set(raw_regexps)}
+        if not fuzzy and not prefixes and not regexps:
             return (empty, {}) if return_expansion else empty
         n_docs, avgdl, _sum_dl = self._corpus[case_id]
         expanded = self.expand_fuzzy(case_id, fuzzy,
                                      max_expansions=max_expansions,
-                                     prefixes=prefixes)
+                                     prefixes=prefixes,
+                                     regexps=regexps)
         if not expanded:
             return (empty, {}) if return_expansion else empty
         idfs = {e: sc.idf(n_docs, df) * w for e, (w, df) in expanded.items()}

@@ -512,6 +512,53 @@ def test_prefix_query(searcher):
     assert list(up["score"]) == list(b1["score"])
 
 
+def test_regexp_query(searcher):
+    """Lucene RegexpQuery (/re/): the expansion equals a brute-force
+    whole-term re.fullmatch sweep of the case vocabulary at weight 1; a
+    regexp denoting the same term set as a prefix scores bit-identically
+    to that prefix query (same {term: idf}, qtf=1 plan); boosts ride the
+    clause; the pattern bypasses the analyzer (lowercased only); an
+    invalid pattern fails fast on the driver."""
+    import re as _re
+
+    case, n = "6", 500
+    from pyspark.sql import functions as F
+
+    vocab = {
+        r["term"]: int(r["df"])
+        for r in searcher._term_stats.filter(F.col("case_id") == case)
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    want = {t: (1.0, df) for t, df in vocab.items()
+            if _re.fullmatch("rea.*", t)}
+    got = searcher.expand_fuzzy(case, {}, regexps={"rea.*": 1.0})
+    assert got == want and len(got) >= 2
+
+    # /rea.*/ denotes the same term set as rea* -> bit-identical plan
+    via_re = searcher.search_ids("/rea.*/ software", k=n, case_id=case,
+                                 mode="fuzzy")
+    via_pfx = searcher.search_ids("rea* software", k=n, case_id=case,
+                                  mode="fuzzy")
+    assert list(via_re["doc_id"]) == list(via_pfx["doc_id"])
+    assert list(via_re["score"]) == list(via_pfx["score"])
+
+    # boost rides the regexp clause; uppercase input lowercases
+    b2 = searcher.search_ids("/rea.*/^2", k=10, case_id=case, mode="fuzzy")
+    b1 = searcher.search_ids("/rea.*/", k=10, case_id=case, mode="fuzzy")
+    assert list(b2["doc_id"]) == list(b1["doc_id"])
+    for s2, s1 in zip(b2["score"], b1["score"]):
+        assert abs(s2 - 2.0 * s1) <= 1e-12 * max(1.0, abs(s2))
+    up = searcher.search_ids("/REA.*/", k=10, case_id=case, mode="fuzzy")
+    assert list(up["doc_id"]) == list(b1["doc_id"])
+    assert list(up["score"]) == list(b1["score"])
+
+    # no vocabulary term matches -> empty; bad pattern -> driver-side error
+    assert searcher.search_ids("/zzz+q/", k=5, case_id=case,
+                               mode="fuzzy").empty
+    with pytest.raises(ValueError, match="bad regexp"):
+        searcher.search_ids("/rea(/", k=5, case_id=case, mode="fuzzy")
+
+
 def test_compact_index(spark, tmp_path):
     """Compaction collapses append commit batches to one per table with
     bit-identical query results, a consistent index, and unchanged resume

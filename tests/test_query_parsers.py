@@ -61,31 +61,42 @@ def test_parse_boolean_partition(tokens):
 
 
 def test_parse_fuzzy_suffixes():
-    clean, fuzz, prefixes = parse_fuzzy("relam~1 software spar* UP*")
+    clean, fuzz, prefixes, regexps = parse_fuzzy("relam~1 software spar* UP*")
     assert clean == "relam software"
     assert fuzz == {"relam": 1, "software": 0}
     assert prefixes == ["spar", "up"]  # lowercased, analyzer bypassed
+    assert regexps == []
     # default distance applies to unsuffixed tokens only
-    clean, fuzz, _ = parse_fuzzy("a~2 b", default_distance=1)
+    clean, fuzz, _, _ = parse_fuzzy("a~2 b", default_distance=1)
     assert fuzz == {"a": 2, "b": 1}
     # repeated token keeps the max distance
-    _, fuzz, _ = parse_fuzzy("x~2 x")
+    _, fuzz, _, _ = parse_fuzzy("x~2 x")
     assert fuzz == {"x": 2}
     with pytest.raises(ValueError, match="fuzzy distance"):
         parse_fuzzy("x~3")
     # a bare * is a plain token (no empty prefix clause)
-    clean, fuzz, prefixes = parse_fuzzy("* y")
+    clean, fuzz, prefixes, regexps = parse_fuzzy("* y")
     assert prefixes == [] and "*" in clean.split()
+
+
+def test_parse_fuzzy_regexp_clauses():
+    clean, fuzz, prefixes, regexps = parse_fuzzy("/s[cp]an?k?/ fast /JO.*/")
+    assert clean == "fast" and fuzz == {"fast": 0} and prefixes == []
+    assert regexps == ["s[cp]an?k?", "jo.*"]  # lowercased, slashes stripped
+    # a lone / pair with empty body is a plain token, not a regexp clause
+    clean, _, _, regexps = parse_fuzzy("// y")
+    assert regexps == [] and "//" in clean.split()
 
 
 def test_grammar_order_boost_outermost():
     """term~d^w and term*^w: parse_boosts strips the ^w first, leaving
     the ~d / * on the raw key (rekeyed downstream by search_ids_fuzzy)."""
-    q, b = parse_boosts("relam~1^2 spar*^0.5")
-    assert q == "relam~1 spar*"
-    assert b == {"relam~1": 2.0, "spar*": 0.5}
-    clean, fuzz, prefixes = parse_fuzzy(q)
+    q, b = parse_boosts("relam~1^2 spar*^0.5 /sp.rk/^3")
+    assert q == "relam~1 spar* /sp.rk/"
+    assert b == {"relam~1": 2.0, "spar*": 0.5, "/sp.rk/": 3.0}
+    clean, fuzz, prefixes, regexps = parse_fuzzy(q)
     assert clean == "relam" and fuzz == {"relam": 1} and prefixes == ["spar"]
+    assert regexps == ["sp.rk"]
 
 
 @given(st.lists(WORD, min_size=1, max_size=6),
@@ -94,6 +105,6 @@ def test_parse_fuzzy_roundtrip_plain(tokens, d):
     """Suffix-free queries round-trip with every token at the default
     distance and no prefixes."""
     q = " ".join(tokens)
-    clean, fuzz, prefixes = parse_fuzzy(q, default_distance=d)
-    assert clean == q and prefixes == []
+    clean, fuzz, prefixes, regexps = parse_fuzzy(q, default_distance=d)
+    assert clean == q and prefixes == [] and regexps == []
     assert fuzz == {t: d for t in tokens}
