@@ -675,6 +675,56 @@ def t1_engine_regexp_top10(spark, sf_dir):
         terms=(f"/{_REGEXP_PAT}/", _REGEXP_EXACT))
 
 
+# spell-suggest oracle (Lucene DirectSpellChecker): for each misspelled
+# input term, the top-3 vocabulary terms within 2 edits by (similarity
+# desc, df desc, term asc), similarity = 1 - dist/min(len); the term
+# itself (dist 0) is never suggested.  vocab/df come from the SAME
+# deduped corpus the engine indexes; DuckDB levenshtein == Spark
+# F.levenshtein (classic, no transpositions)
+_SUGGEST_TERMS = ("sparh", "quary", "joun")
+_SUGGEST_SQL = f"""
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        x -> x <> '')) AS term FROM dedup),
+tfd AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tfd GROUP BY term),
+q(qt) AS (VALUES {",".join(f"('{t}')" for t in _SUGGEST_TERMS)}),
+sug AS (
+  SELECT qt, v.term, levenshtein(v.term, qt) AS dist, v.df,
+         row_number() OVER (
+           PARTITION BY qt
+           ORDER BY (1 - levenshtein(v.term, qt)::DOUBLE
+                     / least(length(v.term), length(qt))) DESC,
+                    v.df DESC, v.term ASC) AS rn
+  FROM vocab v JOIN q
+    ON levenshtein(v.term, qt) BETWEEN 1 AND 2
+  WHERE levenshtein(v.term, qt) < least(length(v.term), length(qt)))
+SELECT qt AS query_term, term AS suggestion, dist::INT AS dist, df
+FROM sug WHERE rn <= 3
+"""
+
+
+@op("t1_engine_suggest_top3", _SUGGEST_SQL)
+def t1_engine_suggest_top3(spark, sf_dir):
+    """Spelling suggestions through the REAL engine
+    (Searcher.suggest — the Lucene DirectSpellChecker analog): each
+    misspelled term gets the top-3 index-vocabulary terms within 2
+    Levenshtein edits, ranked by (similarity desc, df desc, term asc) in
+    ONE distributed job over the vocabulary-sized term_stats table with
+    the length-band prefilter pushed to the scan and the per-term cap
+    applied IN Spark.  Value-checked against a DuckDB levenshtein sweep
+    of the same deduped corpus's vocabulary."""
+    from pysearch.query import Searcher
+
+    index_dir, _fp = _ensure_engine_index(spark, sf_dir)
+    s = Searcher(spark, index_dir)
+    return s.suggest(list(_SUGGEST_TERMS), case_id="0")
+
+
 # delete oracle: identical BM25 chain, but docs with doc_id % 7 == 0 are
 # REMOVED after the dedup step — mirroring the engine side, where those
 # docs are tombstoned out of a copy of the index (delete_docs) and

@@ -791,6 +791,68 @@ class Searcher:
                               kind="stable").head(k).reset_index(drop=True)
         return (pdf, expanded) if return_expansion else pdf
 
+    def suggest(self, terms, case_id: str = "0", max_edits: int = 2,
+                top: int = 3):
+        """Spelling suggestions — the Lucene DirectSpellChecker analog
+        over the index vocabulary.  For each (lowercased, un-analyzed —
+        suggestions should show what the user could type, not a stem)
+        input term, returns up to ``top`` corpus terms within
+        ``max_edits`` Levenshtein edits, best first by (similarity desc,
+        df desc, term asc) with similarity = 1 - dist/min(len) — the same
+        FuzzyTermsEnum weight search_ids_fuzzy folds into idf.  The term
+        itself (dist 0) is never suggested.  Returns a Spark DataFrame
+        (query_term, suggestion, dist, df) — at most |terms| * ``top``
+        rows.
+
+        Scale shape: ONE distributed job over term_stats (the
+        vocabulary-sized metadata table, never the postings) with the
+        length-band prefilter pushed to the scan and the per-term cap
+        applied IN Spark — the same bounded-driver-volume contract as
+        expand_fuzzy."""
+        from functools import reduce
+        from operator import or_
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if max_edits < 1 or max_edits > MAX_FUZZY_DISTANCE:
+            raise ValueError(
+                f"max_edits must be 1..{MAX_FUZZY_DISTANCE}, got {max_edits}")
+        qs = sorted({t.lower() for t in terms if t})
+        schema = ("query_term string, suggestion string, dist int, "
+                  "df bigint")
+        if not qs:
+            return self.spark.createDataFrame([], schema=schema)
+        d = int(max_edits)
+        conds = [
+            (F.length("term") >= len(q) - d) & (F.length("term") <= len(q) + d)
+            & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
+            for q in qs
+        ]
+        cand = (
+            self._term_stats.filter(F.col("case_id") == case_id)
+            .filter(reduce(or_, conds))
+            # df is additive across append-batch stats commits
+            .groupBy("term").agg(F.sum("df").alias("df"))
+        )
+        q_df = self.spark.createDataFrame([(q,) for q in qs], "q string")
+        lev = F.levenshtein(F.col("term"), F.col("q"))
+        sim = (F.lit(1.0) - lev / F.least(F.length("term"), F.length("q")))
+        win = Window.partitionBy("q").orderBy(
+            F.desc("w"), F.desc("df"), F.asc("term"))
+        return (
+            cand.join(F.broadcast(q_df), (lev <= d) & (lev >= 1))
+            .withColumn("w", sim)
+            .filter(F.col("w") > 0)  # dist == min length conveys nothing
+            .withColumn("dist", lev)
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= int(top))
+            .select(F.col("q").alias("query_term"),
+                    F.col("term").alias("suggestion"),
+                    F.col("dist").cast("int"),
+                    F.col("df").cast("bigint"))
+        )
+
     def search_ids_many(self, queries: Dict[str, str],
                         k: int = DEFAULT_MAX_RESULTS, case_id: str = "0",
                         mode: str = "any", prune: bool = True,

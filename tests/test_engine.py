@@ -559,6 +559,49 @@ def test_regexp_query(searcher):
         searcher.search_ids("/rea(/", k=5, case_id=case, mode="fuzzy")
 
 
+def test_suggest(searcher):
+    """Searcher.suggest (Lucene DirectSpellChecker analog): suggestions
+    equal a brute-force Levenshtein sweep of the case vocabulary ranked
+    by (similarity desc, df desc, term asc), capped per term, never the
+    term itself; input is lowercased; out-of-range max_edits rejected."""
+    case = "6"
+    from pyspark.sql import functions as F
+
+    vocab = {
+        r["term"]: int(r["df"])
+        for r in searcher._term_stats.filter(F.col("case_id") == case)
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+
+    def brute(q, top=3):
+        rows = []
+        for t, df in vocab.items():
+            d = _levenshtein(q, t)
+            if 1 <= d <= 2 and d < min(len(q), len(t)):
+                rows.append((1.0 - d / min(len(q), len(t)), df, t, d))
+        rows.sort(key=lambda r: (-r[0], -r[1], r[2]))
+        return [(q, t, d, df) for _w, df, t, d in rows[:top]]
+
+    got = searcher.suggest(["reolm", "softwore"], case_id=case)
+    got_rows = [(r["query_term"], r["suggestion"], r["dist"], r["df"])
+                for r in got.orderBy("query_term", "suggestion").collect()]
+    want = sorted(brute("reolm") + brute("softwore"))
+    assert got_rows == want
+    assert ("reolm", "realm", 1, vocab["realm"]) in got_rows
+    # no dist-0 self-suggestion even for an in-vocabulary term
+    in_vocab = searcher.suggest(["realm"], case_id=case).collect()
+    assert all(r["suggestion"] != "realm" for r in in_vocab)
+    # uppercase input lowercases (suggestions show typeable terms)
+    up = [(r["query_term"], r["suggestion"]) for r in
+          searcher.suggest(["REOLM"], case_id=case).collect()]
+    assert all(q == "reolm" for q, _ in up) and len(up) == len(brute("reolm"))
+    # cap + empties
+    assert searcher.suggest(["reolm"], case_id=case, top=1).count() == 1
+    assert searcher.suggest([], case_id=case).count() == 0
+    with pytest.raises(ValueError, match="max_edits"):
+        searcher.suggest(["x"], case_id=case, max_edits=3)
+
+
 def test_compact_index(spark, tmp_path):
     """Compaction collapses append commit batches to one per table with
     bit-identical query results, a consistent index, and unchanged resume
