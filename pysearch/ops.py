@@ -725,6 +725,82 @@ def t1_engine_suggest_top3(spark, sf_dir):
     return s.suggest(list(_SUGGEST_TERMS), case_id="0")
 
 
+# more-like-this oracle (Lucene MoreLikeThis): the source text is doc 7's
+# stored text; its top-5 terms by tf_in_text * idf (ties by term asc, idf
+# over the deduped corpus the engine indexes) become a plain OR-of-terms
+# BM25 query, qtf = 1 per term.  The source doc itself may appear in the
+# results (Lucene excludes it only in the like-by-docid form).
+_MLT_DOC_ID, _MLT_TERMS_N = 7, 5
+_MLT_SQL = f"""
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        x -> x <> '')) AS term FROM dedup),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+vocab AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+mtok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS term FROM documents WHERE doc_id = {_MLT_DOC_ID}),
+mtf AS (SELECT term, count(*)::DOUBLE AS qtf FROM mtok GROUP BY term),
+qsel AS (
+  SELECT term, df FROM (
+    SELECT m.term, v.df,
+           row_number() OVER (
+             ORDER BY m.qtf * ln(1 + (st.n - v.df + 0.5) / (v.df + 0.5))
+                      DESC, m.term ASC) AS rn
+    FROM mtf m JOIN vocab v ON m.term = v.term CROSS JOIN st)
+  WHERE rn <= {_MLT_TERMS_N}),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - qsel.df + 0.5) / (qsel.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN qsel ON tf.term = qsel.term
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 4) AS score_r FROM sc ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+@op("t1_engine_mlt_top10", _MLT_SQL)
+def t1_engine_mlt_top10(spark, sf_dir):
+    """More-Like-This through the REAL engine
+    (Searcher.more_like_this — the Lucene MoreLikeThis analog): doc 7's
+    stored text is analyzed, its top-5 most characteristic terms by
+    tf_in_text * idf (df from the bucket-pruned term_stats scan) become
+    an OR-of-terms BM25 query with qtf=1 per term, scored through the
+    regular pruned block funnel.  Value-checked against a DuckDB BM25
+    whose term selection is derived with the same tf*idf ranking over the
+    same deduped corpus."""
+    from pyspark.sql import functions as F
+
+    from pysearch.query import Searcher
+
+    index_dir, _fp = _ensure_engine_index(spark, sf_dir)
+    text = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") == _MLT_DOC_ID)
+            .select("text").collect()[0]["text"])
+    s = Searcher(spark, index_dir)
+    hits = s.more_like_this(text, k=10, case_id="0",
+                            max_query_terms=_MLT_TERMS_N)
+    hits_df = spark.createDataFrame(
+        hits.assign(score_r=hits["score"].round(4))[["doc_id", "score_r"]],
+        schema="doc_id long, score_r double",
+    )
+    return (
+        hits_df.join(F.broadcast(s.docs.select("doc_id", "url")), "doc_id")
+        .select(
+            F.substring("url", len("doc://docs/") + 1, 9).cast("long")
+            .alias("doc_id"),
+            "score_r",
+        )
+    )
+
+
 # delete oracle: identical BM25 chain, but docs with doc_id % 7 == 0 are
 # REMOVED after the dedup step — mirroring the engine side, where those
 # docs are tombstoned out of a copy of the index (delete_docs) and

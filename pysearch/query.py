@@ -853,6 +853,77 @@ class Searcher:
                     F.col("df").cast("bigint"))
         )
 
+    def more_like_this(self, text: str, k: int = DEFAULT_MAX_RESULTS,
+                       case_id: str = "0", max_query_terms: int = 5,
+                       prune: bool = True, return_terms: bool = False):
+        """Lucene MoreLikeThis analog: find documents similar to ``text``.
+
+        The text runs through the index's analyzer; its
+        ``max_query_terms`` most characteristic terms — ranked by
+        tf_in_text * idf, ties by term asc, terms absent from the corpus
+        dropped (they can't match) — become an OR-of-terms BM25 query
+        with qtf=1 per term (Lucene's MLT BooleanQuery, boost=false).
+        Returns the same (doc_id, score) frame as :meth:`search_ids`;
+        with ``return_terms=True`` also the selected terms (best first).
+        To run MLT for an indexed document, pass its stored text — the
+        source doc itself may appear in the results (Lucene excludes it
+        only in the like-by-docid form).
+
+        Scale shape: analysis + tf of ONE request-sized text is driver
+        work by design (bounded by the doc, not the corpus); df lookup is
+        the bucket-pruned term_stats scan (_term_dfs) over the text's
+        distinct terms; scoring is the regular pruned block funnel.
+        (Lucene's minTermFreq/minDocFreq pre-filters default to neutral
+        here — the top-N cut is the selection.)"""
+        import pandas as pd
+
+        self._check_fresh()
+        if k is None or k < 0:
+            k = DEFAULT_MAX_RESULTS
+        if max_query_terms < 1:
+            raise ValueError(
+                f"max_query_terms must be >= 1, got {max_query_terms}")
+        empty = pd.DataFrame(columns=["doc_id", "score"])
+        if case_id not in self._corpus:
+            return (empty, []) if return_terms else empty
+        terms, counts = self._analyze_query(text)
+        if not terms:
+            return (empty, []) if return_terms else empty
+        n_docs, avgdl, _sum_dl = self._corpus[case_id]
+        dfs_all = self._term_dfs(case_id, terms)
+        ranked = sorted(
+            ((counts[t] * sc.idf(n_docs, df), t) for t, df in dfs_all.items()),
+            key=lambda x: (-x[0], x[1]))
+        sel = [t for _s, t in ranked[:max_query_terms]]
+        if not sel:
+            return (empty, []) if return_terms else empty
+        # score the selected terms directly through the block funnel —
+        # they are ALREADY analyzed (re-running the analyzer on a stem is
+        # not guaranteed to be a no-op), qtf=1 per term (Lucene MLT's
+        # BooleanQuery of plain TermQuerys)
+        from pyspark.sql import functions as F
+
+        idfs = {t: sc.idf(n_docs, dfs_all[t]) for t in sel}
+        qtf = {t: 1 for t in sel}
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in sel})
+        blocks = self.postings.filter(
+            (F.col("case_id") == case_id)
+            & F.col("term_bucket").isin(self._bucket_lit(buckets))
+            & F.col("term").isin(sel)
+        )
+        excl = self._tombstones.get(case_id)
+        p1_pdf = None
+        if prune and sum(dfs_all[t] for t in sel) > self.prune_min_postings:
+            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl, k,
+                                                0, exclude=excl)
+        pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k, 0,
+                                 exclude=excl)
+        if p1_pdf is not None:
+            pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
+        pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="stable").head(k).reset_index(drop=True)
+        return (pdf, sel) if return_terms else pdf
+
     def search_ids_many(self, queries: Dict[str, str],
                         k: int = DEFAULT_MAX_RESULTS, case_id: str = "0",
                         mode: str = "any", prune: bool = True,

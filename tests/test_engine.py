@@ -602,6 +602,62 @@ def test_suggest(searcher):
         searcher.suggest(["x"], case_id=case, max_edits=3)
 
 
+def test_more_like_this(searcher):
+    """Searcher.more_like_this (Lucene MLT analog): term selection equals
+    the brute-force tf*idf ranking over the analyzed text; the hits score
+    bit-identically to the plain OR query over the selected terms; the
+    funnel is lossless under pruning; degenerate inputs are empty."""
+    from collections import Counter
+
+    from pysearch import score as sc
+
+    case, n = "6", 500
+    text = ("In the realm of software, PDF search is a library problem; "
+            "software libraries index software text.")
+    hits, sel = searcher.more_like_this(text, k=n, case_id=case,
+                                        return_terms=True)
+
+    # selection == brute force over the analyzed text
+    terms = searcher._analyze(text)
+    counts = Counter(terms)
+    n_docs, _avgdl, _ = searcher._corpus[case]
+    dfs = searcher._term_dfs(case, terms)
+    ranked = sorted(((counts[t] * sc.idf(n_docs, df), t)
+                     for t, df in dfs.items()), key=lambda x: (-x[0], x[1]))
+    assert sel == [t for _s, t in ranked[:5]] and len(sel) == 5
+
+    # hits == the OR query over the selected terms, bit-identically
+    # (valid independent path only if re-analysis is a no-op on these
+    # stems — asserted, not assumed)
+    assert searcher._analyze(" ".join(sel)) == sel
+    plain = searcher.search_ids(" ".join(sel), k=n, case_id=case)
+    assert list(hits["doc_id"]) == list(plain["doc_id"])
+    assert list(hits["score"]) == list(plain["score"])
+
+    # pruning losslessness on the MLT funnel
+    old = searcher.prune_min_postings
+    try:
+        searcher.prune_min_postings = 0
+        pruned = searcher.more_like_this(text, k=n, case_id=case)
+    finally:
+        searcher.prune_min_postings = old
+    assert list(pruned["doc_id"]) == list(hits["doc_id"])
+    assert list(pruned["score"]) == list(hits["score"])
+
+    # fewer query terms -> the top-m prefix of the same ranking
+    _h1, sel1 = searcher.more_like_this(text, k=5, case_id=case,
+                                        max_query_terms=2,
+                                        return_terms=True)
+    assert sel1 == sel[:2]
+
+    # degenerate inputs
+    assert searcher.more_like_this("", k=5, case_id=case).empty
+    assert searcher.more_like_this("zzzq qqzz", k=5, case_id=case).empty
+    assert searcher.more_like_this(text, k=5, case_id="nosuch").empty
+    with pytest.raises(ValueError, match="max_query_terms"):
+        searcher.more_like_this(text, k=5, case_id=case, max_query_terms=0)
+
+
 def test_compact_index(spark, tmp_path):
     """Compaction collapses append commit batches to one per table with
     bit-identical query results, a consistent index, and unchanged resume
