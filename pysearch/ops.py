@@ -2218,6 +2218,59 @@ def samp_token_budget(spark, sf_dir):
     )
 
 
+@op("samp_balance_lang", """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt)::BIGINT AS m FROM c),
+r AS (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents)
+SELECT lang, doc_id FROM r CROSS JOIN m WHERE rn <= m.m
+ORDER BY lang, doc_id
+""")
+def samp_balance_lang(spark, sf_dir):
+    """Language-BALANCED sampling — downsample every language to the
+    smallest language's doc count (the domain-mixing step of a pretrain
+    pipeline: equalize a skewed source distribution).  Per language,
+    keep the m docs with the smallest (md5(doc_id), doc_id) key — a
+    deterministic uniform-without-replacement sample that is stable
+    across runs, partitionings, and engines (md5 hex is lexicographically
+    portable; f8's oracle pins the Spark==DuckDB parity).
+
+    Scale shape: the per-lang doc counts are a map-side-combining
+    aggregate of (lang) keys; the m smallest keys per lang are taken with
+    a two-stage rank — stage 1 ranks within (lang, salt) partitions (S
+    parallel sorts of count/S rows, nothing ranks a whole language in one
+    task), stage 2 ranks only the <= S*m stage-1 survivors per lang.
+    Exact: a doc in a language's global smallest-m is in its salted
+    subgroup's smallest-m.  When m itself is a corpus fraction (balancing
+    to a near-median language), swap stage 2 for a hash-threshold cut at
+    m/count quantile — approximate but fully map-side; the exact
+    two-stage form is right while S*m rows fit one task's sort."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    m_df = (docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+            .agg(F.min("cnt").alias("m")))
+    nsalt = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = docs.select(
+        "lang", "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(nsalt)).alias("salt"),
+    ).crossJoin(F.broadcast(m_df))
+    w1 = Window.partitionBy("lang", "salt").orderBy("h", "doc_id")
+    w2 = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        keyed.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= F.col("m"))
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= F.col("m"))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 # pretrain-filter gates (see pipeline_pretrain_filter): all three bite on
 # the synthetic corpus without zeroing it (sf0.01: 394/408/401 of 500 pass
 # individually, 246 conjunctively)
