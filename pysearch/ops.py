@@ -1441,7 +1441,89 @@ def dd_dedup_survivors(spark, sf_dir):
                        .alias("n_survivors")).orderBy("doc_id")
 
 
-def gram_pair_counts(grams, n_salts: int = 8, hot_df: int = 64):
+_CHUNK_TOKS = 20  # tokens per dedup chunk (RefinedWeb-style "paragraph")
+
+@op("dd_chunk_dedup", f"""
+WITH tokl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+tl AS (SELECT doc_id, l FROM tokl WHERE len(l) > 0),
+ch AS (
+  SELECT doc_id, x AS cidx,
+         array_to_string(l[x*{_CHUNK_TOKS}+1 : x*{_CHUNK_TOKS}+{_CHUNK_TOKS}],
+                         ' ') AS chunk
+  FROM tl, unnest(range(0, cast(ceil(len(l)/{_CHUNK_TOKS}.0) AS INT)))
+       AS t(x)),
+keep AS (
+  SELECT doc_id, cidx, chunk FROM (
+    SELECT doc_id, cidx, chunk,
+           row_number() OVER (PARTITION BY chunk
+                              ORDER BY doc_id, cidx) AS rn
+    FROM ch) WHERE rn = 1),
+tot AS (SELECT doc_id, count(*)::INT AS n_chunks FROM ch GROUP BY doc_id)
+SELECT k.doc_id, tot.n_chunks, count(*)::INT AS n_kept,
+       string_agg(k.chunk, ' ' ORDER BY k.cidx) AS text_dedup
+FROM keep k JOIN tot ON k.doc_id = tot.doc_id
+GROUP BY k.doc_id, tot.n_chunks
+ORDER BY k.doc_id
+""")
+def dd_chunk_dedup(spark, sf_dir):
+    """Chunk-level exact dedup with document REASSEMBLY — the
+    paragraph-dedup step of a CCNet/RefinedWeb-style pipeline, over
+    fixed _CHUNK_TOKS-token windows (this corpus has no newlines; swap
+    the chunker for split-on-paragraph and nothing else changes).  The FIRST
+    global occurrence of each distinct chunk — by (doc_id, chunk_idx) —
+    survives; every later repetition is cut, and each doc's surviving
+    chunks re-join in order.  Docs whose every chunk was seen earlier
+    (exact dups of earlier docs) vanish entirely.
+
+    Scale shape: chunks are built array-natively per doc (one projection,
+    no posexplode-groupBy round trip); first-occurrence selection is a
+    groupBy(chunk).min(struct(doc_id, cidx)) — a map-side-combining
+    aggregate whose survivors ARE the kept rows, so no join back and no
+    per-chunk rank window (a boilerplate chunk shared by a corpus
+    fraction folds to one row per partition before the shuffle);
+    reassembly sorts only each doc's own <= n_chunks survivors inside a
+    per-doc aggregate."""
+    from pyspark.sql import functions as F
+
+    C = _CHUNK_TOKS
+    tl = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.expr("filter(split(text, ' '), x -> x != '')").alias("l"))
+        .filter(F.size("l") > 0)
+    )
+    ch = tl.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(l)/{C}.0) as int) - 1),"
+                f" i -> concat_ws(' ', slice(l, i*{C}+1, {C})))"
+            )
+        ).alias("cidx", "chunk"),
+    )
+    tot = ch.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_chunks"))
+    keep = (
+        ch.groupBy("chunk")
+        .agg(F.min(F.struct("doc_id", "cidx")).alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"),
+                F.col("k.cidx").alias("cidx"), "chunk")
+    )
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cidx", "chunk"))),
+                    lambda s: s["chunk"]),
+                " ").alias("text_dedup"),
+        )
+        .join(tot, "doc_id")
+        .select("doc_id", "n_chunks", "n_kept", "text_dedup")
+        .orderBy("doc_id")
+    )
     """|grams(a) ∩ grams(b)| for all doc pairs sharing >= 1 gram, as a
     self-join on the gram key with Zipf-head skew handled explicitly.
 
