@@ -85,6 +85,14 @@ OPS_QUERIES = [
     "t1_engine_fuzzy_top10",
     "t1_engine_prefix_top10",
     "tx_repetition",
+    # round-5 late additions: regexp MultiTermQuery, spell suggest, MLT,
+    # result faceting, language balancing, chunk-level dedup+reassembly
+    "t1_engine_regexp_top10",
+    "t1_engine_suggest_top3",
+    "t1_engine_mlt_top10",
+    "t1_engine_facet_lang",
+    "samp_balance_lang",
+    "dd_chunk_dedup",
 ]
 
 

@@ -71,6 +71,36 @@ def cmd_search(args) -> None:
     spark.stop()
 
 
+def cmd_suggest(args) -> None:
+    from pysearch.query import Searcher
+    from pysearch.session import build_spark
+
+    spark = build_spark(master=args.master, app_name="pysearch-suggest")
+    s = Searcher(spark, args.index)
+    s.suggest(args.terms, case_id=args.case_id, max_edits=args.max_edits,
+              top=args.top).orderBy("query_term", "dist", "suggestion") \
+        .show(len(args.terms) * args.top, truncate=False)
+    spark.stop()
+
+
+def cmd_mlt(args) -> None:
+    from pysearch.query import Searcher
+    from pysearch.session import build_spark
+
+    if not args.text and not args.text_file:
+        raise SystemExit("mlt: one of --text / --text-file is required")
+    spark = build_spark(master=args.master, app_name="pysearch-mlt")
+    s = Searcher(spark, args.index)
+    text = (open(args.text_file).read() if args.text_file
+            else args.text)
+    hits, sel = s.more_like_this(text, k=args.k, case_id=args.case_id,
+                                 max_query_terms=args.max_query_terms,
+                                 return_terms=True)
+    print("query terms:", " ".join(sel))
+    print(hits.to_string(index=False))
+    spark.stop()
+
+
 def cmd_package(args) -> None:
     print(make_pyfiles_zip(args.output))
 
@@ -192,9 +222,9 @@ def main(argv=None) -> None:
                              "fuzzy"],
                     help="match mode (boolean: Lucene '+must -not should' "
                          "syntax in the query string; fuzzy: 'term~d' "
-                         "edit-distance and 'term*' prefix-wildcard "
-                         "suffixes; phrase/near need a "
-                         "--store-positions index)")
+                         "edit-distance, 'term*' prefix-wildcard and "
+                         "'/regexp/' whole-term-regexp clauses; "
+                         "phrase/near need a --store-positions index)")
     ps.add_argument("--fuzzy-distance", type=int, default=None,
                     help="mode=fuzzy default edit distance for query terms "
                          "without a ~d suffix (0-2)")
@@ -212,6 +242,32 @@ def main(argv=None) -> None:
                          "since are invisible)")
     ps.add_argument("--master", default=None)
     ps.set_defaults(fn=cmd_search)
+
+    pg = sub.add_parser("suggest",
+                        help="spelling suggestions from the index "
+                             "vocabulary (Lucene DirectSpellChecker "
+                             "analog)")
+    pg.add_argument("--index", required=True)
+    pg.add_argument("terms", nargs="+",
+                    help="terms to correct (lowercased, un-analyzed)")
+    pg.add_argument("--case-id", default="0")
+    pg.add_argument("--max-edits", type=int, default=2)
+    pg.add_argument("--top", type=int, default=3)
+    pg.add_argument("--master", default=None)
+    pg.set_defaults(fn=cmd_suggest)
+
+    pm = sub.add_parser("mlt",
+                        help="more-like-this: top-k docs similar to a "
+                             "text (Lucene MoreLikeThis analog)")
+    pm.add_argument("--index", required=True)
+    pm.add_argument("--text", default=None, help="the source text inline")
+    pm.add_argument("--text-file", default=None,
+                    help="read the source text from a file instead")
+    pm.add_argument("-k", type=int, default=10)
+    pm.add_argument("--case-id", default="0")
+    pm.add_argument("--max-query-terms", type=int, default=5)
+    pm.add_argument("--master", default=None)
+    pm.set_defaults(fn=cmd_mlt)
 
     def _run_bench(_args):
         import runpy
