@@ -72,6 +72,16 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def test_bench_query_names_exist():
+    """Every bench-tracked ops query must exist in the registry (a typo'd
+    OPS_QUERIES entry would otherwise only fail mid-bench on the driver)."""
+    import bench
+    from pysearch.ops import OPS
+
+    missing = [n for n in bench.OPS_QUERIES if n not in OPS]
+    assert not missing, missing
+
+
 def test_normalize_is_type_strict():
     # r1 regression: DuckDB HUGEINT -> float64 27939.0 must NOT equal Spark
     # int64 27939 (reverting the ::BIGINT oracle casts must fail locally)
