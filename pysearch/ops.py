@@ -1503,7 +1503,11 @@ def dd_chunk_dedup(spark, sf_dir):
             )
         ).alias("cidx", "chunk"),
     )
-    tot = ch.groupBy("doc_id").agg(F.count("*").cast("int").alias("n_chunks"))
+    # one row per doc already — n_chunks is a map-only projection, not an
+    # aggregate over the exploded chunks (saves a chunk-count-row shuffle)
+    tot = tl.select(
+        "doc_id",
+        F.ceil(F.size("l") / F.lit(C)).cast("int").alias("n_chunks"))
     keep = (
         ch.groupBy("chunk")
         .agg(F.min(F.struct("doc_id", "cidx")).alias("k"))
