@@ -1528,6 +1528,9 @@ def dd_chunk_dedup(spark, sf_dir):
         .select("doc_id", "n_chunks", "n_kept", "text_dedup")
         .orderBy("doc_id")
     )
+
+
+def gram_pair_counts(grams, n_salts: int = 8, hot_df: int = 64):
     """|grams(a) ∩ grams(b)| for all doc pairs sharing >= 1 gram, as a
     self-join on the gram key with Zipf-head skew handled explicitly.
 
