@@ -93,6 +93,10 @@ OPS_QUERIES = [
     "t1_engine_facet_lang",
     "samp_balance_lang",
     "dd_chunk_dedup",
+    # round-5 filter context (Lucene filtered query): metadata-gated search
+    # and the dedup-pipeline × engine composition
+    "t1_engine_filter_lang_top10",
+    "t1_engine_filter_survivors_top10",
 ]
 
 

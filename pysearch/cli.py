@@ -66,7 +66,8 @@ def cmd_search(args) -> None:
     else:
         result = s.search(args.query, k=args.k, case_id=args.case_id,
                           prune=not args.no_prune, mode=args.mode,
-                          window=args.window, distance=args.fuzzy_distance)
+                          window=args.window, distance=args.fuzzy_distance,
+                          filter=args.filter)
         result.show(args.k, truncate=80)
     spark.stop()
 
@@ -236,6 +237,12 @@ def main(argv=None) -> None:
                     help="parquet path of an unflushed arrival batch: "
                          "NRT hybrid search over index ∪ batch "
                          "(combined stats; prints url/score)")
+    ps.add_argument("--filter", default=None,
+                    help="filter context: SQL predicate over the catalog "
+                         "columns (doc_id, url, content_hash), e.g. "
+                         "\"url like 'doc://docs/00%%'\"; only matching "
+                         "docs can appear in results, BM25 stats stay "
+                         "corpus-wide (Lucene filtered-query semantics)")
     ps.add_argument("--at-version", type=int, default=None,
                     help="time-travel: search the archived snapshot with "
                          "this version number (appends/deletes/compactions "

@@ -272,19 +272,27 @@ def _ensure_engine_index(spark, sf_dir):
 
 
 def _search_to_source_ids(spark, index_dir, mode: str, terms=None,
-                          at_version=None, window=None):
+                          at_version=None, window=None, filter_source=None):
     """Run the query through the engine at ``index_dir`` and map engine
     doc_ids back to the source table's doc_id via the catalog url (robust
     even when content dedupe dropped duplicate texts).  ``at_version``
     pins the search to an archived snapshot (time-travel read);
-    ``window`` is the mode="near" proximity window."""
+    ``window`` is the mode="near" proximity window; ``filter_source`` is a
+    DataFrame of SOURCE doc_ids to admit (filter context) — mapped to
+    engine doc_ids via the catalog url (a distributed semi-join; the set
+    never reaches the driver)."""
     from pyspark.sql import functions as F
 
     from pysearch.query import Searcher
 
     s = Searcher(spark, index_dir, at_version=at_version)
+    fd = None
+    if filter_source is not None:
+        urls = filter_source.select(
+            F.format_string("doc://docs/%09d", F.col("doc_id")).alias("url"))
+        fd = s.docs.join(urls, "url", "left_semi").select("doc_id")
     hits = s.search_ids(" ".join(terms or _BM25_TERMS), k=10, case_id="0",
-                        mode=mode, window=window)
+                        mode=mode, window=window, filter_docs=fd)
     hits_df = spark.createDataFrame(
         hits.assign(score_r=hits["score"].round(4))[["doc_id", "score_r"]],
         schema="doc_id long, score_r double",
@@ -541,6 +549,39 @@ def t1_engine_facet_lang(spark, sf_dir):
              F.max("score_r").alias("top_score_r"))
         .orderBy("lang")
     )
+
+
+# filter-context oracle (Lucene filtered query): BM25 stats (idf, avgdl,
+# n) stay CORPUS-wide — computed over all dedup docs exactly as in
+# _BM25_SQL — and the filter only restricts which docs may appear in the
+# top-k, so a filtered hit's score is bit-identical to its unfiltered score
+_BM25_FILTER_LANG_SQL = _BM25_SQL.replace(
+    "SELECT doc_id, round(s, 4) AS score_r FROM sc "
+    "ORDER BY s DESC, doc_id LIMIT 10",
+    "SELECT sc.doc_id, round(s, 4) AS score_r FROM sc\n"
+    "JOIN documents d ON sc.doc_id = d.doc_id WHERE d.lang = 'en'\n"
+    "ORDER BY s DESC, sc.doc_id LIMIT 10")
+
+
+@op("t1_engine_filter_lang_top10", _BM25_FILTER_LANG_SQL)
+def t1_engine_filter_lang_top10(spark, sf_dir):
+    """FILTERED search through the real engine (the Lucene filter-context
+    model): BM25 top-10 restricted to lang='en' source docs, passed as a
+    ``filter_docs`` DataFrame (any distributed doc set gates the search —
+    no driver collect, no broadcast: the allowed set shuffles once on
+    segment_id and cogroups with the posting blocks, and WAND/block-max
+    pruning stays lossless because phase-1 θ is established from FILTERED
+    scores).  idf/avgdl stay corpus-wide per Lucene filter semantics, so
+    filtered scores are bit-identical to unfiltered ones — value-checked
+    against a DuckDB BM25 with the same corpus-wide stats and a lang gate
+    on the final candidates."""
+    from pyspark.sql import functions as F
+
+    index_dir, _fp = _ensure_engine_index(spark, sf_dir)
+    en = _t(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en").select("doc_id")
+    return _search_to_source_ids(spark, index_dir, mode="any",
+                                 filter_source=en)
 
 
 # fuzzy oracle (Lucene FuzzyQuery: 'sparh~1 fast~1'): each query term
@@ -1439,6 +1480,68 @@ def dd_dedup_survivors(spark, sf_dir):
     n = kept.count()
     return kept.select("doc_id", F.lit(n).cast("long")
                        .alias("n_survivors")).orderBy("doc_id")
+
+
+# survivors-filter oracle: the dedup pipeline's keep-one-per-cluster set
+# (same recursive closure as the dd_dedup_survivors oracle) gates the same
+# corpus-wide-stats BM25 — the composed "search only deduped training
+# data" query.  CTE names: the minhash side tokenizes ALL documents
+# (_MH_PAIRS_CTES' tok), the BM25 side tokenizes the content-deduped docs
+# (btok), matching the engine's build-time content dedupe.
+_BM25_FILTER_SURV_SQL = f"""
+{_MH_PAIRS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
+edges AS (SELECT a, b FROM pairs WHERE n_match >= 4),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+surv AS (
+  SELECT d.doc_id FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+  WHERE lbl.doc_id IS NULL OR lbl.cluster_id = d.doc_id),
+dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+btok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         x -> x <> '')) AS term FROM dedup),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM btok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM btok GROUP BY doc_id),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES {",".join(f"('{t}')" for t in _BM25_TERMS)}),
+dfq AS (SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN q ON tf.term = q.term GROUP BY tf.term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+  FROM tf JOIN dfq ON tf.term = dfq.term
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id)
+SELECT sc.doc_id, round(s, 4) AS score_r
+FROM sc JOIN surv ON sc.doc_id = surv.doc_id
+ORDER BY s DESC, sc.doc_id LIMIT 10
+"""
+
+
+@op("t1_engine_filter_survivors_top10", _BM25_FILTER_SURV_SQL)
+def t1_engine_filter_survivors_top10(spark, sf_dir):
+    """The dedup pipeline COMPOSED with the search engine: BM25 top-10
+    restricted to the keep-one-per-cluster survivor set (MinHash-LSH pairs
+    → connected components → canonical member per cluster), passed to the
+    engine as a ``filter_docs`` DataFrame.  This is the "query only the
+    deduped corpus without rebuilding the index" capability a training-data
+    pipeline needs between dedup iterations; at scale the survivor set is a
+    corpus fraction, which is exactly why filter_docs is a distributed
+    cogroup rather than a broadcast or driver set.  Value-checked against
+    a DuckDB BM25 gated by the same recursive-closure survivor set."""
+    index_dir, _fp = _ensure_engine_index(spark, sf_dir)
+    surv = dd_dedup_survivors(spark, sf_dir).select("doc_id")
+    return _search_to_source_ids(spark, index_dir, mode="any",
+                                 filter_source=surv)
 
 
 _CHUNK_TOKS = 20  # tokens per dedup chunk (RefinedWeb-style "paragraph")

@@ -358,6 +358,74 @@ class Searcher:
     def _bucket_lit(self, buckets):
         return [str(b) for b in buckets] if self._bucket_is_str else list(buckets)
 
+    def _allowed_df(self, case_id: str, filter: Optional[str],
+                    filter_docs):
+        """Resolve a filter context to a (segment_id, doc_id) DataFrame of
+        allowed doc_ids, or None when no filter was given.
+
+        ``filter``: a Spark SQL predicate over the catalog columns
+        (doc_id, url, content_hash — e.g. ``"url like 'doc://docs/00%'"``,
+        the site:-filter shape); evaluated against the docs table with
+        column pruning, so only the referenced columns are read.
+        ``filter_docs``: ANY DataFrame with a ``doc_id`` column — lets a
+        caller gate search on an arbitrary distributed doc set (a dedup
+        survivor set, a quality-score cut, an external allowlist) with no
+        driver materialization.  Both given -> intersection.
+
+        Scale shape: the allowed set never reaches the driver and is never
+        broadcast — it is shuffled once on segment_id and cogrouped with
+        the posting blocks, so each segment's scorer receives exactly its
+        own slice (doc-range partitioning makes segment_id a pure function
+        of doc_id)."""
+        if filter is None and filter_docs is None:
+            return None
+        from pyspark.sql import functions as F
+
+        if filter is not None:
+            allowed = (
+                self.docs.filter(F.col("case_id") == case_id)
+                .filter(F.expr(filter)).select("doc_id")
+            )
+            if filter_docs is not None:
+                allowed = allowed.join(
+                    filter_docs.select("doc_id").distinct(),
+                    "doc_id", "left_semi")
+        else:
+            allowed = filter_docs.select("doc_id").distinct()
+        return allowed.withColumn(
+            "segment_id",
+            ((F.col("doc_id") - F.lit(1)) / F.lit(self.segment_size))
+            .cast("long"),
+        )
+
+    @staticmethod
+    def _cogroup_score(blocks_sel, allowed_df, score_fn, out_schema):
+        """Run ``score_fn(key, blocks_pdf, allow_or_None)`` per segment:
+        plain groupBy when no filter context, cogroup with the allowed doc
+        set otherwise.  A segment with an empty allowed slice short-circuits
+        to no hits WITHOUT decoding its blocks (the filter admits nothing
+        there); a segment absent from the blocks side returns nothing."""
+        if allowed_df is None:
+            return (
+                blocks_sel.groupBy("segment_id")
+                .applyInPandas(lambda key, pdf: score_fn(key, pdf, None),
+                               schema=out_schema)
+            )
+
+        def fn(key, pdf: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty or apdf.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "score": pd.Series([], dtype="float64")})
+            allow = np.unique(apdf["doc_id"].to_numpy(np.int64))
+            return score_fn(key, pdf, allow)
+
+        return (
+            blocks_sel.groupBy("segment_id")
+            .cogroup(allowed_df.groupBy("segment_id"))
+            .applyInPandas(fn, schema=out_schema)
+        )
+
     # ------------------------------------------------------------------
     def _analyze_query(self, query: str):
         terms = self._analyze(query)
@@ -420,7 +488,9 @@ class Searcher:
                    mode: str = "any",
                    window: Optional[int] = None,
                    boosts: Optional[Dict[str, float]] = None,
-                   distance: Optional[int] = None) -> pd.DataFrame:
+                   distance: Optional[int] = None,
+                   filter: Optional[str] = None,
+                   filter_docs=None) -> pd.DataFrame:
         """Top-k (doc_id, score), deterministic. k<0 -> reference default
         (index_search.go:96-97).
 
@@ -456,7 +526,18 @@ class Searcher:
         term's idf weight, the ONE weight that feeds scoring and every
         pruning bound, so boosted queries stay bit-identical across
         prune on/off and the batched path (enforced by test).  Boosts
-        compose multiplicatively and must be > 0."""
+        compose multiplicatively and must be > 0.
+
+        FILTER CONTEXT (Lucene filtered-query semantics): ``filter`` — a
+        Spark SQL predicate over the catalog columns (url, content_hash,
+        doc_id); ``filter_docs`` — any DataFrame with a doc_id column
+        (dedup survivors, a quality cut, an allowlist).  Only allowed docs
+        can match; BM25 stats (idf, avgdl) stay CORPUS-wide, exactly like
+        a Lucene filter clause.  The allowed set stays distributed end to
+        end: one segment_id shuffle, cogrouped with the posting blocks —
+        no driver collect, no broadcast — and WAND/block-max pruning stays
+        lossless because phase-1 θ is established from FILTERED scores
+        while block bounds remain valid upper bounds a fortiori."""
         from pyspark.sql import functions as F
 
         self._check_fresh()
@@ -465,11 +546,12 @@ class Searcher:
             return self.search_ids_boolean(
                 must=" ".join(must_raw), should=" ".join(should_raw),
                 must_not=" ".join(not_raw), k=k, case_id=case_id,
-                boosts=boosts)
+                boosts=boosts, filter=filter, filter_docs=filter_docs)
         if mode == "fuzzy":
             return self.search_ids_fuzzy(
                 query, k=k, case_id=case_id, prune=prune,
-                distance=distance, boosts=boosts)
+                distance=distance, boosts=boosts, filter=filter,
+                filter_docs=filter_docs)
         if mode not in ("any", "all", "phrase", "near"):
             raise ValueError(
                 "mode must be any|all|phrase|near|boolean|fuzzy, "
@@ -505,20 +587,23 @@ class Searcher:
         )
 
         excl = self._tombstones.get(case_id)
+        allowed = self._allowed_df(case_id, filter, filter_docs)
         if mode in ("phrase", "near"):
             return self._score_blocks_phrase(
                 blocks, idfs, terms, qtf, avgdl, k, exclude=excl,
-                window=window if mode == "near" else None)
+                window=window if mode == "near" else None,
+                allowed_df=allowed)
 
         # pruning pays for itself only when there is real volume to skip;
         # df is already known, so gate on total candidate postings
         p1_pdf = None
         if prune and sum(dfs[t] for t in live) > self.prune_min_postings:
             blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl, k,
-                                                require, exclude=excl)
+                                                require, exclude=excl,
+                                                allowed_df=allowed)
 
         pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k, require,
-                                 exclude=excl)
+                                 exclude=excl, allowed_df=allowed)
         if p1_pdf is not None:
             pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
         pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
@@ -529,8 +614,9 @@ class Searcher:
                            must_not: str = "",
                            k: int = DEFAULT_MAX_RESULTS,
                            case_id: str = "0",
-                           boosts: Optional[Dict[str, float]] = None
-                           ) -> pd.DataFrame:
+                           boosts: Optional[Dict[str, float]] = None,
+                           filter: Optional[str] = None,
+                           filter_docs=None) -> pd.DataFrame:
         """Lucene-BooleanQuery top-k: a doc matches iff it contains EVERY
         analyzed ``must`` term and NO analyzed ``must_not`` term; its score
         is the BM25 sum over the must+should terms it contains (boosted via
@@ -601,10 +687,10 @@ class Searcher:
             & F.col("term").isin(scan_terms)
         )
         excl = self._tombstones.get(case_id)
-        return self._score_blocks_boolean(blocks, idfs, qtf, avgdl, k,
-                                          must_terms=must_live,
-                                          not_terms=not_live,
-                                          exclude=excl)
+        return self._score_blocks_boolean(
+            blocks, idfs, qtf, avgdl, k, must_terms=must_live,
+            not_terms=not_live, exclude=excl,
+            allowed_df=self._allowed_df(case_id, filter, filter_docs))
 
     def expand_fuzzy(self, case_id: str,
                      fuzzy: "Dict[str, Tuple[int, float]]",
@@ -703,7 +789,9 @@ class Searcher:
                          distance: Optional[int] = None,
                          boosts: Optional[Dict[str, float]] = None,
                          max_expansions: int = 50,
-                         return_expansion: bool = False):
+                         return_expansion: bool = False,
+                         filter: Optional[str] = None,
+                         filter_docs=None):
         """Lucene-MultiTermQuery top-k: each query term expands to the
         corpus terms within its max edit distance (``relam~1``; unsuffixed
         terms use ``distance``, default 0 = exact), matching its prefix
@@ -779,12 +867,14 @@ class Searcher:
             & F.col("term").isin(list(expanded))
         )
         excl = self._tombstones.get(case_id)
+        allowed = self._allowed_df(case_id, filter, filter_docs)
         p1_pdf = None
         if prune and sum(dfs.values()) > self.prune_min_postings:
             blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl, k,
-                                                0, exclude=excl)
+                                                0, exclude=excl,
+                                                allowed_df=allowed)
         pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k, 0,
-                                 exclude=excl)
+                                 exclude=excl, allowed_df=allowed)
         if p1_pdf is not None:
             pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
         pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
@@ -1196,22 +1286,26 @@ class Searcher:
 
     def _score_blocks(self, blocks_df, idfs, qtf, avgdl, k,
                       require: int = 0,
-                      exclude: Optional[np.ndarray] = None) -> pd.DataFrame:
+                      exclude: Optional[np.ndarray] = None,
+                      allowed_df=None) -> pd.DataFrame:
         """Distributed segment-local scoring -> union of local top-ks.
 
         Single-term queries take a shuffle-free fast path: with no cross-term
         sum, every posting's score is block-local, so blocks are scored in
         place with mapInPandas and only per-batch top-ks leave the scan.
+        (A filter context needs the per-segment allowed slice, so it always
+        takes the grouped cogroup path.)
 
         Block payloads are CRC-checked before decode (reference parity:
         per-blob CRC32 verification at doc_positions.go:222-226)."""
         out_schema = "doc_id long, score double"
 
-        if len(idfs) == 1:
+        if len(idfs) == 1 and allowed_df is None:
             return self._score_blocks_single_term(blocks_df, idfs, qtf,
                                                   avgdl, k, exclude=exclude)
 
-        def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_one(key, pdf: pd.DataFrame,
+                      allow: Optional[np.ndarray]) -> pd.DataFrame:
             import zlib
 
             for ib, tb, db, crc in zip(pdf["doc_ids_bin"], pdf["tfs_bin"],
@@ -1228,15 +1322,14 @@ class Searcher:
             )
             ids, scores = sc.score_segment_blocks(rows, idfs, qtf, avgdl, k,
                                                   require_terms=require,
-                                                  exclude=exclude)
+                                                  exclude=exclude,
+                                                  allow=allow)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
-        sdf = (
+        sdf = self._cogroup_score(
             blocks_df.select("segment_id", "term", "n", "doc_ids_bin",
-                             "tfs_bin", "dls_bin", "crc32")
-            .groupBy("segment_id")
-            .applyInPandas(score_one, schema=out_schema)
-        )
+                             "tfs_bin", "dls_bin", "crc32"),
+            allowed_df, score_one, out_schema)
         from pyspark.sql import functions as F
 
         return (
@@ -1247,8 +1340,8 @@ class Searcher:
 
     def _score_blocks_boolean(self, blocks_df, idfs, qtf, avgdl, k,
                               must_terms, not_terms,
-                              exclude: Optional[np.ndarray] = None
-                              ) -> pd.DataFrame:
+                              exclude: Optional[np.ndarray] = None,
+                              allowed_df=None) -> pd.DataFrame:
         """Distributed boolean scoring (score.score_segment_blocks_boolean):
         per segment, must-intersection + not-union gates around the shared
         top-k funnel, then the usual union-of-local-top-ks.  Payloads are
@@ -1257,7 +1350,8 @@ class Searcher:
 
         out_schema = "doc_id long, score double"
 
-        def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_one(key, pdf: pd.DataFrame,
+                      allow: Optional[np.ndarray]) -> pd.DataFrame:
             import zlib
 
             for ib, tb, db, crc in zip(pdf["doc_ids_bin"], pdf["tfs_bin"],
@@ -1274,15 +1368,14 @@ class Searcher:
             )
             ids, scores = sc.score_segment_blocks_boolean(
                 rows, idfs, qtf, avgdl, k,
-                must_terms=must_terms, not_terms=not_terms, exclude=exclude)
+                must_terms=must_terms, not_terms=not_terms, exclude=exclude,
+                allow=allow)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
-        sdf = (
+        sdf = self._cogroup_score(
             blocks_df.select("segment_id", "term", "n", "doc_ids_bin",
-                             "tfs_bin", "dls_bin", "crc32")
-            .groupBy("segment_id")
-            .applyInPandas(score_one, schema=out_schema)
-        )
+                             "tfs_bin", "dls_bin", "crc32"),
+            allowed_df, score_one, out_schema)
         return (
             sdf.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
@@ -1292,8 +1385,8 @@ class Searcher:
     def _score_blocks_phrase(self, blocks_df, idfs, qterms, qtf, avgdl,
                              k,
                              exclude: Optional[np.ndarray] = None,
-                             window: Optional[int] = None
-                             ) -> pd.DataFrame:
+                             window: Optional[int] = None,
+                             allowed_df=None) -> pd.DataFrame:
         """Distributed exact-phrase scoring: per segment, posting-list
         intersection + position adjacency (score.score_segment_blocks_phrase)
         then the usual union-of-local-top-ks.  Payloads are CRC-checked
@@ -1303,7 +1396,8 @@ class Searcher:
 
         out_schema = "doc_id long, score double"
 
-        def score_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_one(key, pdf: pd.DataFrame,
+                      allow: Optional[np.ndarray]) -> pd.DataFrame:
             import zlib
 
             for ib, tb, db, crc, pb, pcrc in zip(
@@ -1321,17 +1415,15 @@ class Searcher:
             )
             ids, scores = sc.score_segment_blocks_phrase(
                 rows, idfs, qterms, qtf, avgdl, k, exclude=exclude,
-                window=window
+                window=window, allow=allow
             )
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
-        sdf = (
+        sdf = self._cogroup_score(
             blocks_df.select("segment_id", "term", "n", "doc_ids_bin",
                              "tfs_bin", "dls_bin", "pos_bin", "pos_crc32",
-                             "crc32")
-            .groupBy("segment_id")
-            .applyInPandas(score_one, schema=out_schema)
-        )
+                             "crc32"),
+            allowed_df, score_one, out_schema)
         return (
             sdf.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
@@ -1417,7 +1509,8 @@ class Searcher:
         )
 
     def _prune_blocks(self, blocks_df, idfs, qtf, avgdl, k, require: int = 0,
-                      exclude: Optional[np.ndarray] = None):
+                      exclude: Optional[np.ndarray] = None,
+                      allowed_df=None):
         """Lossless WAND-style pruning, fully distributed, two granularities.
 
         Phase 1 exactly scores the PRUNE_FIRST_SEGMENTS segments with the
@@ -1473,9 +1566,13 @@ class Searcher:
         # `require` propagates so θ is established from CONJUNCTIVE scores
         # when mode="all"; seg_ub (the disjunctive bound) still dominates
         # every conjunctive score, so pruning on it stays lossless
+        # a filter context (allowed_df) propagates into phase 1 so θ is the
+        # kth FILTERED score — an unfiltered θ could overshoot and prune
+        # blocks the filtered query needs; block/segment upper bounds stay
+        # valid a fortiori (filtering only removes candidate docs)
         p1 = self._score_blocks(
             blocks_df.filter(F.col("segment_id").isin(phase1)), idfs, qtf,
-            avgdl, k, require, exclude=exclude
+            avgdl, k, require, exclude=exclude, allowed_df=allowed_df
         )
         if len(p1) < k:
             return blocks_df, None  # too few hits to establish θ; score all
@@ -1742,7 +1839,9 @@ class Searcher:
                best_filter: bool = True, max_spans: int = 100,
                mode: str = "any", spans: str = "auto",
                window: "Optional[int]" = None,
-               distance: "Optional[int]" = None):
+               distance: "Optional[int]" = None,
+               filter: Optional[str] = None,
+               filter_docs=None):
         """Full search: top-k + phrase spans + Best filter + line numbers.
 
         Returns a Spark DataFrame with MATCHES schema (SURVEY §1.1 match-set
@@ -1765,7 +1864,8 @@ class Searcher:
         (any|all|phrase|near|boolean|fuzzy).  Span terms adapt to the
         mode: boolean uses the positive clauses only, fuzzy/prefix uses
         the expanded terms (a misspelling or wildcard never occurs in a
-        matched doc — its expansions do).
+        matched doc — its expansions do).  ``filter``/``filter_docs``
+        gate candidates (filter context, see :meth:`search_ids`).
         """
         from pyspark.sql import functions as F
 
@@ -1783,10 +1883,12 @@ class Searcher:
         if mode == "fuzzy":
             hits, expanded = self.search_ids_fuzzy(
                 query, k, case_id, prune, distance=distance,
-                return_expansion=True)
+                return_expansion=True, filter=filter,
+                filter_docs=filter_docs)
         else:
             hits = self.search_ids(query, k, case_id, prune, mode,
-                                   window=window)
+                                   window=window, filter=filter,
+                                   filter_docs=filter_docs)
         spark = self.spark
         if hits.empty:
             return spark.createDataFrame([], schema=MATCHES)

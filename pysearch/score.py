@@ -54,6 +54,7 @@ def score_segment_blocks(
     k: int,
     require_terms: int = 0,
     exclude: np.ndarray | None = None,
+    allow: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Score one segment's posting blocks; return its local top-k.
 
@@ -69,6 +70,10 @@ def score_segment_blocks(
     per-doc appearance count IS the distinct-term count).
 
     ``exclude``: sorted doc_id array (tombstones) to drop before scoring.
+    ``allow``: sorted unique doc_id array (filter context) — when given,
+    ONLY these docs can match; applied before scoring so conjunctive
+    counts and top-k cutoffs see the filtered corpus (Lucene filter
+    semantics: idf/avgdl stay corpus-wide, the filter gates candidates).
     """
     per_term: dict = {}
     for term, n, ib, tb, db in block_rows:
@@ -84,7 +89,8 @@ def score_segment_blocks(
     # segment granularity (uniq.size <= segment_size) and keeps tie-breaks
     # exact even when many docs share the kth score
     return _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
-                              require=require_terms, exclude=exclude)
+                              require=require_terms, exclude=exclude,
+                              allow=allow)
 
 
 def _topk_from_decoded(
@@ -96,11 +102,14 @@ def _topk_from_decoded(
     restrict: np.ndarray | None = None,
     require: int = 0,
     exclude: np.ndarray | None = None,
+    allow: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Shared top-k arithmetic over already-decoded posting arrays: per-term
     BM25, ascending-term concatenation, per-doc reduceat sum, optional
     conjunctive ``require`` filter, optional ``restrict`` doc set (phrase
-    hits), optional ``exclude`` doc set (tombstoned deletes, dropped from
+    hits), optional ``allow`` doc set (filter context — possibly EMPTY,
+    which admits nothing; None means unfiltered), optional ``exclude`` doc
+    set (tombstoned deletes, dropped from
     every term before scoring so conjunctive counts stay exact), (score
     desc, doc_id asc) lexsort.  Every entry point (single, batched, phrase,
     batched-phrase) funnels through this function, so their scores are
@@ -113,6 +122,11 @@ def _topk_from_decoded(
         ids, tfs, dls = decoded[term][:3]
         if restrict is not None:
             keep = np.isin(ids, restrict, assume_unique=True)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        if allow is not None:
+            # filter context: empty allow means NO doc in this segment
+            # passes the filter (distinct from allow=None = no filter)
+            keep = np.isin(ids, allow, assume_unique=True)
             ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
         if exclude is not None and exclude.size:
             keep = np.isin(ids, exclude, assume_unique=True, invert=True)
@@ -146,6 +160,7 @@ def score_segment_blocks_boolean(
     must_terms: Sequence[str],
     not_terms: Sequence[str],
     exclude: np.ndarray | None = None,
+    allow: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Lucene-BooleanQuery-style segment scoring: a doc survives iff it
     contains EVERY term in ``must_terms`` and NO term in ``not_terms``;
@@ -166,7 +181,7 @@ def score_segment_blocks_boolean(
     qids, ids_l, scores_l = score_segment_blocks_multi_boolean(
         block_rows,
         {"q": (idfs, qtf, tuple(must_terms), tuple(not_terms))},
-        avgdl, k, exclude=exclude,
+        avgdl, k, exclude=exclude, allow=allow,
     )
     if not qids:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
@@ -337,6 +352,7 @@ def score_segment_blocks_multi_boolean(
     avgdl: float,
     k: int,
     exclude: np.ndarray | None = None,
+    allow: np.ndarray | None = None,
 ) -> Tuple[List[str], List[np.ndarray], List[np.ndarray]]:
     """Score MANY boolean queries over one segment's blocks in a single
     pass: decode every term present in any plan (scoring AND prohibited)
@@ -381,7 +397,8 @@ def score_segment_blocks_multi_boolean(
             excl = (neg_all if excl is None or not excl.size
                     else np.union1d(excl, neg_all))
         ids, sums = _topk_from_decoded(decoded, idfs, qtf, avgdl, k,
-                                       restrict=restrict, exclude=excl)
+                                       restrict=restrict, exclude=excl,
+                                       allow=allow)
         if ids.size == 0:
             continue
         out_q.append(qid)
@@ -449,6 +466,7 @@ def score_segment_blocks_phrase(
     k: int,
     exclude: np.ndarray | None = None,
     window: int | None = None,
+    allow: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact-PHRASE top-k over one segment: posting-list intersection plus
     position-adjacency from the index's term positions (pos_bin) — the
@@ -492,7 +510,7 @@ def score_segment_blocks_phrase(
     # scoring restricted to phrase/near hits, same arithmetic as
     # conjunctive — a hit's score is bit-identical to its mode="all" score
     return _topk_from_decoded(decoded, idfs, qtf, avgdl, k, restrict=mset,
-                              exclude=exclude)
+                              exclude=exclude, allow=allow)
 
 
 def align_phrase_positions(

@@ -1120,3 +1120,110 @@ def test_searcher_staleness_guard(spark, tmp_path):
     assert s_refresh.stale()
     post = s_refresh.search_ids("realm", k=100, case_id="6")
     assert list(post["score"]) == list(after["score"])
+
+
+def _posthoc(full, mask, k=10):
+    """The filter-context oracle: apply the predicate to the FULL unfiltered
+    ranking, take the top-k — what a correct filtered search must equal
+    bit-exactly (same scores: BM25 stats stay corpus-wide)."""
+    return full[mask(full["doc_id"])].head(k).reset_index(drop=True)
+
+
+def test_filter_context(searcher):
+    """Lucene-filtered-query semantics: only allowed docs match, scores are
+    bit-identical to the unfiltered ranking (corpus-wide idf/avgdl), across
+    the string-predicate and filter_docs DataFrame forms, modes any/all/
+    boolean/fuzzy, and prune on/off (θ from FILTERED phase-1 scores keeps
+    block-max pruning lossless under a filter)."""
+    from pyspark.sql import functions as F
+
+    case_id, term, n, _l = CASES[6]          # case 7: 5000 docs — pruning
+    cid = str(case_id)                       # really engages
+    full = searcher.search_ids(term, k=n, case_id=cid, prune=False)
+    assert len(full) > 100, "fixture must produce a deep unfiltered ranking"
+    exp = _posthoc(full, lambda d: d % 3 == 1)
+    allowed = searcher.docs.filter(
+        (F.col("case_id") == cid) & (F.col("doc_id") % 3 == 1)
+    ).select("doc_id")
+
+    old = searcher.prune_min_postings
+    try:
+        for prune in (False, True):
+            searcher.prune_min_postings = 0  # force the gate: prune=True
+            got_s = searcher.search_ids(term, k=10, case_id=cid, prune=prune,
+                                        filter="doc_id % 3 = 1")
+            got_d = searcher.search_ids(term, k=10, case_id=cid, prune=prune,
+                                        filter_docs=allowed)
+            assert got_s.equals(exp), f"string filter, prune={prune}"
+            assert got_d.equals(exp), f"filter_docs, prune={prune}"
+    finally:
+        searcher.prune_min_postings = old
+
+    # both forms together = intersection
+    both = searcher.search_ids(term, k=10, case_id=cid,
+                               filter="doc_id % 2 = 0", filter_docs=allowed)
+    assert both.equals(_posthoc(full, lambda d: (d % 3 == 1) & (d % 2 == 0)))
+
+    # filter admitting nothing -> empty result (not an error)
+    assert searcher.search_ids(term, k=10, case_id=cid,
+                               filter="doc_id < 0").empty
+
+    # single-term queries route through the grouped path under a filter
+    # (the mapInPandas fast path has no per-segment allowed slice)
+    one = term.split()[-1]
+    full1 = searcher.search_ids(one, k=n, case_id=cid, prune=False)
+    got1 = searcher.search_ids(one, k=10, case_id=cid,
+                               filter="doc_id % 3 = 1")
+    assert got1.equals(_posthoc(full1, lambda d: d % 3 == 1))
+
+    # mode="all": conjunctive intersection under the filter
+    fulla = searcher.search_ids(term, k=n, case_id=cid, mode="all",
+                                prune=False)
+    gota = searcher.search_ids(term, k=10, case_id=cid, mode="all",
+                               filter="doc_id % 3 = 1")
+    assert gota.equals(_posthoc(fulla, lambda d: d % 3 == 1))
+
+    # mode="boolean": gates compose with the filter
+    w = term.split()
+    bq = f"+{w[-1]} {w[0]}"
+    fullb = searcher.search_ids(bq, k=n, case_id=cid, mode="boolean")
+    gotb = searcher.search_ids(bq, k=10, case_id=cid, mode="boolean",
+                               filter="doc_id % 3 = 1")
+    assert gotb.equals(_posthoc(fullb, lambda d: d % 3 == 1))
+
+    # mode="fuzzy": expansion weights unchanged, filter gates candidates
+    fq = f"{term.split()[-1]}~1"
+    fullf = searcher.search_ids(fq, k=n, case_id=cid, mode="fuzzy",
+                                prune=False)
+    gotf = searcher.search_ids(fq, k=10, case_id=cid, mode="fuzzy",
+                               filter="doc_id % 3 = 1")
+    assert gotf.equals(_posthoc(fullf, lambda d: d % 3 == 1))
+
+    # url-predicate form (site:-style filtering over the catalog column)
+    some_urls = sorted(
+        r["url"] for r in searcher.docs.filter(F.col("case_id") == cid)
+        .select("url").limit(200).collect()
+    )
+    prefix = some_urls[0][: len(some_urls[0]) - 2]
+    allowed_ids = {
+        int(r["doc_id"]) for r in searcher.docs.filter(
+            (F.col("case_id") == cid) & F.col("url").startswith(prefix)
+        ).select("doc_id").collect()
+    }
+    assert allowed_ids, "prefix must select at least one url"
+    gotu = searcher.search_ids(term, k=10, case_id=cid,
+                               filter=f"url like '{prefix}%'")
+    assert gotu.equals(_posthoc(full, lambda d: d.isin(allowed_ids)))
+
+
+def test_filter_context_full_search(searcher, spark):
+    """search() (spans + Best filter) honors the filter context: the match
+    set is exactly the filtered search_ids set."""
+    case_id, term, n, _l = CASES[5]
+    cid = str(case_id)
+    ids = searcher.search_ids(term, k=10, case_id=cid,
+                              filter="doc_id % 2 = 0")
+    assert len(ids) and (ids["doc_id"] % 2 == 0).all()
+    res = searcher.search(term, k=10, case_id=cid, filter="doc_id % 2 = 0")
+    got = sorted(int(r["doc_id"]) for r in res.select("doc_id").collect())
+    assert got == sorted(int(d) for d in ids["doc_id"])

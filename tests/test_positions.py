@@ -350,3 +350,28 @@ def test_min_span_unit():
                          dtype=np.int64) for _ in range(k)]
         brute = min(max(c) - min(c) for c in product(*seqs))
         assert sc._min_span(seqs) == brute, seqs
+
+
+def test_filter_context_phrase_and_near(pos_searcher):
+    """Phrase/near queries honor the filter context: filtered top-k equals
+    the post-hoc filter of the full phrase/near ranking, bit-exactly."""
+    from pyspark.sql import functions as F
+
+    cid, phrase = "3", "person who"
+    full = pos_searcher.search_ids(phrase, k=10**6, case_id=cid,
+                                   mode="phrase")
+    assert len(full) > 3
+    exp = full[full["doc_id"] % 2 == 0].head(5).reset_index(drop=True)
+    got = pos_searcher.search_ids(phrase, k=5, case_id=cid, mode="phrase",
+                                  filter="doc_id % 2 = 0")
+    assert got.equals(exp)
+
+    fulln = pos_searcher.search_ids(phrase, k=10**6, case_id=cid,
+                                    mode="near", window=3)
+    expn = fulln[fulln["doc_id"] % 2 == 0].head(5).reset_index(drop=True)
+    allowed = pos_searcher.docs.filter(
+        (F.col("case_id") == cid) & (F.col("doc_id") % 2 == 0)
+    ).select("doc_id")
+    gotn = pos_searcher.search_ids(phrase, k=5, case_id=cid, mode="near",
+                                   window=3, filter_docs=allowed)
+    assert gotn.equals(expn)
