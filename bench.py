@@ -97,6 +97,9 @@ OPS_QUERIES = [
     # and the dedup-pipeline × engine composition
     "t1_engine_filter_lang_top10",
     "t1_engine_filter_survivors_top10",
+    # round-5 result-set surface: pagination and total-hits count
+    "t1_engine_page2_top10",
+    "t1_engine_count",
 ]
 
 

@@ -64,11 +64,31 @@ def cmd_search(args) -> None:
             mode=args.mode, prune=not args.no_prune)
         print(res[["url", "score"]].to_string(index=False))
     else:
-        result = s.search(args.query, k=args.k, case_id=args.case_id,
-                          prune=not args.no_prune, mode=args.mode,
-                          window=args.window, distance=args.fuzzy_distance,
-                          filter=args.filter)
-        result.show(args.k, truncate=80)
+        if args.offset:
+            ids = s.search_ids(args.query, k=args.k, case_id=args.case_id,
+                               prune=not args.no_prune, mode=args.mode,
+                               window=args.window,
+                               distance=args.fuzzy_distance,
+                               filter=args.filter, offset=args.offset)
+            print(ids.to_string(index=False))
+        else:
+            result = s.search(args.query, k=args.k, case_id=args.case_id,
+                              prune=not args.no_prune, mode=args.mode,
+                              window=args.window,
+                              distance=args.fuzzy_distance,
+                              filter=args.filter)
+            result.show(args.k, truncate=80)
+    spark.stop()
+
+
+def cmd_count(args) -> None:
+    from pysearch.query import Searcher
+    from pysearch.session import build_spark
+
+    spark = build_spark(master=args.master, app_name="pysearch-count")
+    s = Searcher(spark, args.index)
+    print(s.count(args.query, case_id=args.case_id, mode=args.mode,
+                  window=args.window, filter=args.filter))
     spark.stop()
 
 
@@ -237,6 +257,9 @@ def main(argv=None) -> None:
                     help="parquet path of an unflushed arrival batch: "
                          "NRT hybrid search over index ∪ batch "
                          "(combined stats; prints url/score)")
+    ps.add_argument("--offset", type=int, default=0,
+                    help="pagination: return ranks [offset, offset+k) of "
+                         "the deterministic total order (ids+scores only)")
     ps.add_argument("--filter", default=None,
                     help="filter context: SQL predicate over the catalog "
                          "columns (doc_id, url, content_hash), e.g. "
@@ -249,6 +272,19 @@ def main(argv=None) -> None:
                          "since are invisible)")
     ps.add_argument("--master", default=None)
     ps.set_defaults(fn=cmd_search)
+
+    pn = sub.add_parser("count",
+                        help="total-hits count (no ranking materialized)")
+    pn.add_argument("--index", required=True)
+    pn.add_argument("--query", required=True)
+    pn.add_argument("--case-id", default="0")
+    pn.add_argument("--mode", default="any",
+                    choices=["any", "all", "phrase", "near"])
+    pn.add_argument("--window", type=int, default=None)
+    pn.add_argument("--filter", default=None,
+                    help="filter context (see search --filter)")
+    pn.add_argument("--master", default=None)
+    pn.set_defaults(fn=cmd_count)
 
     pg = sub.add_parser("suggest",
                         help="spelling suggestions from the index "

@@ -272,7 +272,8 @@ def _ensure_engine_index(spark, sf_dir):
 
 
 def _search_to_source_ids(spark, index_dir, mode: str, terms=None,
-                          at_version=None, window=None, filter_source=None):
+                          at_version=None, window=None, filter_source=None,
+                          offset: int = 0):
     """Run the query through the engine at ``index_dir`` and map engine
     doc_ids back to the source table's doc_id via the catalog url (robust
     even when content dedupe dropped duplicate texts).  ``at_version``
@@ -292,7 +293,8 @@ def _search_to_source_ids(spark, index_dir, mode: str, terms=None,
             F.format_string("doc://docs/%09d", F.col("doc_id")).alias("url"))
         fd = s.docs.join(urls, "url", "left_semi").select("doc_id")
     hits = s.search_ids(" ".join(terms or _BM25_TERMS), k=10, case_id="0",
-                        mode=mode, window=window, filter_docs=fd)
+                        mode=mode, window=window, filter_docs=fd,
+                        offset=offset)
     hits_df = spark.createDataFrame(
         hits.assign(score_r=hits["score"].round(4))[["doc_id", "score_r"]],
         schema="doc_id long, score_r double",
@@ -549,6 +551,57 @@ def t1_engine_facet_lang(spark, sf_dir):
              F.max("score_r").alias("top_score_r"))
         .orderBy("lang")
     )
+
+
+# pagination oracle: the SAME deterministic total order, ranks 11..20
+_BM25_PAGE2_SQL = _BM25_SQL.replace(
+    "ORDER BY s DESC, doc_id LIMIT 10",
+    "ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10")
+
+
+@op("t1_engine_page2_top10", _BM25_PAGE2_SQL)
+def t1_engine_page2_top10(spark, sf_dir):
+    """PAGINATION through the real engine (Lucene searchAfter shape):
+    ranks 11..20 of the deterministic (score desc, doc_id asc) total
+    order via ``search_ids(offset=10)`` — the funnel fetches offset+k and
+    slices, so page N costs O(offset+k) (the standard deep-pagination
+    tradeoff) and pruning θ is the (offset+k)th score, keeping block-max
+    pruning lossless for any page.  Value-checked against the DuckDB BM25
+    with LIMIT 10 OFFSET 10."""
+    index_dir, _fp = _ensure_engine_index(spark, sf_dir)
+    return _search_to_source_ids(spark, index_dir, mode="any", offset=10)
+
+
+# total-hits oracle: match count under mode="any" over the content-deduped
+# corpus (the engine's build-time dedupe), no ranking involved
+_COUNT_SQL = f"""
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        x -> x <> '')) AS term FROM dedup)
+SELECT count(DISTINCT doc_id)::BIGINT AS n_hits FROM tok
+WHERE term IN ({",".join(f"'{t}'" for t in _BM25_TERMS)})
+"""
+
+
+@op("t1_engine_count", _COUNT_SQL)
+def t1_engine_count(spark, sf_dir):
+    """TOTAL-HITS count through the real engine (Lucene
+    IndexSearcher.count): how many docs match ANY query term, computed
+    per segment from one bucket-pruned block scan — per-segment counts
+    are disjoint under doc-range partitioning, so only O(segments) longs
+    reach the driver (and a single-term unfiltered count short-circuits
+    to term_stats df metadata with no decode at all).  Value-checked
+    against a DuckDB COUNT(DISTINCT) over the same deduped corpus."""
+    from pysearch.query import Searcher
+
+    index_dir, _fp = _ensure_engine_index(spark, sf_dir)
+    s = Searcher(spark, index_dir)
+    n = s.count(" ".join(_BM25_TERMS), case_id="0", mode="any")
+    return spark.createDataFrame([(n,)], "n_hits long")
 
 
 # filter-context oracle (Lucene filtered query): BM25 stats (idf, avgdl,

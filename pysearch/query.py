@@ -412,11 +412,16 @@ class Searcher:
                                schema=out_schema)
             )
 
+        np_types = {"long": "int64", "double": "float64"}
+        empty = pd.DataFrame({
+            name: pd.Series([], dtype=np_types[typ])
+            for name, typ in (c.strip().rsplit(" ", 1)
+                              for c in out_schema.split(","))
+        })
+
         def fn(key, pdf: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty or apdf.empty:
-                return pd.DataFrame(
-                    {"doc_id": pd.Series([], dtype="int64"),
-                     "score": pd.Series([], dtype="float64")})
+                return empty
             allow = np.unique(apdf["doc_id"].to_numpy(np.int64))
             return score_fn(key, pdf, allow)
 
@@ -490,7 +495,8 @@ class Searcher:
                    boosts: Optional[Dict[str, float]] = None,
                    distance: Optional[int] = None,
                    filter: Optional[str] = None,
-                   filter_docs=None) -> pd.DataFrame:
+                   filter_docs=None,
+                   offset: int = 0) -> pd.DataFrame:
         """Top-k (doc_id, score), deterministic. k<0 -> reference default
         (index_search.go:96-97).
 
@@ -537,21 +543,29 @@ class Searcher:
         end: one segment_id shuffle, cogrouped with the posting blocks —
         no driver collect, no broadcast — and WAND/block-max pruning stays
         lossless because phase-1 θ is established from FILTERED scores
-        while block bounds remain valid upper bounds a fortiori."""
+        while block bounds remain valid upper bounds a fortiori.
+
+        ``offset`` paginates the deterministic total order (Lucene
+        searchAfter shape): ranks [offset, offset+k) are returned, at
+        O(offset+k) cost per page — the funnel fetches the top
+        offset+k and slices, the standard deep-pagination tradeoff."""
         from pyspark.sql import functions as F
 
         self._check_fresh()
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
         if mode == "boolean":
             must_raw, should_raw, not_raw = parse_boolean(query)
             return self.search_ids_boolean(
                 must=" ".join(must_raw), should=" ".join(should_raw),
                 must_not=" ".join(not_raw), k=k, case_id=case_id,
-                boosts=boosts, filter=filter, filter_docs=filter_docs)
+                boosts=boosts, filter=filter, filter_docs=filter_docs,
+                offset=offset)
         if mode == "fuzzy":
             return self.search_ids_fuzzy(
                 query, k=k, case_id=case_id, prune=prune,
                 distance=distance, boosts=boosts, filter=filter,
-                filter_docs=filter_docs)
+                filter_docs=filter_docs, offset=offset)
         if mode not in ("any", "all", "phrase", "near"):
             raise ValueError(
                 "mode must be any|all|phrase|near|boolean|fuzzy, "
@@ -565,6 +579,7 @@ class Searcher:
             raise ValueError("mode='near' needs window >= 0")
         if k is None or k < 0:
             k = DEFAULT_MAX_RESULTS
+        k_fetch = k + offset
         query, raw_boosts = parse_boosts(query)
         terms, qtf = self._analyze_query(query)
         if case_id not in self._corpus:
@@ -589,26 +604,111 @@ class Searcher:
         excl = self._tombstones.get(case_id)
         allowed = self._allowed_df(case_id, filter, filter_docs)
         if mode in ("phrase", "near"):
-            return self._score_blocks_phrase(
-                blocks, idfs, terms, qtf, avgdl, k, exclude=excl,
+            pdf = self._score_blocks_phrase(
+                blocks, idfs, terms, qtf, avgdl, k_fetch, exclude=excl,
                 window=window if mode == "near" else None,
                 allowed_df=allowed)
+            return pdf.iloc[offset:offset + k].reset_index(drop=True)
 
         # pruning pays for itself only when there is real volume to skip;
         # df is already known, so gate on total candidate postings
         p1_pdf = None
         if prune and sum(dfs[t] for t in live) > self.prune_min_postings:
-            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl, k,
-                                                require, exclude=excl,
+            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl,
+                                                k_fetch, require,
+                                                exclude=excl,
                                                 allowed_df=allowed)
 
-        pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k, require,
+        pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k_fetch, require,
                                  exclude=excl, allowed_df=allowed)
         if p1_pdf is not None:
             pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
         pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
-                              kind="stable").head(k).reset_index(drop=True)
+                              kind="stable"
+                              ).iloc[offset:offset + k].reset_index(drop=True)
         return pdf
+
+    def count(self, query: str, case_id: str = "0", mode: str = "any",
+              window: Optional[int] = None,
+              filter: Optional[str] = None, filter_docs=None) -> int:
+        """TOTAL-HITS count (Lucene IndexSearcher.count analog): how many
+        docs match the query under the same match semantics as
+        :meth:`search_ids` (mode any|all|phrase|near, tombstones and the
+        filter context applied), without materializing a ranking.
+
+        Scale shape: a single-term unfiltered count is answered from
+        term_stats METADATA alone (df — no posting decode, Lucene's
+        TermQuery shortcut); otherwise one bucket-pruned scan of the query
+        terms' blocks counts matches per segment (doc-range partitioning
+        makes per-segment counts disjoint, so the driver sums
+        O(segments) longs — no doc ids ever leave the executors)."""
+        from pyspark.sql import functions as F
+
+        self._check_fresh()
+        if mode not in ("any", "all", "phrase", "near"):
+            raise ValueError(
+                f"count() supports mode any|all|phrase|near, got {mode!r}")
+        if mode in ("phrase", "near") and not self.positions_stored:
+            raise ValueError(
+                f"mode={mode!r} needs an index built with "
+                "store_positions=True")
+        if mode == "near" and (window is None or window < 0):
+            raise ValueError("mode='near' needs window >= 0")
+        terms = self._analyze(query)
+        if not terms or case_id not in self._corpus:
+            return 0
+        dfs = self._term_dfs(case_id, terms)
+        live = sorted(t for t in set(terms) if t in dfs)
+        if not live or (mode != "any" and len(live) < len(set(terms))):
+            return 0
+        excl = self._tombstones.get(case_id)
+        allowed = self._allowed_df(case_id, filter, filter_docs)
+        if (len(live) == 1 and mode in ("any", "all") and excl is None
+                and allowed is None):
+            return int(dfs[live[0]])  # metadata-only: count == df
+
+        require = len(live) if mode == "all" else 0
+        qterms = terms if mode in ("phrase", "near") else None
+        win = window if mode == "near" else None
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in live})
+        blocks = self.postings.filter(
+            (F.col("case_id") == case_id)
+            & F.col("term_bucket").isin(self._bucket_lit(buckets))
+            & F.col("term").isin(live)
+        )
+        cols = ["segment_id", "term", "n", "doc_ids_bin", "tfs_bin",
+                "dls_bin", "crc32"]
+        if qterms is not None:
+            cols.append("pos_bin")
+
+        def count_one(key, pdf: pd.DataFrame,
+                      allow: Optional[np.ndarray]) -> pd.DataFrame:
+            import zlib
+
+            for ib, tb, db, crc in zip(pdf["doc_ids_bin"], pdf["tfs_bin"],
+                                       pdf["dls_bin"], pdf["crc32"]):
+                got = zlib.crc32(ib) ^ zlib.crc32(tb) ^ zlib.crc32(db)
+                if got != crc:
+                    raise IOError(
+                        f"posting block CRC mismatch in segment {key[0]}: "
+                        f"{got} != {crc}"
+                    )
+            if qterms is not None:
+                rows = list(zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"],
+                                pdf["tfs_bin"], pdf["dls_bin"],
+                                pdf["pos_bin"]))
+            else:
+                rows = list(zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"],
+                                pdf["tfs_bin"], pdf["dls_bin"]))
+            n = sc.count_segment_docs(rows, live, require=require,
+                                      exclude=excl, allow=allow,
+                                      qterms=qterms, window=win)
+            return pd.DataFrame({"n": np.asarray([n], dtype=np.int64)})
+
+        sdf = self._cogroup_score(blocks.select(*cols), allowed, count_one,
+                                  "n long")
+        row = sdf.agg(F.sum("n").alias("total")).collect()[0]
+        return int(row["total"] or 0)
 
     def search_ids_boolean(self, must: str = "", should: str = "",
                            must_not: str = "",
@@ -616,7 +716,8 @@ class Searcher:
                            case_id: str = "0",
                            boosts: Optional[Dict[str, float]] = None,
                            filter: Optional[str] = None,
-                           filter_docs=None) -> pd.DataFrame:
+                           filter_docs=None,
+                           offset: int = 0) -> pd.DataFrame:
         """Lucene-BooleanQuery top-k: a doc matches iff it contains EVERY
         analyzed ``must`` term and NO analyzed ``must_not`` term; its score
         is the BM25 sum over the must+should terms it contains (boosted via
@@ -650,6 +751,8 @@ class Searcher:
         self._check_fresh()
         if k is None or k < 0:
             k = DEFAULT_MAX_RESULTS
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
         must_q, must_boosts = parse_boosts(must)
         should_q, should_boosts = parse_boosts(should)
         if any(_BOOST_RE.match(t) for t in must_not.split()):
@@ -687,10 +790,11 @@ class Searcher:
             & F.col("term").isin(scan_terms)
         )
         excl = self._tombstones.get(case_id)
-        return self._score_blocks_boolean(
-            blocks, idfs, qtf, avgdl, k, must_terms=must_live,
+        pdf = self._score_blocks_boolean(
+            blocks, idfs, qtf, avgdl, k + offset, must_terms=must_live,
             not_terms=not_live, exclude=excl,
             allowed_df=self._allowed_df(case_id, filter, filter_docs))
+        return pdf.iloc[offset:offset + k].reset_index(drop=True)
 
     def expand_fuzzy(self, case_id: str,
                      fuzzy: "Dict[str, Tuple[int, float]]",
@@ -791,7 +895,8 @@ class Searcher:
                          max_expansions: int = 50,
                          return_expansion: bool = False,
                          filter: Optional[str] = None,
-                         filter_docs=None):
+                         filter_docs=None,
+                         offset: int = 0):
         """Lucene-MultiTermQuery top-k: each query term expands to the
         corpus terms within its max edit distance (``relam~1``; unsuffixed
         terms use ``distance``, default 0 = exact), matching its prefix
@@ -812,6 +917,8 @@ class Searcher:
         self._check_fresh()
         if k is None or k < 0:
             k = DEFAULT_MAX_RESULTS
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
         d_default = 0 if distance is None else int(distance)
         if d_default < 0 or d_default > MAX_FUZZY_DISTANCE:
             raise ValueError(
@@ -868,17 +975,19 @@ class Searcher:
         )
         excl = self._tombstones.get(case_id)
         allowed = self._allowed_df(case_id, filter, filter_docs)
+        k_fetch = k + offset
         p1_pdf = None
         if prune and sum(dfs.values()) > self.prune_min_postings:
-            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl, k,
-                                                0, exclude=excl,
+            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl,
+                                                k_fetch, 0, exclude=excl,
                                                 allowed_df=allowed)
-        pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k, 0,
+        pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k_fetch, 0,
                                  exclude=excl, allowed_df=allowed)
         if p1_pdf is not None:
             pdf = pd.concat([p1_pdf, pdf], ignore_index=True)
         pdf = pdf.sort_values(["score", "doc_id"], ascending=[False, True],
-                              kind="stable").head(k).reset_index(drop=True)
+                              kind="stable"
+                              ).iloc[offset:offset + k].reset_index(drop=True)
         return (pdf, expanded) if return_expansion else pdf
 
     def suggest(self, terms, case_id: str = "0", max_edits: int = 2,

@@ -151,6 +151,63 @@ def _topk_from_decoded(
     return uniq[o], sums[o]
 
 
+def count_segment_docs(
+    block_rows: Sequence[tuple],
+    terms: Sequence[str],
+    require: int = 0,
+    exclude: np.ndarray | None = None,
+    allow: np.ndarray | None = None,
+    qterms: Sequence[str] | None = None,
+    window: int | None = None,
+) -> int:
+    """Total-hits count for one segment (Lucene IndexSearcher.count
+    analog): the number of docs matching the query under the same match
+    semantics as scoring — mode="any" when ``require`` is 0, mode="all"
+    when ``require`` == len(distinct terms), phrase/near when ``qterms``
+    is given (then ``block_rows`` carry pos_bin as their 6th field).
+    Doc-range partitioning puts all of a doc's postings in one segment,
+    so the global count is the plain sum of segment counts."""
+    if qterms is not None:
+        per_term: dict = {}
+        for term, n, ib, tb, db, pb in block_rows:
+            per_term.setdefault(term, []).append((n, ib, tb, db, pb))
+        if any(t not in per_term for t in set(qterms)):
+            return 0
+        decoded: Dict[str, tuple] = {}
+        for term in set(qterms):
+            rows_t = per_term[term]
+            ids, tfs, dls = codec.unpack_blocks_batch(
+                [r[0] for r in rows_t], [r[1] for r in rows_t],
+                [r[2] for r in rows_t], [r[3] for r in rows_t],
+            )
+            pos = codec.unpack_positions_batch(tfs, [r[4] for r in rows_t])
+            decoded[term] = (ids, tfs, dls, pos)
+        uniq = (_phrase_matched_docs(decoded, list(qterms)) if window is None
+                else _near_matched_docs(decoded, list(qterms), window))
+    else:
+        per_term = {}
+        for term, n, ib, tb, db in block_rows:
+            per_term.setdefault(term, []).append((n, ib, tb, db))
+        ids_all = []
+        for term in sorted(set(terms) & set(per_term)):
+            rows_t = per_term[term]
+            ids, _tfs, _dls = codec.unpack_blocks_batch(
+                [r[0] for r in rows_t], [r[1] for r in rows_t],
+                [r[2] for r in rows_t], [r[3] for r in rows_t],
+            )
+            ids_all.append(ids)
+        if not ids_all:
+            return 0
+        uniq, counts = np.unique(np.concatenate(ids_all), return_counts=True)
+        if require > 0:
+            uniq = uniq[counts == require]
+    if uniq.size and allow is not None:
+        uniq = uniq[np.isin(uniq, allow, assume_unique=True)]
+    if uniq.size and exclude is not None and exclude.size:
+        uniq = uniq[np.isin(uniq, exclude, assume_unique=True, invert=True)]
+    return int(uniq.size)
+
+
 def score_segment_blocks_boolean(
     block_rows: Sequence[tuple],
     idfs: Dict[str, float],

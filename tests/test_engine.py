@@ -1227,3 +1227,84 @@ def test_filter_context_full_search(searcher, spark):
     res = searcher.search(term, k=10, case_id=cid, filter="doc_id % 2 = 0")
     got = sorted(int(r["doc_id"]) for r in res.select("doc_id").collect())
     assert got == sorted(int(d) for d in ids["doc_id"])
+
+
+def test_pagination_offset(searcher):
+    """offset= paginates the deterministic total order: page N equals
+    rows [offset, offset+k) of the full ranking bit-exactly (prune θ is
+    the (offset+k)th score, so pruning stays lossless on any page), pages
+    tile without overlap or gaps, and every mode honors it."""
+    case_id, term, n, _l = CASES[6]
+    cid = str(case_id)
+    full = searcher.search_ids(term, k=n, case_id=cid, prune=False)
+    assert len(full) > 30
+
+    old = searcher.prune_min_postings
+    try:
+        for prune in (False, True):
+            searcher.prune_min_postings = 0
+            pages = [
+                searcher.search_ids(term, k=10, case_id=cid, prune=prune,
+                                    offset=off)
+                for off in (0, 10, 20)
+            ]
+            for i, page in enumerate(pages):
+                want = full.iloc[10 * i:10 * (i + 1)].reset_index(drop=True)
+                assert page.equals(want), f"page {i}, prune={prune}"
+    finally:
+        searcher.prune_min_postings = old
+
+    # offset past the result set -> empty, not an error
+    assert searcher.search_ids(term, k=10, case_id=cid,
+                               offset=len(full)).empty
+    with pytest.raises(ValueError, match="offset"):
+        searcher.search_ids(term, k=10, case_id=cid, offset=-1)
+
+    # boolean and fuzzy paginate the same way
+    w = term.split()
+    bq = f"+{w[-1]} {w[0]}"
+    fullb = searcher.search_ids(bq, k=n, case_id=cid, mode="boolean")
+    gotb = searcher.search_ids(bq, k=10, case_id=cid, mode="boolean",
+                               offset=10)
+    assert gotb.equals(fullb.iloc[10:20].reset_index(drop=True))
+    fq = f"{w[-1]}~1"
+    fullf = searcher.search_ids(fq, k=n, case_id=cid, mode="fuzzy",
+                                prune=False)
+    gotf = searcher.search_ids(fq, k=10, case_id=cid, mode="fuzzy",
+                               offset=10)
+    assert gotf.equals(fullf.iloc[10:20].reset_index(drop=True))
+
+    # offset composes with the filter context
+    gotfc = searcher.search_ids(term, k=10, case_id=cid,
+                                filter="doc_id % 3 = 1", offset=10)
+    expfc = (full[full["doc_id"] % 3 == 1].iloc[10:20]
+             .reset_index(drop=True))
+    assert gotfc.equals(expfc)
+
+
+def test_count_total_hits(searcher):
+    """Searcher.count == the exact number of matching docs (the length of
+    the exhaustive ranking) for any/all, honors the filter context, and
+    single-term counts short-circuit to term_stats df metadata."""
+    case_id, term, n, _l = CASES[6]
+    cid = str(case_id)
+    full_any = searcher.search_ids(term, k=n, case_id=cid, prune=False)
+    assert searcher.count(term, case_id=cid, mode="any") == len(full_any)
+    full_all = searcher.search_ids(term, k=n, case_id=cid, mode="all",
+                                   prune=False)
+    assert searcher.count(term, case_id=cid, mode="all") == len(full_all)
+
+    one = term.split()[-1]
+    full_one = searcher.search_ids(one, k=n, case_id=cid, prune=False)
+    # metadata fast path (df) must agree with the exhaustive ranking
+    assert searcher.count(one, case_id=cid) == len(full_one)
+
+    # filter context: count only allowed docs
+    got = searcher.count(term, case_id=cid, mode="any",
+                         filter="doc_id % 3 = 1")
+    assert got == int((full_any["doc_id"] % 3 == 1).sum())
+
+    assert searcher.count("zzzznothing", case_id=cid) == 0
+    assert searcher.count(term, case_id="no-such-case") == 0
+    with pytest.raises(ValueError, match="mode"):
+        searcher.count(term, case_id=cid, mode="boolean")

@@ -375,3 +375,19 @@ def test_filter_context_phrase_and_near(pos_searcher):
     gotn = pos_searcher.search_ids(phrase, k=5, case_id=cid, mode="near",
                                    window=3, filter_docs=allowed)
     assert gotn.equals(expn)
+
+
+def test_count_phrase_and_near(pos_searcher):
+    """count() under phrase/near == the exhaustive phrase/near ranking's
+    length, with and without a filter context."""
+    cid, phrase = "3", "person who"
+    full = pos_searcher.search_ids(phrase, k=10**6, case_id=cid,
+                                   mode="phrase")
+    assert pos_searcher.count(phrase, case_id=cid, mode="phrase") == len(full)
+    fulln = pos_searcher.search_ids(phrase, k=10**6, case_id=cid,
+                                    mode="near", window=3)
+    assert pos_searcher.count(phrase, case_id=cid, mode="near",
+                              window=3) == len(fulln)
+    got = pos_searcher.count(phrase, case_id=cid, mode="phrase",
+                             filter="doc_id % 2 = 0")
+    assert got == int((full["doc_id"] % 2 == 0).sum())
