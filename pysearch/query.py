@@ -614,10 +614,9 @@ class Searcher:
         # df is already known, so gate on total candidate postings
         p1_pdf = None
         if prune and sum(dfs[t] for t in live) > self.prune_min_postings:
-            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl,
-                                                k_fetch, require,
-                                                exclude=excl,
-                                                allowed_df=allowed)
+            blocks, p1_pdf, allowed = self._prune_blocks(
+                blocks, idfs, qtf, avgdl, k_fetch, require, exclude=excl,
+                allowed_df=allowed)
 
         pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k_fetch, require,
                                  exclude=excl, allowed_df=allowed)
@@ -978,9 +977,9 @@ class Searcher:
         k_fetch = k + offset
         p1_pdf = None
         if prune and sum(dfs.values()) > self.prune_min_postings:
-            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl,
-                                                k_fetch, 0, exclude=excl,
-                                                allowed_df=allowed)
+            blocks, p1_pdf, allowed = self._prune_blocks(
+                blocks, idfs, qtf, avgdl, k_fetch, 0, exclude=excl,
+                allowed_df=allowed)
         pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k_fetch, 0,
                                  exclude=excl, allowed_df=allowed)
         if p1_pdf is not None:
@@ -1113,8 +1112,8 @@ class Searcher:
         excl = self._tombstones.get(case_id)
         p1_pdf = None
         if prune and sum(dfs_all[t] for t in sel) > self.prune_min_postings:
-            blocks, p1_pdf = self._prune_blocks(blocks, idfs, qtf, avgdl, k,
-                                                0, exclude=excl)
+            blocks, p1_pdf, _ = self._prune_blocks(blocks, idfs, qtf, avgdl,
+                                                   k, 0, exclude=excl)
         pdf = self._score_blocks(blocks, idfs, qtf, avgdl, k, 0,
                                  exclude=excl)
         if p1_pdf is not None:
@@ -1670,7 +1669,7 @@ class Searcher:
             .collect()
         )
         if len(top) <= PRUNE_FIRST_SEGMENTS:
-            return blocks_df, None
+            return blocks_df, None, allowed_df
         phase1 = [r["segment_id"] for r in top[:PRUNE_FIRST_SEGMENTS]]
         # `require` propagates so θ is established from CONJUNCTIVE scores
         # when mode="all"; seg_ub (the disjunctive bound) still dominates
@@ -1678,13 +1677,19 @@ class Searcher:
         # a filter context (allowed_df) propagates into phase 1 so θ is the
         # kth FILTERED score — an unfiltered θ could overshoot and prune
         # blocks the filtered query needs; block/segment upper bounds stay
-        # valid a fortiori (filtering only removes candidate docs)
+        # valid a fortiori (filtering only removes candidate docs).  The
+        # allowed set is narrowed to the phase-1 segments BEFORE the
+        # cogroup exchange: at corpus-fraction filter sizes, shuffling the
+        # whole set into an 8-segment job would dominate the phase.
+        allowed_p1 = (None if allowed_df is None else
+                      allowed_df.filter(F.col("segment_id").isin(phase1)))
         p1 = self._score_blocks(
             blocks_df.filter(F.col("segment_id").isin(phase1)), idfs, qtf,
-            avgdl, k, require, exclude=exclude, allowed_df=allowed_df
+            avgdl, k, require, exclude=exclude, allowed_df=allowed_p1
         )
         if len(p1) < k:
-            return blocks_df, None  # too few hits to establish θ; score all
+            # too few hits to establish θ; score all (full filter set)
+            return blocks_df, None, allowed_df
         theta = float(p1["score"].iloc[k - 1])
         # surviving segments' per-term bounds + each segment's summed bound;
         # phase-1 segments are excluded (their scores are already in p1)
@@ -1714,7 +1719,15 @@ class Searcher:
                 + blocks_df.filter(
                     F.col("segment_id").isin(phase1)).count(),
             }
-        return phase2, p1
+        # narrow the filter set to the SURVIVING segments before phase 2's
+        # cogroup exchange — pruned segments' allowed slices would only
+        # shuffle into empty-left groups (at corpus-fraction filter sizes
+        # that dead shuffle dominates); surv is O(segments) metadata and
+        # broadcast, mirroring the meta join above
+        allowed2 = (None if allowed_df is None else allowed_df.join(
+            F.broadcast(surv.select("segment_id")), "segment_id",
+            "left_semi"))
+        return phase2, p1, allowed2
 
     def _prune_many_blocks(self, blocks_df, plans: Dict[str, tuple],
                            avgdl: float, k: int, mode: str,
@@ -1950,7 +1963,8 @@ class Searcher:
                window: "Optional[int]" = None,
                distance: "Optional[int]" = None,
                filter: Optional[str] = None,
-               filter_docs=None):
+               filter_docs=None,
+               offset: int = 0):
         """Full search: top-k + phrase spans + Best filter + line numbers.
 
         Returns a Spark DataFrame with MATCHES schema (SURVEY §1.1 match-set
@@ -1993,11 +2007,11 @@ class Searcher:
             hits, expanded = self.search_ids_fuzzy(
                 query, k, case_id, prune, distance=distance,
                 return_expansion=True, filter=filter,
-                filter_docs=filter_docs)
+                filter_docs=filter_docs, offset=offset)
         else:
             hits = self.search_ids(query, k, case_id, prune, mode,
                                    window=window, filter=filter,
-                                   filter_docs=filter_docs)
+                                   filter_docs=filter_docs, offset=offset)
         spark = self.spark
         if hits.empty:
             return spark.createDataFrame([], schema=MATCHES)
