@@ -55,6 +55,11 @@ def cmd_search(args) -> None:
     spark = build_spark(master=args.master, app_name="pysearch-search")
     s = Searcher(spark, args.index, at_version=args.at_version)
     if args.arrivals:
+        if args.filter or args.offset:
+            raise SystemExit(
+                "search: --filter/--offset are not supported with "
+                "--arrivals (the NRT hybrid path has no filter context "
+                "or pagination yet)")
         # NRT hybrid: index ∪ the unflushed arrival batch, combined stats
         from pysearch.streaming import search_with_arrivals
 

@@ -1363,6 +1363,22 @@ pairs AS (
   GROUP BY a.doc_id, b.doc_id)"""
 
 
+# pairs -> undirected edges -> recursive transitive closure -> per-doc
+# min-label cluster_id: the ONE closure block every oracle that consumes
+# dedup clusters shares (dd_dedup_survivors, pipeline_pretrain_filter,
+# t1_engine_filter_survivors_top10) — a threshold or labeling change edits
+# exactly one place
+_CLOSURE_CTES = f"""{_MH_PAIRS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
+edges AS (SELECT a, b FROM pairs WHERE n_match >= 4),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src)"""
+
+
 @op("dd_minhash_pairs", f"""
 {_MH_PAIRS_CTES}
 SELECT a, b, round(n_match / {_N_MINHASH}.0, 4) AS sim_est
@@ -1498,15 +1514,7 @@ def dd_dup_clusters(spark, sf_dir):
 
 
 @op("dd_dedup_survivors", f"""
-{_MH_PAIRS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
-edges AS (SELECT a, b FROM pairs WHERE n_match >= 4),
-und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
-reach(src, dst) AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        FROM reach GROUP BY src)
+{_CLOSURE_CTES}
 SELECT d.doc_id, count(*) OVER () AS n_survivors
 FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
 WHERE lbl.doc_id IS NULL OR lbl.cluster_id = d.doc_id
@@ -1542,15 +1550,7 @@ def dd_dedup_survivors(spark, sf_dir):
 # (_MH_PAIRS_CTES' tok), the BM25 side tokenizes the content-deduped docs
 # (btok), matching the engine's build-time content dedupe.
 _BM25_FILTER_SURV_SQL = f"""
-{_MH_PAIRS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
-edges AS (SELECT a, b FROM pairs WHERE n_match >= 4),
-und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
-reach(src, dst) AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        FROM reach GROUP BY src),
+{_CLOSURE_CTES},
 surv AS (
   SELECT d.doc_id FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
   WHERE lbl.doc_id IS NULL OR lbl.cluster_id = d.doc_id),
@@ -1590,9 +1590,18 @@ def t1_engine_filter_survivors_top10(spark, sf_dir):
     pipeline needs between dedup iterations; at scale the survivor set is a
     corpus fraction, which is exactly why filter_docs is a distributed
     cogroup rather than a broadcast or driver set.  Value-checked against
-    a DuckDB BM25 gated by the same recursive-closure survivor set."""
+    a DuckDB BM25 gated by the same recursive-closure survivor set.
+    The set is built directly (pairs → components → anti-join) instead of
+    via dd_dedup_survivors, whose n_survivors column costs an extra full
+    count() materialization this query would immediately discard."""
+    from pyspark.sql import functions as F
+
     index_dir, _fp = _ensure_engine_index(spark, sf_dir)
-    surv = dd_dedup_survivors(spark, sf_dir).select("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dup_clusters(dd_minhash_pairs(spark, sf_dir).select("a", "b"))
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select("doc_id")
+    surv = docs.select("doc_id").join(drop, "doc_id", "left_anti")
     return _search_to_source_ids(spark, index_dir, mode="any",
                                  filter_source=surv)
 
@@ -2525,15 +2534,7 @@ _PF_MIN_EN = 0.03
 
 
 @op("pipeline_pretrain_filter", f"""
-{_MH_PAIRS_CTES.replace("WITH ", "WITH RECURSIVE ", 1)},
-edges AS (SELECT a, b FROM pairs WHERE n_match >= 4),
-und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
-reach(src, dst) AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
-lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        FROM reach GROUP BY src),
+{_CLOSURE_CTES},
 s(term) AS (VALUES {_STOPS_SQL}),
 agg AS (SELECT tok.doc_id, count(*) AS n_tok,
                count(DISTINCT tok.term) AS n_uniq,

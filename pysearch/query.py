@@ -370,7 +370,14 @@ class Searcher:
         ``filter_docs``: ANY DataFrame with a ``doc_id`` column — lets a
         caller gate search on an arbitrary distributed doc set (a dedup
         survivor set, a quality-score cut, an external allowlist) with no
-        driver materialization.  Both given -> intersection.
+        driver materialization.  doc_ids are interpreted WITHIN the
+        searched case — ids are assigned per case starting at 1, so a set
+        derived from another case's rows is a caller bug this API cannot
+        detect (the numbers are valid here too).  On a multi-case index
+        the set IS semi-joined against the case's catalog, so ids with no
+        doc in this case drop out instead of silently polluting the
+        segment map; a single-case index (the common shape) skips that
+        scan since every id is in range.  Both given -> intersection.
 
         Scale shape: the allowed set never reaches the driver and is never
         broadcast — it is shuffled once on segment_id and cogrouped with
@@ -392,6 +399,10 @@ class Searcher:
                     "doc_id", "left_semi")
         else:
             allowed = filter_docs.select("doc_id").distinct()
+            if len(self._corpus) > 1:
+                allowed = allowed.join(
+                    self.docs.filter(F.col("case_id") == case_id)
+                    .select("doc_id"), "doc_id", "left_semi")
         return allowed.withColumn(
             "segment_id",
             ((F.col("doc_id") - F.lit(1)) / F.lit(self.segment_size))
@@ -653,6 +664,11 @@ class Searcher:
                 "store_positions=True")
         if mode == "near" and (window is None or window < 0):
             raise ValueError("mode='near' needs window >= 0")
+        # boosts weight scores and counting has no scores, but the ^w
+        # syntax must still PARSE so 'relam^2 fast' counts the same match
+        # set search_ids ranks (an unstripped boost would tokenize into a
+        # bogus extra term)
+        query, _raw_boosts = parse_boosts(query)
         terms = self._analyze(query)
         if not terms or case_id not in self._corpus:
             return 0
@@ -678,7 +694,7 @@ class Searcher:
         cols = ["segment_id", "term", "n", "doc_ids_bin", "tfs_bin",
                 "dls_bin", "crc32"]
         if qterms is not None:
-            cols.append("pos_bin")
+            cols += ["pos_bin", "pos_crc32"]
 
         def count_one(key, pdf: pd.DataFrame,
                       allow: Optional[np.ndarray]) -> pd.DataFrame:
@@ -693,6 +709,12 @@ class Searcher:
                         f"{got} != {crc}"
                     )
             if qterms is not None:
+                # the positions payload gets the same verify-before-decode
+                # treatment as every scoring path
+                for pb, pcrc in zip(pdf["pos_bin"], pdf["pos_crc32"]):
+                    if zlib.crc32(pb) != pcrc:
+                        raise IOError(
+                            f"positions CRC mismatch in segment {key[0]}")
                 rows = list(zip(pdf["term"], pdf["n"], pdf["doc_ids_bin"],
                                 pdf["tfs_bin"], pdf["dls_bin"],
                                 pdf["pos_bin"]))

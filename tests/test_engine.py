@@ -1298,6 +1298,9 @@ def test_count_total_hits(searcher):
     full_one = searcher.search_ids(one, k=n, case_id=cid, prune=False)
     # metadata fast path (df) must agree with the exhaustive ranking
     assert searcher.count(one, case_id=cid) == len(full_one)
+    # ^boost syntax parses instead of tokenizing into a bogus term —
+    # boosts weight scores, so the match COUNT is unchanged
+    assert searcher.count(f"{one}^2", case_id=cid) == len(full_one)
 
     # filter context: count only allowed docs
     got = searcher.count(term, case_id=cid, mode="any",
