@@ -195,6 +195,27 @@ SELECT doc_id, round(s, 4) AS score_r FROM sc ORDER BY s DESC, doc_id LIMIT 10
 # (applicationId, sf_dir) -> source content fingerprint; see _engine_search
 _ENGINE_FP_CACHE: dict = {}
 
+# (applicationId, index_dir, at_version) -> Searcher.  The Lucene
+# open-IndexReader analog: a Searcher holds only index METADATA (corpus
+# stats, term-df cache, table frames) — never query results — and its
+# default on_stale="refresh" re-loads whenever the on-disk index changes
+# (manifest stat check per search), so reuse is always consistent.
+# Re-constructing one per op invocation re-ran the corpus_stats collect and
+# manifest/commit walks every time — pure fixed overhead at bench/driver
+# time.  Keyed by applicationId so a new Spark session starts clean.
+_SEARCHER_CACHE: dict = {}
+
+
+def _get_searcher(spark, index_dir: str, at_version=None):
+    from pysearch.query import Searcher
+
+    key = (spark.sparkContext.applicationId, index_dir, at_version)
+    s = _SEARCHER_CACHE.get(key)
+    if s is None:
+        s = Searcher(spark, index_dir, at_version=at_version)
+        _SEARCHER_CACHE[key] = s
+    return s
+
 
 def _source_fingerprint(docs) -> str:
     """Content fingerprint of the engine source table: count + an
@@ -257,6 +278,15 @@ def _ensure_engine_index(spark, sf_dir):
 
     layout = IndexLayout(index_dir)
     m = layout.read_manifest()
+    if (m.get("format_version") == INDEX_FORMAT_VERSION
+            and m.get("analyzer") == "simple" and m.get("positions")
+            and m.get("source_fp") == fp
+            and m.get("stages", {}).get("finalize", {}).get("done")):
+        # complete index over exactly this source: nothing for
+        # build_index(resume=True) to do — returning here skips its
+        # recovery sweep (staging GC + a lineage-table Spark job per
+        # invocation, measured ~0.3s of pure overhead per engine op)
+        return index_dir, fp
     if m and (m.get("format_version") != INDEX_FORMAT_VERSION
               or m.get("analyzer") != "simple" or m.get("source_fp") != fp
               or not m.get("positions")):
@@ -284,9 +314,7 @@ def _search_to_source_ids(spark, index_dir, mode: str, terms=None,
     never reaches the driver)."""
     from pyspark.sql import functions as F
 
-    from pysearch.query import Searcher
-
-    s = Searcher(spark, index_dir, at_version=at_version)
+    s = _get_searcher(spark, index_dir, at_version=at_version)
     fd = None
     if filter_source is not None:
         urls = filter_source.select(
@@ -596,10 +624,8 @@ def t1_engine_count(spark, sf_dir):
     reach the driver (and a single-term unfiltered count short-circuits
     to term_stats df metadata with no decode at all).  Value-checked
     against a DuckDB COUNT(DISTINCT) over the same deduped corpus."""
-    from pysearch.query import Searcher
-
     index_dir, _fp = _ensure_engine_index(spark, sf_dir)
-    s = Searcher(spark, index_dir)
+    s = _get_searcher(spark, index_dir)
     n = s.count(" ".join(_BM25_TERMS), case_id="0", mode="any")
     return spark.createDataFrame([(n,)], "n_hits long")
 
@@ -812,10 +838,8 @@ def t1_engine_suggest_top3(spark, sf_dir):
     the length-band prefilter pushed to the scan and the per-term cap
     applied IN Spark.  Value-checked against a DuckDB levenshtein sweep
     of the same deduped corpus's vocabulary."""
-    from pysearch.query import Searcher
-
     index_dir, _fp = _ensure_engine_index(spark, sf_dir)
-    s = Searcher(spark, index_dir)
+    s = _get_searcher(spark, index_dir)
     return s.suggest(list(_SUGGEST_TERMS), case_id="0")
 
 
@@ -872,13 +896,11 @@ def t1_engine_mlt_top10(spark, sf_dir):
     same deduped corpus."""
     from pyspark.sql import functions as F
 
-    from pysearch.query import Searcher
-
     index_dir, _fp = _ensure_engine_index(spark, sf_dir)
     text = (_t(spark, sf_dir, "documents")
             .filter(F.col("doc_id") == _MLT_DOC_ID)
             .select("text").collect()[0]["text"])
-    s = Searcher(spark, index_dir)
+    s = _get_searcher(spark, index_dir)
     hits = s.more_like_this(text, k=10, case_id="0",
                             max_query_terms=_MLT_TERMS_N)
     hits_df = spark.createDataFrame(
@@ -1030,6 +1052,11 @@ def _ensure_nrt_base_index(spark, sf_dir):
     want = f"{fp}|nrtbase%{_NRT_MOD}"
     layout = IndexLayout(index_dir)
     m = layout.read_manifest()
+    if (m.get("format_version") == INDEX_FORMAT_VERSION
+            and m.get("analyzer") == "simple"
+            and m.get("source_fp") == want
+            and m.get("stages", {}).get("finalize", {}).get("done")):
+        return index_dir  # complete over this split — skip the resume sweep
     if m and (m.get("format_version") != INDEX_FORMAT_VERSION
               or m.get("analyzer") != "simple"
               or m.get("source_fp") != want):
@@ -1053,13 +1080,12 @@ def st_nrt_bm25_top10(spark, sf_dir):
     tests/test_nrt.py)."""
     from pyspark.sql import functions as F
 
-    from pysearch.query import Searcher
     from pysearch.streaming import search_with_arrivals
 
     index_dir = _ensure_nrt_base_index(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     _base, arrivals = _nrt_split(docs)
-    s = Searcher(spark, index_dir)
+    s = _get_searcher(spark, index_dir)
     res = search_with_arrivals(s, arrivals, {"q": " ".join(_BM25_TERMS)},
                                k=10, case_id="0")
     sdf = spark.createDataFrame(
@@ -1409,7 +1435,16 @@ def dd_minhash_pairs(spark, sf_dir):
     )
 
 
-def dup_clusters(edges, max_iters: int = 32):
+DUP_CLUSTERS_LOCAL_MAX_EDGES = 1_000_000  # below this, the edge list is a
+# few MB: collect it once and run union-find on the driver (2 jobs total)
+# instead of O(log n) pointer-jumping rounds of 2 jobs each — the same
+# size-gated strategy choice as a broadcast join, with identical output
+# (min-doc_id component labels; pinned by test).  Above the gate the
+# distributed pointer-jumping path runs unchanged.
+
+
+def dup_clusters(edges, max_iters: int = 32,
+                 local_max_edges: int = DUP_CLUSTERS_LOCAL_MAX_EDGES):
     """Connected components over an undirected near-dup PAIR list — the
     step a dedup pipeline needs after pair generation (minhash/simhash
     band pairs give edges; keep-one-per-cluster needs components).
@@ -1419,23 +1454,78 @@ def dup_clusters(edges, max_iters: int = 32):
     pair, cluster_id = the component's minimum doc_id (deterministic
     canonical representative).
 
-    Scale shape: min-label propagation PLUS pointer jumping per round —
-    each round every node takes min(own label, neighbor labels), then
-    shortcuts to its label's label.  Pointer jumping halves label-tree
-    depth per round, so convergence is O(log n) rounds even on adversarial
-    chain components (plain propagation is O(diameter)); each round is two
-    key-partitioned shuffles of (long, long) rows and the per-round
-    convergence probe is a limit(1) existence check, not a full count.
-    Lineage is truncated per round (localCheckpoint) so the plan stays
-    O(1) deep.  This is the alternating small-star/large-star recipe of
-    the MapReduce connected-components literature, expressed in DataFrame
-    joins."""
+    Execution strategy is size-gated like a join: the edge list is
+    materialized once (persist + count); at or under ``local_max_edges``
+    it is fetched to the driver (bounded — ~16 bytes/edge, the broadcast-
+    build-side class) and solved with path-compressed union-find in one
+    pass, which replaces O(log n) Spark rounds of fixed job latency with
+    two jobs total.  Above the gate, the distributed path: min-label
+    propagation PLUS pointer jumping per round — each round every node
+    takes min(own label, neighbor labels), then shortcuts to its label's
+    label.  Pointer jumping halves label-tree depth per round, so
+    convergence is O(log n) rounds even on adversarial chain components
+    (plain propagation is O(diameter)); each round is two key-partitioned
+    shuffles of (long, long) rows and the per-round convergence probe is
+    a limit(1) existence check, not a full count.  Lineage is truncated
+    per round (localCheckpoint) so the plan stays O(1) deep.  This is the
+    alternating small-star/large-star recipe of the MapReduce
+    connected-components literature, expressed in DataFrame joins.  Both
+    paths produce identical labels (pinned by test)."""
+    import numpy as np
     from pyspark.sql import functions as F
 
+    e = edges.select("a", "b").persist()
+    try:
+        n_edges = e.count()
+    except Exception:
+        e.unpersist()
+        raise
+    if n_edges <= local_max_edges:
+        try:
+            pdf = e.toPandas()
+        finally:
+            e.unpersist()
+        spark = edges.sparkSession
+        if not len(pdf):
+            return spark.createDataFrame([], "doc_id long, cluster_id long")
+        a = pdf["a"].to_numpy(np.int64)
+        b = pdf["b"].to_numpy(np.int64)
+        nodes = np.unique(np.concatenate([a, b]))
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        parent = np.arange(nodes.size, dtype=np.int64)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for x, y in zip(a, b):
+            rx, ry = find(idx[int(x)]), find(idx[int(y)])
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        roots = np.fromiter((find(i) for i in range(nodes.size)),
+                            dtype=np.int64, count=nodes.size)
+        # nodes is ascending, so the first node seen per root is the
+        # component minimum — the same canonical label the distributed
+        # min-label propagation converges to
+        min_label: dict = {}
+        labels = np.empty(nodes.size, dtype=np.int64)
+        for i in range(nodes.size):
+            r = int(roots[i])
+            if r not in min_label:
+                min_label[r] = int(nodes[i])
+            labels[i] = min_label[r]
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": nodes, "cluster_id": labels}),
+            "doc_id long, cluster_id long")
+
     und = (
-        edges.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionByName(
-            edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+            e.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
         .repartition("node")
         .persist()
     )
@@ -1487,6 +1577,7 @@ def dup_clusters(edges, max_iters: int = 32):
                              F.col("lbl").alias("cluster_id"))
     finally:
         und.unpersist()
+        e.unpersist()
 
 
 @op("dd_dup_clusters", f"""
@@ -1809,7 +1900,9 @@ def dd_simhash(spark, sf_dir):
     (tools/simhash_ab.py, same-session A/B/C at sf0.1): this beats both the
     32-conditional-sum codegen aggregate (r2 version, median 2.02s) and the
     32x explode+sum form (r1 version, 2.00s) at 1.44s, with identical
-    values.  Scale shape: shuffle volume is one 12-byte row per distinct
+    values; an r6 A/B additionally rejected a groupBy(doc).collect_set
+    one-exchange form (arrow array overhead outweighed the saved exchange
+    at sf0.1).  Scale shape: shuffle volume is one 12-byte row per distinct
     (doc, term); per-partition state is 32 int64 per doc in the partition,
     bounded by the shuffle partition count."""
     import numpy as np

@@ -40,6 +40,19 @@ PRUNE_FIRST_SEGMENTS = 8  # segments scored in phase 1 to establish θ
 PRUNE_MIN_POSTINGS = 1_000_000  # below this, one-pass scoring beats the
 # extra bound/θ jobs on a warm local cluster; real serving deployments with
 # cold storage set this lower
+LOCAL_MAX_POSTINGS = 500_000  # below this candidate volume, the packed
+# blocks are collected (one scan-only Spark job, no exchange, no Python
+# worker round trip) and scored on the driver with the SAME per-segment
+# kernels — a distributed scoring job's fixed latency (shuffle + pandas
+# worker spin-up + result fetch) dominates when the candidate payload is a
+# few MB.  500k postings is ~3 MB packed (and bounds driver work at O(query
+# candidate volume), the same class as the hit set itself); queries above
+# the gate — and every filtered query, whose allowed set is distributed —
+# take the distributed path unchanged.  Results are bit-identical by
+# construction (same decode, same kernels, same merge order; pinned by
+# test).  PYSEARCH_LOCAL_MAX_POSTINGS overrides (0 disables — the right
+# setting when driver<->storage bandwidth is poor, e.g. remote object
+# store).
 MAX_PENDING_TOMBSTONES = 10_000_000  # pending (uncompacted) deletes a
 # Searcher will ship to executors inside scoring closures (~80 MB of int64
 # per case above this).  The Lucene-style operating rule is "compact before
@@ -247,6 +260,8 @@ class Searcher:
         self._df_cache = {}
         if not hasattr(self, "prune_min_postings"):
             self.prune_min_postings = PRUNE_MIN_POSTINGS  # tests: 0 forces
+            self.local_max_postings = int(os.environ.get(
+                "PYSEARCH_LOCAL_MAX_POSTINGS", LOCAL_MAX_POSTINGS))
             # diagnostics: when True, _prune_blocks records candidate-vs-
             # scored block counts (extra metadata jobs; test-only)
             self.count_scored_blocks = False
@@ -443,6 +458,143 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------
+    # driver-local scoring fast path (small candidate volumes).
+    #
+    # A distributed scoring job pays fixed latency — scan task scheduling,
+    # a segment_id exchange, pandas-worker round trips, result fetch — that
+    # dwarfs the arithmetic when the query's candidate postings are a few
+    # MB packed.  Below the LOCAL_MAX_POSTINGS gate the blocks are fetched
+    # with ONE scan-only job (partition/row-group pruning still applies;
+    # no exchange, no Python workers) and scored in-process with the SAME
+    # per-segment kernels, so results are bit-identical by construction
+    # (pinned by test).  Driver work/memory is bounded by the gate —
+    # O(candidate volume), the same class as a broadcast join's build side.
+    # Filtered queries (distributed allowed set) and pruned queries always
+    # take the distributed path.
+
+    _LOCAL_COLS = ("segment_id", "term", "n", "doc_ids_bin", "tfs_bin",
+                   "dls_bin", "crc32")
+    _LOCAL_COLS_POS = _LOCAL_COLS + ("pos_bin", "pos_crc32")
+
+    def _use_local(self, vol: int, prune: bool = False,
+                   allowed_df=None) -> bool:
+        """True when the driver-local scoring path applies: candidate
+        volume under the gate, no distributed filter context, and the
+        block-max prune not in play (tests force pruning with
+        prune_min_postings=0; the prune gate wins so pruning paths stay
+        exercised)."""
+        return (allowed_df is None
+                and 0 < self.local_max_postings
+                and vol <= self.local_max_postings
+                and not (prune and vol > self.prune_min_postings))
+
+    def _collect_blocks(self, blocks_df, positions: bool = False):
+        """One scan-only job: fetch the candidate blocks' packed payloads
+        to the driver (bounded by the local_max_postings gate), CRC-verified
+        exactly like the distributed scorers."""
+        import zlib
+
+        cols = self._LOCAL_COLS_POS if positions else self._LOCAL_COLS
+        pdf = blocks_df.select(*cols).toPandas()
+        for ib, tb, db, crc in zip(pdf["doc_ids_bin"], pdf["tfs_bin"],
+                                   pdf["dls_bin"], pdf["crc32"]):
+            got = zlib.crc32(ib) ^ zlib.crc32(tb) ^ zlib.crc32(db)
+            if got != crc:
+                raise IOError(
+                    f"posting block CRC mismatch: {got} != {crc}")
+        if positions:
+            for pb, pcrc in zip(pdf["pos_bin"], pdf["pos_crc32"]):
+                if zlib.crc32(pb) != pcrc:
+                    raise IOError("position payload CRC mismatch")
+        return pdf
+
+    @staticmethod
+    def _merge_local_topk(ids_all, scores_all, k: int) -> pd.DataFrame:
+        if not ids_all:
+            return pd.DataFrame(columns=["doc_id", "score"])
+        ids = np.concatenate(ids_all)
+        scores = np.concatenate(scores_all)
+        o = np.lexsort((ids, -scores))[:k]
+        return pd.DataFrame({"doc_id": ids[o], "score": scores[o]})
+
+    def _score_blocks_local(self, blocks_df, idfs, qtf, avgdl, k,
+                            require: int = 0,
+                            exclude: Optional[np.ndarray] = None,
+                            qterms: Optional[List[str]] = None,
+                            window: Optional[int] = None,
+                            must_terms=None, not_terms=None) -> pd.DataFrame:
+        """Driver-local counterpart of _score_blocks /
+        _score_blocks_phrase / _score_blocks_boolean: same per-segment
+        kernels, same (score desc, doc_id asc) merge."""
+        phrase = qterms is not None
+        pdf = self._collect_blocks(blocks_df, positions=phrase)
+        ids_all: List[np.ndarray] = []
+        scores_all: List[np.ndarray] = []
+        for _seg, g in pdf.groupby("segment_id", sort=False):
+            if phrase:
+                rows = list(zip(g["term"], g["n"], g["doc_ids_bin"],
+                                g["tfs_bin"], g["dls_bin"], g["pos_bin"]))
+                ids, scores = sc.score_segment_blocks_phrase(
+                    rows, idfs, qterms, qtf, avgdl, k, exclude=exclude,
+                    window=window)
+            else:
+                rows = list(zip(g["term"], g["n"], g["doc_ids_bin"],
+                                g["tfs_bin"], g["dls_bin"]))
+                if must_terms is not None or not_terms is not None:
+                    ids, scores = sc.score_segment_blocks_boolean(
+                        rows, idfs, qtf, avgdl, k,
+                        must_terms=must_terms or (),
+                        not_terms=not_terms or (), exclude=exclude)
+                else:
+                    ids, scores = sc.score_segment_blocks(
+                        rows, idfs, qtf, avgdl, k, require_terms=require,
+                        exclude=exclude)
+            if ids.size:
+                ids_all.append(ids)
+                scores_all.append(scores)
+        return self._merge_local_topk(ids_all, scores_all, k)
+
+    def _many_pass_local(self, blocks_df, plans: Dict[str, tuple],
+                         avgdl: float, k: int, mode: str,
+                         excl: Optional[np.ndarray]) -> pd.DataFrame:
+        """Driver-local counterpart of _many_pass: shared decode per
+        segment via the multi-plan kernels, per-query merge in the same
+        (qid asc, score desc, doc_id asc) order."""
+        phrase = mode in ("phrase", "near")
+        pdf = self._collect_blocks(blocks_df, positions=phrase)
+        per_ids: Dict[str, List[np.ndarray]] = {}
+        per_scores: Dict[str, List[np.ndarray]] = {}
+        for _seg, g in pdf.groupby("segment_id", sort=False):
+            if phrase:
+                rows = list(zip(g["term"], g["n"], g["doc_ids_bin"],
+                                g["tfs_bin"], g["dls_bin"], g["pos_bin"]))
+                qids, ids_l, scores_l = sc.score_segment_blocks_multi_phrase(
+                    rows, plans, avgdl, k, exclude=excl)
+            else:
+                rows = list(zip(g["term"], g["n"], g["doc_ids_bin"],
+                                g["tfs_bin"], g["dls_bin"]))
+                if mode == "boolean":
+                    qids, ids_l, scores_l = (
+                        sc.score_segment_blocks_multi_boolean(
+                            rows, plans, avgdl, k, exclude=excl))
+                else:
+                    qids, ids_l, scores_l = sc.score_segment_blocks_multi(
+                        rows, plans, avgdl, k, exclude=excl)
+            for qid, i, s in zip(qids, ids_l, scores_l):
+                per_ids.setdefault(qid, []).append(i)
+                per_scores.setdefault(qid, []).append(s)
+        frames = []
+        for qid in sorted(per_ids):
+            ids = np.concatenate(per_ids[qid])
+            scores = np.concatenate(per_scores[qid])
+            o = np.lexsort((ids, -scores))[:k]
+            frames.append(pd.DataFrame({
+                "qid": qid, "doc_id": ids[o], "score": scores[o]}))
+        if not frames:
+            return pd.DataFrame(columns=["qid", "doc_id", "score"])
+        return pd.concat(frames, ignore_index=True)
+
+    # ------------------------------------------------------------------
     def _analyze_query(self, query: str):
         terms = self._analyze(query)
         return terms, Counter(terms)
@@ -614,17 +766,29 @@ class Searcher:
 
         excl = self._tombstones.get(case_id)
         allowed = self._allowed_df(case_id, filter, filter_docs)
+        vol = sum(dfs[t] for t in live)
         if mode in ("phrase", "near"):
-            pdf = self._score_blocks_phrase(
-                blocks, idfs, terms, qtf, avgdl, k_fetch, exclude=excl,
-                window=window if mode == "near" else None,
-                allowed_df=allowed)
+            if self._use_local(vol, allowed_df=allowed):
+                pdf = self._score_blocks_local(
+                    blocks, idfs, qtf, avgdl, k_fetch, exclude=excl,
+                    qterms=terms,
+                    window=window if mode == "near" else None)
+            else:
+                pdf = self._score_blocks_phrase(
+                    blocks, idfs, terms, qtf, avgdl, k_fetch, exclude=excl,
+                    window=window if mode == "near" else None,
+                    allowed_df=allowed)
+            return pdf.iloc[offset:offset + k].reset_index(drop=True)
+
+        if self._use_local(vol, prune=prune, allowed_df=allowed):
+            pdf = self._score_blocks_local(blocks, idfs, qtf, avgdl,
+                                           k_fetch, require, exclude=excl)
             return pdf.iloc[offset:offset + k].reset_index(drop=True)
 
         # pruning pays for itself only when there is real volume to skip;
         # df is already known, so gate on total candidate postings
         p1_pdf = None
-        if prune and sum(dfs[t] for t in live) > self.prune_min_postings:
+        if prune and vol > self.prune_min_postings:
             blocks, p1_pdf, allowed = self._prune_blocks(
                 blocks, idfs, qtf, avgdl, k_fetch, require, exclude=excl,
                 allowed_df=allowed)
@@ -691,6 +855,23 @@ class Searcher:
             & F.col("term_bucket").isin(self._bucket_lit(buckets))
             & F.col("term").isin(live)
         )
+        if self._use_local(sum(dfs[t] for t in live), allowed_df=allowed):
+            # same one-scan fetch + per-segment count kernel, in-process
+            pdf = self._collect_blocks(blocks, positions=qterms is not None)
+            total = 0
+            for _seg, g in pdf.groupby("segment_id", sort=False):
+                if qterms is not None:
+                    rows = list(zip(g["term"], g["n"], g["doc_ids_bin"],
+                                    g["tfs_bin"], g["dls_bin"],
+                                    g["pos_bin"]))
+                else:
+                    rows = list(zip(g["term"], g["n"], g["doc_ids_bin"],
+                                    g["tfs_bin"], g["dls_bin"]))
+                total += sc.count_segment_docs(rows, live, require=require,
+                                               exclude=excl, allow=None,
+                                               qterms=qterms, window=win)
+            return total
+
         cols = ["segment_id", "term", "n", "doc_ids_bin", "tfs_bin",
                 "dls_bin", "crc32"]
         if qterms is not None:
@@ -811,10 +992,16 @@ class Searcher:
             & F.col("term").isin(scan_terms)
         )
         excl = self._tombstones.get(case_id)
-        pdf = self._score_blocks_boolean(
-            blocks, idfs, qtf, avgdl, k + offset, must_terms=must_live,
-            not_terms=not_live, exclude=excl,
-            allowed_df=self._allowed_df(case_id, filter, filter_docs))
+        allowed = self._allowed_df(case_id, filter, filter_docs)
+        if self._use_local(sum(dfs[t] for t in scan_terms),
+                           allowed_df=allowed):
+            pdf = self._score_blocks_local(
+                blocks, idfs, qtf, avgdl, k + offset, exclude=excl,
+                must_terms=must_live, not_terms=not_live)
+        else:
+            pdf = self._score_blocks_boolean(
+                blocks, idfs, qtf, avgdl, k + offset, must_terms=must_live,
+                not_terms=not_live, exclude=excl, allowed_df=allowed)
         return pdf.iloc[offset:offset + k].reset_index(drop=True)
 
     def expand_fuzzy(self, case_id: str,
@@ -997,6 +1184,12 @@ class Searcher:
         excl = self._tombstones.get(case_id)
         allowed = self._allowed_df(case_id, filter, filter_docs)
         k_fetch = k + offset
+        if self._use_local(sum(dfs.values()), prune=prune,
+                           allowed_df=allowed):
+            pdf = self._score_blocks_local(blocks, idfs, qtf, avgdl,
+                                           k_fetch, 0, exclude=excl)
+            pdf = pdf.iloc[offset:offset + k].reset_index(drop=True)
+            return (pdf, expanded) if return_expansion else pdf
         p1_pdf = None
         if prune and sum(dfs.values()) > self.prune_min_postings:
             blocks, p1_pdf, allowed = self._prune_blocks(
@@ -1132,6 +1325,10 @@ class Searcher:
             & F.col("term").isin(sel)
         )
         excl = self._tombstones.get(case_id)
+        if self._use_local(sum(dfs_all[t] for t in sel), prune=prune):
+            pdf = self._score_blocks_local(blocks, idfs, qtf, avgdl, k, 0,
+                                           exclude=excl)
+            return (pdf, sel) if return_terms else pdf
         p1_pdf = None
         if prune and sum(dfs_all[t] for t in sel) > self.prune_min_postings:
             blocks, p1_pdf, _ = self._prune_blocks(blocks, idfs, qtf, avgdl,
@@ -1207,11 +1404,12 @@ class Searcher:
         n_docs, avgdl, _sum_dl = self._corpus[case_id]
 
         if mode == "boolean":
-            plans = self._boolean_plans(queries, case_id, n_docs)
+            plans, vol = self._boolean_plans(queries, case_id, n_docs)
             if not plans:
                 return empty
             return self._score_many_blocks(plans, avgdl, case_id, k, mode,
-                                           prune=False)
+                                           prune=False,
+                                           local=self._use_local(vol))
 
         parsed = {qid: parse_boosts(q) for qid, q in queries.items()}
         analyzed = {qid: self._analyze_query(q)
@@ -1244,11 +1442,12 @@ class Searcher:
         # summed over the SURVIVING plans' terms — a dropped query's terms
         # are never scanned, so they must not tip the gate
         plan_terms = {t for p in plans.values() for t in p[0]}
+        vol = sum(dfs[t] for t in plan_terms)
         do_prune = (prune and mode in ("any", "all")
-                    and sum(dfs[t] for t in plan_terms)
-                    > self.prune_min_postings * len(plans))
-        return self._score_many_blocks(plans, avgdl, case_id, k, mode,
-                                       prune=do_prune)
+                    and vol > self.prune_min_postings * len(plans))
+        return self._score_many_blocks(
+            plans, avgdl, case_id, k, mode, prune=do_prune,
+            local=(not do_prune) and self._use_local(vol))
 
     def _boolean_plans(self, queries: Dict[str, str], case_id: str,
                        n_docs: int) -> Dict[str, tuple]:
@@ -1258,7 +1457,9 @@ class Searcher:
         Clause semantics are search_ids_boolean's: a query with a
         corpus-absent MUST term or no live positive clause drops (it
         yields no rows); absent should terms drop; absent must_not terms
-        are no-ops."""
+        are no-ops.  Returns (plans, candidate_postings_volume) — the
+        volume over the surviving plans' scanned terms feeds the
+        driver-local fast-path gate."""
         parts: Dict[str, tuple] = {}
         union: set = set()
         for qid, q in queries.items():
@@ -1288,11 +1489,14 @@ class Searcher:
                 {t: sc.idf(n_docs, dfs[t]) for t in live}, rb, None)
             plans[qid] = (idfs, dict(Counter(pos)), tuple(must_live),
                           tuple(t for t in not_terms if t in dfs))
-        return plans
+        scan = {t for p in plans.values() for t in p[0]} \
+            | {t for p in plans.values() for t in p[3]}
+        return plans, sum(dfs[t] for t in scan)
 
     def _score_many_blocks(self, plans: Dict[str, tuple], avgdl: float,
                            case_id: str, k: int, mode: str,
-                           prune: bool = False) -> pd.DataFrame:
+                           prune: bool = False,
+                           local: bool = False) -> pd.DataFrame:
         """ONE partition-pruned postings scan scoring every prebuilt plan;
         the shared engine of ``search_ids_many`` and the NRT hybrid's
         batched index side (streaming.search_with_arrivals, which injects
@@ -1316,6 +1520,9 @@ class Searcher:
         )
 
         excl = self._tombstones.get(case_id)
+        if local and not prune:
+            return self._many_pass_local(blocks, plans, avgdl, k, mode,
+                                         excl)
         p1_pdf = None
         if prune and mode in ("any", "all"):
             blocks, p1_pdf = self._prune_many_blocks(blocks, plans, avgdl,

@@ -174,14 +174,16 @@ def _dedupe_batch(df):
     bodies for id/dedupe work); winners join back broadcast/AQE-sized.
     Returns (url, text)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     proj = df.select("url", "content_hash")
-    w_hash = Window.partitionBy("content_hash").orderBy("url")
-    w_url = Window.partitionBy("url").orderBy("content_hash")
+    # min-aggregates, not rank windows: a groupBy(min) partially aggregates
+    # map-side before the exchange and needs no per-partition sort, while
+    # picking the SAME winners — "keep the row whose url is the min of its
+    # hash group" == one (hash -> min url) row per group, then "min hash
+    # per url among those" == the second aggregate
     winners = (
-        proj.withColumn("_r", F.row_number().over(w_hash)).filter("_r = 1")
-        .withColumn("_r2", F.row_number().over(w_url)).filter("_r2 = 1")
+        proj.groupBy("content_hash").agg(F.min("url").alias("url"))
+        .groupBy("url").agg(F.min("content_hash").alias("content_hash"))
         .select("url", "content_hash")
     )
     # rows equal on (url, hash) are identical by the content-hash contract,
@@ -552,13 +554,14 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
             idx_plans[qid] = (idfs_idx, dict(qtf), require)
     idx_hits: dict = {}
     if idx_plans:
+        vol_idx = sum(dfs_idx.get(t, 0) for t in union_terms)
         do_prune = (
             prune and mode in ("any", "all")
-            and sum(dfs_idx.get(t, 0) for t in union_terms)
-            > searcher.prune_min_postings * len(idx_plans)
+            and vol_idx > searcher.prune_min_postings * len(idx_plans)
         )
-        many = searcher._score_many_blocks(idx_plans, avgdl, case_id, k,
-                                           mode, prune=do_prune)
+        many = searcher._score_many_blocks(
+            idx_plans, avgdl, case_id, k, mode, prune=do_prune,
+            local=(not do_prune) and searcher._use_local(vol_idx))
         for r in many.itertuples(index=False):
             idx_hits.setdefault(r.qid, []).append(
                 (int(r.doc_id), float(r.score)))

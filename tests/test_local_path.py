@@ -1,0 +1,115 @@
+"""Driver-local small-volume scoring fast path (r6 optimization): results
+must be bit-identical to the distributed path across every query mode —
+same decode, same per-segment kernels, same merge order — and the
+size-gated union-find in dup_clusters must label components identically to
+the distributed pointer-jumping path."""
+
+import random
+
+import pytest
+
+from pysearch.query import Searcher
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark):
+    """Small positions-enabled index so phrase/near modes are testable."""
+    import shutil
+
+    from pysearch import corpus
+    from pysearch.build import build_index
+
+    index_dir = "/tmp/pysearch_test_index_localpath"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    df = corpus.webtext_df(spark, cases=[(7, "a cornucopia of", 1200, 200)])
+    build_index(spark, df, index_dir, segment_size=128,
+                store_positions=True)
+    return index_dir
+
+
+@pytest.fixture()
+def two_paths(spark, pos_index):
+    """(local-path searcher, forced-distributed searcher) over one index."""
+    s_local = Searcher(spark, pos_index)
+    assert s_local.local_max_postings > 0  # default gate admits this corpus
+    s_dist = Searcher(spark, pos_index)
+    s_dist.local_max_postings = 0  # force the distributed path
+    return s_local, s_dist
+
+
+QUERIES = ["a cornucopia of", "cornucopia", "be the person who",
+           "a cornucopia of software"]
+
+
+def _eq(a, b):
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True)), \
+        f"local vs distributed mismatch:\n{a}\nvs\n{b}"
+
+
+def test_local_matches_distributed_modes(two_paths):
+    s_local, s_dist = two_paths
+    for q in QUERIES:
+        for mode, kw in [("any", {}), ("all", {}), ("phrase", {}),
+                         ("near", {"window": 3})]:
+            _eq(s_local.search_ids(q, k=10, case_id="7", mode=mode, **kw),
+                s_dist.search_ids(q, k=10, case_id="7", mode=mode, **kw))
+
+
+def test_local_matches_distributed_boolean_fuzzy_offset(two_paths):
+    s_local, s_dist = two_paths
+    q = "+cornucopia -software of"
+    _eq(s_local.search_ids(q, k=10, case_id="7", mode="boolean"),
+        s_dist.search_ids(q, k=10, case_id="7", mode="boolean"))
+    q = "cornucopi~1 softw*"
+    _eq(s_local.search_ids(q, k=10, case_id="7", mode="fuzzy"),
+        s_dist.search_ids(q, k=10, case_id="7", mode="fuzzy"))
+    _eq(s_local.search_ids("a cornucopia of", k=10, case_id="7", offset=7),
+        s_dist.search_ids("a cornucopia of", k=10, case_id="7", offset=7))
+
+
+def test_local_matches_distributed_count(two_paths):
+    s_local, s_dist = two_paths
+    for mode, kw in [("any", {}), ("all", {}), ("phrase", {}),
+                     ("near", {"window": 2})]:
+        assert (s_local.count("a cornucopia of", case_id="7", mode=mode, **kw)
+                == s_dist.count("a cornucopia of", case_id="7", mode=mode,
+                                **kw))
+
+
+def test_local_matches_distributed_batched(two_paths):
+    s_local, s_dist = two_paths
+    qs = {f"q{i}": q for i, q in enumerate(QUERIES)}
+    for mode, kw in [("any", {}), ("all", {}), ("phrase", {}),
+                     ("near", {"window": 3})]:
+        _eq(s_local.search_ids_many(qs, k=10, case_id="7", mode=mode, **kw),
+            s_dist.search_ids_many(qs, k=10, case_id="7", mode=mode, **kw))
+    bqs = {"b0": "+cornucopia of", "b1": "+cornucopia -software of"}
+    _eq(s_local.search_ids_many(bqs, k=10, case_id="7", mode="boolean"),
+        s_dist.search_ids_many(bqs, k=10, case_id="7", mode="boolean"))
+
+
+def test_local_gate_rejects_filter_context(two_paths):
+    """A filter context keeps the distributed cogroup path (the allowed set
+    is a distributed DataFrame) — and gives identical results."""
+    s_local, s_dist = two_paths
+    fd = s_local.docs.filter("case_id = '7' and doc_id % 2 = 1") \
+        .select("doc_id")
+    _eq(s_local.search_ids("a cornucopia of", k=10, case_id="7",
+                           filter_docs=fd),
+        s_dist.search_ids("a cornucopia of", k=10, case_id="7",
+                          filter_docs=fd))
+
+
+def test_dup_clusters_local_matches_distributed(spark):
+    from pysearch.ops import dup_clusters
+
+    rng = random.Random(11)
+    nodes = list(range(400))
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in (rng.sample(nodes, 2) for _ in range(300))})
+    df = spark.createDataFrame(edges, schema="a long, b long")
+    local = {r["doc_id"]: r["cluster_id"]
+             for r in dup_clusters(df).collect()}
+    dist = {r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(df, local_max_edges=0).collect()}
+    assert local == dist and local
