@@ -53,6 +53,51 @@ LOCAL_MAX_POSTINGS = 500_000  # below this candidate volume, the packed
 # test).  PYSEARCH_LOCAL_MAX_POSTINGS overrides (0 disables — the right
 # setting when driver<->storage bandwidth is poor, e.g. remote object
 # store).
+LOCAL_MAX_VOCAB = 200_000  # term_stats rows under which the per-case
+# vocabulary (term -> df) is fetched ONCE per Searcher load (a bounded
+# metadata collect, ~tens of MB at the gate) and the MultiTermQuery
+# expansions (fuzzy/prefix), spell suggestions, and term-df lookups run
+# driver-side — each previously paid a full Spark job (scan + window +
+# collect) per query over a table that is vocabulary-sized METADATA, the
+# textbook case for a broadcast-style strategy switch.  Values are
+# identical by construction: the local Levenshtein is the classic DP
+# (matching F.levenshtein / DuckDB levenshtein exactly), weights use the
+# same float64 arithmetic, ranking the same (w desc, df desc, term asc)
+# order (pinned by test).  Regexp clauses always keep the Spark path —
+# Java-regex (rlike) and Python-re dialects differ (e.g. \\w), and silent
+# divergence is worse than one job.  PYSEARCH_LOCAL_MAX_VOCAB overrides
+# (0 disables).  Staleness: the cache lives on the Searcher and every
+# refresh/_load drops it.
+
+
+def _lev_batch(q: str, cands) -> "np.ndarray":
+    """Classic Levenshtein distance from ``q`` to every candidate term,
+    vectorized across candidates (DP columns as numpy vectors).  Exactly
+    the textbook recurrence — the same values as Spark ``F.levenshtein``
+    and DuckDB ``levenshtein`` (no transpositions, unit costs)."""
+    n = len(cands)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in cands), dtype=np.int64, count=n)
+    L = int(lens.max())
+    m = len(q)
+    if L == 0:
+        return np.full(n, m, dtype=np.int64)
+    mat = np.zeros((n, L), dtype=np.int64)
+    for i, t in enumerate(cands):
+        mat[i, : len(t)] = [ord(c) for c in t]
+    prev = np.broadcast_to(np.arange(L + 1, dtype=np.int64),
+                           (n, L + 1)).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, m + 1):
+        cur[:, 0] = i
+        neq = (mat != ord(q[i - 1])).astype(np.int64)
+        for j in range(1, L + 1):
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + neq[:, j - 1],
+                       out=cur[:, j])
+        prev, cur = cur, prev
+    return prev[np.arange(n), lens]
 MAX_PENDING_TOMBSTONES = 10_000_000  # pending (uncompacted) deletes a
 # Searcher will ship to executors inside scoring closures (~80 MB of int64
 # per case above this).  The Lucene-style operating rule is "compact before
@@ -258,10 +303,16 @@ class Searcher:
         self.analyzer_name = m.get("analyzer", "en")
         self._analyze, self._analyze_offsets, _ = get_analyzer(self.analyzer_name)
         self._df_cache = {}
+        # per-case {term: df} under the LOCAL_MAX_VOCAB gate (None above
+        # it); dropped on every (re)load so a refreshed Searcher re-reads
+        self._vocab_cache: Dict[str, Optional[dict]] = {}
+        self._term_stats_rows: Optional[int] = None
         if not hasattr(self, "prune_min_postings"):
             self.prune_min_postings = PRUNE_MIN_POSTINGS  # tests: 0 forces
             self.local_max_postings = int(os.environ.get(
                 "PYSEARCH_LOCAL_MAX_POSTINGS", LOCAL_MAX_POSTINGS))
+            self.local_max_vocab = int(os.environ.get(
+                "PYSEARCH_LOCAL_MAX_VOCAB", LOCAL_MAX_VOCAB))
             # diagnostics: when True, _prune_blocks records candidate-vs-
             # scored block counts (extra metadata jobs; test-only)
             self.count_scored_blocks = False
@@ -599,6 +650,30 @@ class Searcher:
         terms = self._analyze(query)
         return terms, Counter(terms)
 
+    def _local_vocab(self, case_id: str) -> Optional[dict]:
+        """The case's whole {term: df} map when the vocabulary fits the
+        LOCAL_MAX_VOCAB gate, else None (decided once per load from a
+        metadata-cheap parquet row count; the map itself is one bounded
+        collect of the term_stats aggregate, cached per case)."""
+        if case_id in self._vocab_cache:
+            return self._vocab_cache[case_id]
+        out = None
+        if self.local_max_vocab > 0:
+            if self._term_stats_rows is None:
+                self._term_stats_rows = self._term_stats.count()
+            if self._term_stats_rows <= self.local_max_vocab:
+                from pyspark.sql import functions as F
+
+                rows = (
+                    self._term_stats.filter(F.col("case_id") == case_id)
+                    # df is additive across append-batch stats commits
+                    .groupBy("term").agg(F.sum("df").alias("df"))
+                    .collect()
+                )
+                out = {r["term"]: int(r["df"]) for r in rows}
+        self._vocab_cache[case_id] = out
+        return out
+
     def _term_dfs(self, case_id: str, terms: List[str]) -> Dict[str, int]:
         from pyspark.sql import functions as F
 
@@ -608,21 +683,28 @@ class Searcher:
             t for t in set(terms) if (case_id, t) not in self._df_cache
         ]
         if missing:
-            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
-            rows = (
-                self._term_stats.filter(
-                    (F.col("case_id") == case_id)
-                    & F.col("term_bucket").isin(self._bucket_lit(buckets))
-                    & F.col("term").isin(missing)
+            vocab = self._local_vocab(case_id)
+            if vocab is not None:
+                for t in missing:  # cache absent terms as df=0 too
+                    self._df_cache[(case_id, t)] = vocab.get(t, 0)
+            else:
+                buckets = sorted({term_bucket(t, self.n_buckets)
+                                  for t in missing})
+                rows = (
+                    self._term_stats.filter(
+                        (F.col("case_id") == case_id)
+                        & F.col("term_bucket").isin(self._bucket_lit(buckets))
+                        & F.col("term").isin(missing)
+                    )
+                    # delta finalize appends one stats commit per append
+                    # batch; df is additive, so a term's df is the SUM
+                    # over commits
+                    .groupBy("term").agg(F.sum("df").alias("df"))
+                    .collect()
                 )
-                # delta finalize appends one stats commit per append batch;
-                # df is additive, so a term's df is the SUM over commits
-                .groupBy("term").agg(F.sum("df").alias("df"))
-                .collect()
-            )
-            found = {r["term"]: int(r["df"]) for r in rows}
-            for t in missing:  # cache absent terms as df=0 too
-                self._df_cache[(case_id, t)] = found.get(t, 0)
+                found = {r["term"]: int(r["df"]) for r in rows}
+                for t in missing:  # cache absent terms as df=0 too
+                    self._df_cache[(case_id, t)] = found.get(t, 0)
         return {
             t: self._df_cache[(case_id, t)]
             for t in set(terms)
@@ -1050,6 +1132,16 @@ class Searcher:
             except _re.error as e:
                 raise ValueError(f"bad regexp clause /{r}/: {e}") from None
             qrows.append((anchored, 0, float(b), "r"))
+        # vocabulary-local rewrite (see LOCAL_MAX_VOCAB): fuzzy/prefix
+        # clauses expand driver-side over the cached {term: df} map with
+        # the same arithmetic and ranking; regexp clauses keep the Spark
+        # job (rlike is Java-regex — a Python-re rewrite could silently
+        # diverge on dialect corners like \w)
+        if not any(kind == "r" for _q, _d, _b, kind in qrows):
+            vocab = self._local_vocab(case_id)
+            if vocab is not None:
+                return self._expand_fuzzy_local(vocab, qrows,
+                                                max_expansions)
         conds = [
             (F.length("term") >= len(q) - d) & (F.length("term") <= len(q) + d)
             & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
@@ -1095,6 +1187,42 @@ class Searcher:
             .collect()
         )
         return {r["term"]: (float(r["w"]), int(r["df"])) for r in rows}
+
+    @staticmethod
+    def _expand_fuzzy_local(vocab: dict, qrows,
+                            max_expansions: int
+                            ) -> "Dict[str, Tuple[float, int]]":
+        """Driver-side MultiTermQuery rewrite over a cached vocabulary —
+        value-identical to the Spark job in :meth:`expand_fuzzy`: classic
+        Levenshtein (``_lev_batch``), weight b * (1 - dist/min(len)) in
+        the same float64 op order, per-clause (w desc, df desc, term asc)
+        cap, cross-clause max-weight dedup."""
+        terms = list(vocab)
+        out: Dict[str, Tuple[float, int]] = {}
+        for q, d, b, kind in qrows:
+            if kind == "f":
+                cand = [t for t in terms if abs(len(t) - len(q)) <= d]
+                dists = _lev_batch(q, cand)
+                sel = []
+                for t, dist in zip(cand, dists):
+                    dist = int(dist)
+                    if dist > d:
+                        continue
+                    minlen = min(len(t), len(q))
+                    w = b * (1.0 - dist / minlen)
+                    if w > 0:  # dist == min length conveys nothing
+                        sel.append((w, vocab[t], t))
+            else:  # kind == "p"
+                if b <= 0:
+                    continue
+                sel = [(b * 1.0, vocab[t], t)
+                       for t in terms if t.startswith(q)]
+            sel.sort(key=lambda r: (-r[0], -r[1], r[2]))
+            for w, df, t in sel[:max_expansions]:
+                prev = out.get(t)
+                if prev is None or w > prev[0]:
+                    out[t] = (w, df)
+        return out
 
     def search_ids_fuzzy(self, query: str, k: int = DEFAULT_MAX_RESULTS,
                          case_id: str = "0", prune: bool = True,
@@ -1237,6 +1365,29 @@ class Searcher:
         if not qs:
             return self.spark.createDataFrame([], schema=schema)
         d = int(max_edits)
+        # vocabulary-local path (see LOCAL_MAX_VOCAB): same candidates,
+        # weights, and (sim desc, df desc, term asc) per-term cap as the
+        # Spark job below, computed driver-side over the cached vocabulary
+        vocab = self._local_vocab(case_id)
+        if vocab is not None:
+            terms_all = list(vocab)
+            rows = []
+            for q in qs:
+                cand = [t for t in terms_all if abs(len(t) - len(q)) <= d]
+                dists = _lev_batch(q, cand)
+                sel = []
+                for t, dist in zip(cand, dists):
+                    dist = int(dist)
+                    if not (1 <= dist <= d):
+                        continue
+                    minlen = min(len(t), len(q))
+                    w = 1.0 - dist / minlen
+                    if w > 0:  # dist == min length conveys nothing
+                        sel.append((w, vocab[t], t, dist))
+                sel.sort(key=lambda r: (-r[0], -r[1], r[2]))
+                rows += [(q, t, dist, df)
+                         for _w, df, t, dist in sel[:int(top)]]
+            return self.spark.createDataFrame(rows, schema=schema)
         conds = [
             (F.length("term") >= len(q) - d) & (F.length("term") <= len(q) + d)
             & (F.levenshtein(F.col("term"), F.lit(q)) <= d)

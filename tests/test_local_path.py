@@ -100,6 +100,36 @@ def test_local_gate_rejects_filter_context(two_paths):
                           filter_docs=fd))
 
 
+def test_vocab_local_expansion_matches_spark(two_paths):
+    """The vocabulary-local MultiTermQuery rewrite and spell suggester
+    must produce exactly the Spark job's expansions/weights/suggestions."""
+    s_local, s_dist = two_paths
+    assert s_local._local_vocab("7") is not None
+    s_dist.local_max_vocab = 0  # force the Spark expansion job
+    assert s_dist._local_vocab("7") is None
+    for fuzzy, prefixes in [
+        ({"cornucopi": (1, 1.0)}, None),
+        ({"cornucopi": (2, 2.0), "softwar": (1, 1.0)}, {"be": 1.5}),
+        ({}, {"softw": 1.0}),
+    ]:
+        a = s_local.expand_fuzzy("7", fuzzy, prefixes=prefixes)
+        b = s_dist.expand_fuzzy("7", fuzzy, prefixes=prefixes)
+        assert a == b, (a, b)
+    # regexp clauses always use the Spark path — both searchers agree
+    a = s_local.expand_fuzzy("7", {}, regexps={"cor.*ia": 1.0})
+    b = s_dist.expand_fuzzy("7", {}, regexps={"cor.*ia": 1.0})
+    assert a == b and a
+    qa = sorted(map(tuple, s_local.suggest(
+        ["cornucopi", "softwore"], case_id="7").collect()))
+    qb = sorted(map(tuple, s_dist.suggest(
+        ["cornucopi", "softwore"], case_id="7").collect()))
+    assert qa == qb and qa
+    _eq(s_local.search_ids("cornucopi~1 softw*", k=10, case_id="7",
+                           mode="fuzzy"),
+        s_dist.search_ids("cornucopi~1 softw*", k=10, case_id="7",
+                          mode="fuzzy"))
+
+
 def test_dup_clusters_local_matches_distributed(spark):
     from pysearch.ops import dup_clusters
 
