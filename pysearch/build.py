@@ -220,7 +220,6 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     caller can overlap those disk writes with the postings compute, which
     only needs the cached ``docs`` DataFrame."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     t0 = time.time()
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism
@@ -292,12 +291,15 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     # feeds the range sampler — cache it so the full input scan + hashing
     # runs exactly once
     proj = df.select("case_id", "url", "content_hash").persist()
-    # content dedupe: one window shuffle of the projection; url dedupe costs
-    # nothing extra — it happens inside the assignment pass where duplicate
-    # urls land adjacent (see _assign_doc_ids)
-    w_hash = Window.partitionBy("case_id", "content_hash").orderBy("url")
+    # content dedupe: one min-AGGREGATE shuffle of the projection (same
+    # winners as a rank window — "the row whose url is the min of its hash
+    # group" == one (hash -> min url) row per group — but a groupBy
+    # partially aggregates map-side and needs no per-partition sort); url
+    # dedupe costs nothing extra — it happens inside the assignment pass
+    # where duplicate urls land adjacent (see _assign_doc_ids)
     winners = (
-        proj.withColumn("_r", F.row_number().over(w_hash)).filter("_r = 1")
+        proj.groupBy("case_id", "content_hash")
+        .agg(F.min("url").alias("url"))
         .select("case_id", "url", "content_hash")
     )
     _dbg("docs: plan built, assigning ids", t0)
@@ -310,14 +312,16 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     # only if any exist, dedupe just those keys — the common no-dup path
     # never shuffles document bodies for this.  Rows equal on
     # (case,url,hash) are identical by the content-hash contract, so the
-    # dropDuplicates is value-deterministic.
-    dup_keys = (
-        proj.groupBy("case_id", "url", "content_hash")
-        .count().filter(F.col("count") > 1)
-        .select("case_id", "url", "content_hash")
-    )
-    dups = dup_keys.limit(1).collect()
-    if dups:
+    # dropDuplicates is value-deterministic.  ONE aggregate job yields both
+    # the duplicate-key existence check and the quarantine-accounting input
+    # count (previously two separate actions over the cached projection).
+    key_counts = proj.groupBy("case_id", "url", "content_hash").count()
+    stat = key_counts.agg(F.sum("count").alias("n_input"),
+                          F.max("count").alias("mx")).collect()[0]
+    n_input = int(stat["n_input"] or 0)
+    if int(stat["mx"] or 0) > 1:
+        dup_keys = key_counts.filter(F.col("count") > 1).select(
+            "case_id", "url", "content_hash")
         clean = df.join(F.broadcast(dup_keys), ["case_id", "url", "content_hash"], "left_anti")
         fixed = df.join(F.broadcast(dup_keys), ["case_id", "url", "content_hash"], "left_semi")
         df = clean.unionByName(
@@ -346,7 +350,6 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     for r in counts:
         key = str(r["case_id"])
         case_counts[key] = case_counts.get(key, 0) + int(r["count"])
-    n_input = proj.count()  # cached; rows that survived the P1 empty filter
     _dbg("docs: dup check + input count done", t0)
 
     def finish():

@@ -268,10 +268,13 @@ def _build_plans(analyzed, dfs, n_docs, mode):
     return plans
 
 
-def _score_mem_topk(toks, plans, avgdl, k):
+def _score_mem_topk(toks, plans, avgdl, k, materialize: bool = True):
     """Score the tokenized (url, dl, term, tf) rows against every plan and
-    return the per-query top-k as a materialized DataFrame
-    (qid, url, score), ties by url ascending."""
+    return the per-query top-k as a DataFrame (qid, url, score), ties by
+    url ascending.  ``materialize=True`` (default) localCheckpoints the
+    result so it survives the caller's ``toks.unpersist()``; callers that
+    collect() while ``toks`` is still persisted pass False and save that
+    extra action."""
     import numpy as np
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -327,13 +330,14 @@ def _score_mem_topk(toks, plans, avgdl, k):
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("url").asc()
     )
-    return (
+    out = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
         .orderBy("qid", F.col("score").desc(), "url")
-        .localCheckpoint()  # materialize before the caller's unpersist
     )
+    # materialize before the caller's unpersist (see docstring)
+    return out.localCheckpoint() if materialize else out
 
 
 def score_arriving_batch(batch_df, queries: dict, k: int = 10,
@@ -416,7 +420,12 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
         plans = _build_plans(analyzed, dfs, n_docs, mode)
         if not plans:
             return empty
-        return _score_mem_topk(toks, plans, avgdl, k)
+        # collect while toks is persisted and hand back a local frame —
+        # one action instead of localCheckpoint + the caller's collect
+        rows = _score_mem_topk(toks, plans, avgdl, k,
+                               materialize=False).collect()
+        return spark.createDataFrame(
+            rows, schema="qid string, url string, score double")
     finally:
         toks.unpersist()
 
@@ -521,10 +530,12 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
         if not plans:
             return empty
 
-        # ---- mem side: all plans in one pass, per-query top-k
+        # ---- mem side: all plans in one pass, per-query top-k (collected
+        # while toks is still persisted — no checkpoint action needed)
         mem_hits: dict = {}
         if n_mem:
-            for r in _score_mem_topk(toks, plans, avgdl, k).collect():
+            for r in _score_mem_topk(toks, plans, avgdl, k,
+                                     materialize=False).collect():
                 mem_hits.setdefault(r["qid"], []).append(
                     (r["url"], float(r["score"])))
     finally:
