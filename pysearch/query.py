@@ -1558,9 +1558,9 @@ class Searcher:
             plans, vol = self._boolean_plans(queries, case_id, n_docs)
             if not plans:
                 return empty
-            return self._score_many_blocks(plans, avgdl, case_id, k, mode,
-                                           prune=False,
-                                           local=self._use_local(vol))
+            return self._score_many_blocks(
+                plans, avgdl, case_id, k, mode, prune=False,
+                local=self._use_local(vol * len(plans)))
 
         parsed = {qid: parse_boosts(q) for qid, q in queries.items()}
         analyzed = {qid: self._analyze_query(q)
@@ -1596,9 +1596,12 @@ class Searcher:
         vol = sum(dfs[t] for t in plan_terms)
         do_prune = (prune and mode in ("any", "all")
                     and vol > self.prune_min_postings * len(plans))
+        # the driver-local batch path scores every plan single-threaded
+        # over the shared decode, so its gate charges vol ONCE PER PLAN —
+        # a large query log stays on the distributed shared-decode scan
         return self._score_many_blocks(
             plans, avgdl, case_id, k, mode, prune=do_prune,
-            local=(not do_prune) and self._use_local(vol))
+            local=(not do_prune) and self._use_local(vol * len(plans)))
 
     def _boolean_plans(self, queries: Dict[str, str], case_id: str,
                        n_docs: int) -> Dict[str, tuple]:

@@ -572,7 +572,8 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
         )
         many = searcher._score_many_blocks(
             idx_plans, avgdl, case_id, k, mode, prune=do_prune,
-            local=(not do_prune) and searcher._use_local(vol_idx))
+            local=(not do_prune)
+            and searcher._use_local(vol_idx * len(idx_plans)))
         for r in many.itertuples(index=False):
             idx_hits.setdefault(r.qid, []).append(
                 (int(r.doc_id), float(r.score)))

@@ -76,6 +76,54 @@ def main() -> None:
           "Python workers); scoring reuses the same per-segment kernels "
           "in-process (query.py _score_blocks_local)")
 
+    # ---- fuzzy/prefix expansion: the r5 per-query Spark job (before) vs
+    # the r6 vocabulary-local rewrite (after = the ONE per-Searcher-load
+    # vocabulary fetch; expansion itself is then in-process)
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.sql import Window
+
+    qrows = [("sparh", 1, 1.0, "f"), ("fast", 1, 1.0, "f")]
+    conds = [
+        (F.length("term") >= len(q) - d) & (F.length("term") <= len(q) + d)
+        & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
+        for q, d, _b, _k in qrows
+    ]
+    cand = (
+        s._term_stats.filter(F.col("case_id") == "0")
+        .filter(reduce(or_, conds))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    q_df = spark.createDataFrame(qrows, "q string, d int, b double, kind string")
+    match = F.levenshtein(F.col("term"), F.col("q")) <= F.col("d")
+    sim = (F.lit(1.0) - F.levenshtein(F.col("term"), F.col("q"))
+           / F.least(F.length("term"), F.length("q")))
+    win = Window.partitionBy("q", "kind").orderBy(
+        F.desc("w"), F.desc("df"), F.asc("term"))
+    before_exp = (
+        cand.join(F.broadcast(q_df), match)
+        .withColumn("w", F.col("b") * sim)
+        .filter(F.col("w") > 0)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 50)
+        .groupBy("term").agg(F.max("w").alias("w"),
+                             F.any_value("df").alias("df"))
+    )
+    write("t1_engine_fuzzy_expansion_before", before_exp,
+          "r5: one Spark job (scan + join + rank window + collect) PER "
+          "fuzzy/prefix query to rewrite clauses over term_stats")
+    after_exp = (
+        s._term_stats.filter(F.col("case_id") == "0")
+        .groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    write("t1_engine_fuzzy_expansion_after", after_exp,
+          "r6: under LOCAL_MAX_VOCAB the per-case vocabulary is fetched "
+          "ONCE per Searcher load with this aggregate; every subsequent "
+          "fuzzy/prefix expansion, suggest, and term-df lookup is "
+          "in-process (query.py _expand_fuzzy_local / _local_vocab); "
+          "regexp clauses keep the r5 job (Java-regex dialect)")
+
     # ---- batch-dedupe winners: window (before) vs min-aggregates (after)
     from pysearch.streaming import _shape_batch_text
 
