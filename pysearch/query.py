@@ -562,7 +562,9 @@ class Searcher:
     @staticmethod
     def _merge_local_topk(ids_all, scores_all, k: int) -> pd.DataFrame:
         if not ids_all:
-            return pd.DataFrame(columns=["doc_id", "score"])
+            # typed like the distributed path's toPandas of an empty frame
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
         ids = np.concatenate(ids_all)
         scores = np.concatenate(scores_all)
         o = np.lexsort((ids, -scores))[:k]
@@ -642,7 +644,9 @@ class Searcher:
             frames.append(pd.DataFrame({
                 "qid": qid, "doc_id": ids[o], "score": scores[o]}))
         if not frames:
-            return pd.DataFrame(columns=["qid", "doc_id", "score"])
+            return pd.DataFrame({"qid": pd.Series([], dtype="object"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
         return pd.concat(frames, ignore_index=True)
 
     # ------------------------------------------------------------------
