@@ -351,18 +351,29 @@ def measure_mode(tmpfs: bool):
     # per-process thread penalty slumps individual LEGS invisibly to the
     # single-core calibration, so additionally flag any trial containing a
     # leg whose throughput deviates >LEG_SLUMP_MAX from ITS configuration's
-    # median across trials.  The rule is symmetric (applied to both
-    # configurations), so it cannot bias the efficiency in either
-    # direction; flagged trials stay in the table.
-    med_lo_all = statistics.median(thr_lo)
-    med_hi_all = statistics.median(thr_hi)
+    # median across trials.  Throughput is NORMALIZED by the leg's own
+    # paired single-core calibration first (r6): ordinary host-speed drift
+    # moves raw leg throughput across trials roughly in proportion to cal,
+    # and an unnormalized comparison then flags fast-host/slow-host trials
+    # as "slumps" (observed: the guard excluded the 0.98 and 0.84 trials
+    # of a 0.98/0.55/0.84 run and kept only the 0.55 one); the thread
+    # penalty this guard hunts is invisible to cal and far deeper than cal
+    # drift, so it still trips the normalized rule.  The rule stays
+    # symmetric (applied to both configurations), so it cannot bias the
+    # efficiency in either direction; flagged trials stay in the table.
+    ncal_lo = [r["index_docs_per_sec"] / max(1, r["host_cal"])
+               for r in runs_lo]
+    ncal_hi = [r["index_docs_per_sec"] / max(1, r["host_cal"])
+               for r in runs_hi]
+    med_lo_all = statistics.median(ncal_lo)
+    med_hi_all = statistics.median(ncal_hi)
     # below 3 trials the cross-trial median is the midpoint of the two
     # values, so both trials deviate from it symmetrically and the guard
     # degenerates to flagging everything — skip it there
     slumped = [] if trials < 3 else [
         i for i in range(trials)
-        if abs(thr_lo[i] - med_lo_all) / med_lo_all > LEG_SLUMP_MAX
-        or abs(thr_hi[i] - med_hi_all) / med_hi_all > LEG_SLUMP_MAX
+        if abs(ncal_lo[i] - med_lo_all) / med_lo_all > LEG_SLUMP_MAX
+        or abs(ncal_hi[i] - med_hi_all) / med_hi_all > LEG_SLUMP_MAX
     ]
     valid = [i for i, d in enumerate(drifts)
              if d <= CAL_DRIFT_MAX and i not in slumped]
