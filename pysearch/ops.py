@@ -134,35 +134,48 @@ SELECT doc_id, round(s, 4) AS score_r FROM sc ORDER BY s DESC, doc_id LIMIT 10
 """)
 def t1_bm25_top10(spark, sf_dir):
     """BM25 (k1=1.2, b=0.75) OR-of-terms top-10 — the engine's scoring
-    semantics expressed as a pure Catalyst plan (broadcast term join +
-    hash aggs), SQL-checkable against DuckDB.  The token explosion is
-    scanned ONCE: dl, corpus stats, and df all derive from the (doc, term)
-    tf aggregate — at webtext scale the tokenize pass dominates, so
-    deriving rather than re-exploding is the scalable shape."""
+    semantics expressed as a pure Catalyst plan, SQL-checkable against
+    DuckDB.  The query terms are a compile-time tuple, so the per-term tf
+    is PIVOTED into columns of ONE per-doc aggregate: dl, corpus stats,
+    df, and the score all derive from that single token-scan (the r5 form
+    re-ran the token explode once per consumer — 8 scans / 26 exchanges
+    in the executed plan; this is 1 scan / 2 exchanges).  Identical
+    values: same float64 op order per contribution, zero-contribution
+    terms add exact 0.0, docs with no query term are filtered out as the
+    tf⋈q inner join did."""
+    from functools import reduce
+    from operator import or_
+
     from pyspark.sql import functions as F
 
-    tok = _tokens(spark, sf_dir)
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    st = dl.agg(F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl"))
-    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
-    dfq = tf.join(F.broadcast(q), "term").groupBy("term").agg(
-        F.count("*").cast("double").alias("df")
+    ts = list(_BM25_TERMS)
+    per_doc = _tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("dl"),
+        *[F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+          .cast("double").alias(f"tf{i}") for i, t in enumerate(ts)],
     )
-    sc = (
-        tf.join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(st))
-        .withColumn(
-            "contrib",
-            F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.col("tf") * 2.2)
-            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+    st = per_doc.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+          .cast("double").alias(f"df{i}") for i in range(len(ts))],
     )
+    contribs = [
+        F.when(
+            F.col(f"tf{i}") > 0,
+            F.log(1 + (F.col("n") - F.col(f"df{i}") + 0.5)
+                  / (F.col(f"df{i}") + 0.5))
+            * (F.col(f"tf{i}") * 2.2)
+            / (F.col(f"tf{i}")
+               + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(ts))
+    ]
     return (
-        sc.orderBy(F.desc("s"), "doc_id").limit(10)
+        per_doc.crossJoin(F.broadcast(st))
+        .filter(reduce(or_, [F.col(f"tf{i}") > 0 for i in range(len(ts))]))
+        .select("doc_id", reduce(lambda a, b: a + b, contribs).alias("s"))
+        .orderBy(F.desc("s"), "doc_id").limit(10)
         .select("doc_id", F.round("s", 4).alias("score_r"))
     )
 
@@ -2257,21 +2270,32 @@ FROM documents d JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id
 """)
 def tx_quality(spark, sf_dir):
     """Quality-scoring features: length, token count, mean token length,
-    type/token ratio."""
+    type/token ratio.
+
+    Scale shape: MAP-ONLY over the token array — n_tok/chars/n_uniq are
+    array-native (size / aggregate / array_distinct on the already-split
+    tokens), so the op is a projection with zero data shuffles (the r5
+    form paid an explode + two-phase distinct groupBy + a doc_id join —
+    4 scans / 8 exchanges).  The size >= 1 filter reproduces the old
+    inner join against the exploded aggregate (token-less docs had no
+    tok rows)."""
     from pyspark.sql import functions as F
 
-    agg = _tokens(spark, sf_dir).groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        F.countDistinct("term").alias("n_uniq"),
-        F.sum(F.length("term")).alias("chars"),
-    )
+    n_tok = F.size("toks")
     return (
-        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-        .join(agg, "doc_id")
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars",
+                F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"))
+        .filter(n_tok >= 1)
         .select(
-            "doc_id", "n_chars", "n_tok",
-            F.round(F.col("chars") / F.col("n_tok").cast("double"), 4).alias("avg_tok_len_r"),
-            F.round(F.col("n_uniq") / F.col("n_tok").cast("double"), 4).alias("uniq_ratio_r"),
+            "doc_id", "n_chars",
+            n_tok.cast("long").alias("n_tok"),
+            F.round(
+                F.expr("aggregate(toks, cast(0 as bigint),"
+                       " (a, x) -> a + length(x))")
+                / n_tok.cast("double"), 4).alias("avg_tok_len_r"),
+            F.round(F.size(F.array_distinct("toks"))
+                    / n_tok.cast("double"), 4).alias("uniq_ratio_r"),
         )
         .orderBy("doc_id")
     )
@@ -2306,33 +2330,47 @@ def tx_repetition(spark, sf_dir):
     <= 0.15 — the rounded values are compared so the Spark and DuckDB
     sides agree at the boundary).
 
-    Scale shape: bigrams are built ARRAY-NATIVELY (transform over the
-    already-split token array — no self-join, no window over positions),
-    then one explode + partial-aggregated groupBys; nothing reaches the
-    driver.  At 10^12 docs this is two token-scan aggregates, the same
-    cost class as tx_quality."""
+    Scale shape: MAP-ONLY over the token array — everything is computed
+    per doc from the already-split tokens with zero data shuffles:
+    n_uniq via array_distinct, and the top-bigram count by sorting the
+    doc's bigram array and taking the longest equal run (array_sort +
+    a higher-order aggregate; O(L log L) per doc on ~hundreds-token
+    webtext docs).  The r5 form paid two full-corpus shuffles — a
+    (doc_id, bigram) groupBy and a per-doc groupBy + join (4 scans /
+    12 exchanges in the executed plan); at 10^12 docs those exchanges
+    are the entire cost, so per-doc array work strictly wins."""
     from pyspark.sql import functions as F
 
-    t = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
-    )
-    agg = t.select("doc_id", F.explode("toks").alias("term")).groupBy(
-        "doc_id").agg(F.count("*").alias("n_tok"),
-                      F.countDistinct("term").alias("n_uniq"))
-    bg = t.filter(F.size("toks") >= 2).select(
-        "doc_id",
-        F.explode(F.expr(
-            "transform(slice(toks, 1, size(toks) - 1), "
-            "(x, i) -> concat(x, ' ', toks[i + 1]))")).alias("bigram"),
-    )
-    bgc = (bg.groupBy("doc_id", "bigram").count()
-           .groupBy("doc_id").agg(F.max("count").alias("top2g")))
-    dup = F.round(1 - F.col("n_uniq") / F.col("n_tok").cast("double"), 4)
-    t2g = F.round(F.coalesce(F.col("top2g"), F.lit(0)) * 2
-                  / F.col("n_tok").cast("double"), 4)
+    n_tok = F.size("toks")
+    # longest equal run in the sorted per-doc bigram array == the count
+    # of the most frequent bigram (equal bigrams sort adjacent)
+    top2g = F.when(
+        n_tok >= 2,
+        F.expr(
+            "aggregate("
+            "  array_sort(transform(slice(toks, 1, size(toks) - 1),"
+            "    (x, i) -> concat(x, ' ', toks[i + 1]))),"
+            "  named_struct('prev', cast(null as string),"
+            "               'run', cast(0 as bigint),"
+            "               'best', cast(0 as bigint)),"
+            "  (acc, x) -> named_struct("
+            "    'prev', x,"
+            "    'run', CASE WHEN x = acc.prev THEN acc.run + 1"
+            "           ELSE cast(1 as bigint) END,"
+            "    'best', greatest(acc.best,"
+            "      CASE WHEN x = acc.prev THEN acc.run + 1"
+            "      ELSE cast(1 as bigint) END)),"
+            "  acc -> acc.best)"
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    dup = F.round(1 - F.size(F.array_distinct("toks"))
+                  / n_tok.cast("double"), 4)
+    t2g = F.round(top2g * 2 / n_tok.cast("double"), 4)
     return (
-        agg.join(bgc, "doc_id", "left")
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"))
+        .filter(n_tok >= 1)
         .select("doc_id", dup.alias("dup_tok_frac_r"),
                 t2g.alias("top2g_frac_r"))
         .withColumn("keep_i",
@@ -2445,32 +2483,40 @@ def tx_decontaminate_top50(spark, sf_dir):
     Scale shape: one fingerprint scan of the corpus; the eval fingerprint
     set is corpus_size/97-small and BROADCAST, so the contamination check
     is a map-side semi-join — no all-pairs, no corpus-sized shuffle beyond
-    the per-doc fingerprint groupBy that tx_fingerprints already pays."""
+    the per-doc fingerprint groupBy that tx_fingerprints already pays.
+    The doc_id % 97 split is pushed BELOW the fingerprinting into the
+    parquet scans (fingerprints are per-doc, so filtering first is
+    value-identical): the r5 plan fingerprinted the FULL corpus twice —
+    once per branch; now the eval branch tokenizes only its ~1% slice, so
+    total fingerprint work is ~1x the corpus instead of 2x."""
     from pyspark.sql import functions as F
 
-    toks = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("l")
-    ).filter(F.size("l") >= _FP_K)
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(l) - {_FP_K} + 1),"
-                f" i -> concat_ws(' ', slice(l, i, {_FP_K})))"
-            )
-        ).alias("pos", "g"),
-    ).select(
-        "doc_id",
-        F.floor(F.col("pos") / _FP_W).alias("win"),
-        F.expr(_HEX_SPARK.format(x="g")).alias("hv"),
-    )
-    fps = (
-        grams.groupBy("doc_id", "win").agg(F.min("hv").alias("fp"))
-        .select("doc_id", "fp").distinct()
-    )
-    evalf = fps.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
+    def fps_of(pred):
+        toks = _t(spark, sf_dir, "documents").filter(pred).select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("l")
+        ).filter(F.size("l") >= _FP_K)
+        grams = toks.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(l) - {_FP_K} + 1),"
+                    f" i -> concat_ws(' ', slice(l, i, {_FP_K})))"
+                )
+            ).alias("pos", "g"),
+        ).select(
+            "doc_id",
+            F.floor(F.col("pos") / _FP_W).alias("win"),
+            F.expr(_HEX_SPARK.format(x="g")).alias("hv"),
+        )
+        return (
+            grams.groupBy("doc_id", "win").agg(F.min("hv").alias("fp"))
+            .select("doc_id", "fp").distinct()
+        )
+
+    evalf = fps_of(F.col("doc_id") % 97 == 0).select("fp").distinct()
     return (
-        fps.filter(F.col("doc_id") % 97 != 0)
+        fps_of(F.col("doc_id") % 97 != 0)
         .join(F.broadcast(evalf), "fp")
         .groupBy("doc_id")
         .agg(F.countDistinct("fp").alias("n_shared"))
