@@ -2240,14 +2240,26 @@ SELECT doc_id, round(n_stop / n_tok::DOUBLE, 4) AS en_score_r,
 FROM agg ORDER BY doc_id
 """)
 def tx_langid_en(spark, sf_dir):
-    """Language-ID heuristic: stopword-hit ratio -> en score + guess."""
+    """Language-ID heuristic: stopword-hit ratio -> en score + guess.
+
+    MAP-ONLY over the token array (size + a stopword filter) — the r5
+    form paid an explode + per-doc groupBy exchange for the same two
+    integers; zero data shuffles beyond the declared output sort."""
     from pyspark.sql import functions as F
 
     stops = [s.strip("(')") for s in _STOPS_SQL.split("),(")]
-    tok = _tokens(spark, sf_dir)
-    agg = tok.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0)).alias("n_stop"),
+    stops_in = ", ".join(f"'{s}'" for s in stops)
+    agg = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tok"),
+            F.expr(f"size(filter(toks, x -> x in ({stops_in})))")
+            .cast("long").alias("n_stop"),
+        )
     )
     score = F.col("n_stop") / F.col("n_tok").cast("double")
     return agg.select(
@@ -2697,21 +2709,30 @@ def pipeline_pretrain_filter(spark, sf_dir):
     pipeline actually runs over raw webtext, value-checked as a whole
     against one DuckDB oracle (recursive-CTE closure + the same gates).
 
-    Scale shape: one token-scan aggregate for all per-doc metrics; the
-    non-canonical-member drop set is applied as a plain left anti-join on
-    doc_id (no broadcast hint — at real webtext dup density that set is a
-    corpus fraction, so AQE must be free to choose a shuffled anti-join);
-    gates are row-local filters — no corpus-sized shuffle beyond the
-    per-doc aggregate."""
+    Scale shape: the per-doc metrics are MAP-ONLY over the token array
+    (size / array_distinct / a stopword filter on the already-split
+    tokens — the r5 form paid an explode + two-phase-distinct groupBy
+    exchange for the same integers); the non-canonical-member drop set is
+    applied as a plain left anti-join on doc_id (no broadcast hint — at
+    real webtext dup density that set is a corpus fraction, so AQE must
+    be free to choose a shuffled anti-join); gates are row-local filters
+    — no corpus-sized shuffle anywhere on the metrics side."""
     from pyspark.sql import functions as F
 
     stops = [s.strip("(')") for s in _STOPS_SQL.split("),(")]
-    tok = _tokens(spark, sf_dir)
-    agg = tok.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        F.countDistinct("term").alias("n_uniq"),
-        F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
-        .alias("n_stop"),
+    stops_in = ", ".join(f"'{s}'" for s in stops)
+    agg = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tok"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_uniq"),
+            F.expr(f"size(filter(toks, x -> x in ({stops_in})))")
+            .cast("long").alias("n_stop"),
+        )
     )
     clusters = dup_clusters(dd_minhash_pairs(spark, sf_dir).select("a", "b"))
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \

@@ -340,6 +340,66 @@ def _score_mem_topk(toks, plans, avgdl, k, materialize: bool = True):
     return out.localCheckpoint() if materialize else out
 
 
+def _mem_local_gate() -> int:
+    """Row gate for the driver-local mem-side scorer — the same knob and
+    default as the engine's local scoring path (query.LOCAL_MAX_POSTINGS;
+    env PYSEARCH_LOCAL_MAX_POSTINGS, 0 disables).  The mem side's
+    candidate volume — one (url, dl, term, tf) row per (doc, query-term
+    or phrase-marker) hit — is known EXACTLY from the stats aggregate's
+    per_term counts before any scoring job runs."""
+    import os
+
+    from pysearch.query import LOCAL_MAX_POSTINGS
+
+    return int(os.environ.get("PYSEARCH_LOCAL_MAX_POSTINGS",
+                              LOCAL_MAX_POSTINGS))
+
+
+def _score_mem_topk_local(tok_rows, plans, avgdl, k):
+    """Driver-local counterpart of _score_mem_topk: same per-url term
+    maps, same np.float64 op order and np.add.reduceat reduction, same
+    (qid asc, score desc, url asc) per-query top-k — bit-identical by
+    construction (pinned by test).  Replaces the second distributed job
+    (repartition(url) exchange + python workers + rank window) with one
+    bounded collect of the persisted candidate rows."""
+    import numpy as np
+
+    from pysearch import B, K1
+
+    acc: dict = {}
+    for r in tok_rows:
+        acc.setdefault(r["url"], {})[r["term"]] = (r["tf"], r["dl"])
+    out = []
+    for url, have in acc.items():
+        for qid, (live, idfs, qtf, require, marker) in plans.items():
+            if marker is not None and marker not in have:
+                continue
+            present = [t for t in live if t in have]
+            if not present or (require and len(present) < require):
+                continue
+            terms_s = []
+            for t in present:  # live sorted -> ascending term order
+                tf, dl = have[t]
+                tf = np.float64(tf)
+                denom = tf + K1 * (1.0 - B + B * np.float64(dl) / avgdl)
+                terms_s.append(
+                    float(idfs[t] * (tf * (K1 + 1.0)) / denom * qtf[t])
+                )
+            s = float(np.add.reduceat(
+                np.asarray(terms_s, dtype=np.float64), [0])[0])
+            out.append((qid, url, s))
+    # (qid asc, score desc, url asc) == the distributed path's window
+    # rank + final orderBy; scores are > 0 so -s is a total order key
+    out.sort(key=lambda r: (r[0], -r[2], r[1]))
+    res, taken = [], {}
+    for qid, url, s in out:
+        c = taken.get(qid, 0)
+        if c < k:
+            res.append((qid, url, s))
+            taken[qid] = c + 1
+    return res
+
+
 def score_arriving_batch(batch_df, queries: dict, k: int = 10,
                          analyzer: str = "en", mode: str = "any"):
     """Scored in-memory arrival index — reference use case 2
@@ -420,10 +480,20 @@ def score_arriving_batch(batch_df, queries: dict, k: int = 10,
         plans = _build_plans(analyzed, dfs, n_docs, mode)
         if not plans:
             return empty
-        # collect while toks is persisted and hand back a local frame —
-        # one action instead of localCheckpoint + the caller's collect
-        rows = _score_mem_topk(toks, plans, avgdl, k,
-                               materialize=False).collect()
+        # candidate volume == the stats aggregate's per-term row counts;
+        # under the gate, score driver-side from one bounded collect of
+        # the persisted rows (no exchange, no python workers, no window)
+        local_max = _mem_local_gate()
+        vol_mem = sum(n for n, _s in per_term.values())
+        if 0 < vol_mem <= local_max:
+            rows = _score_mem_topk_local(
+                toks.filter(F.col("term").isNotNull()).collect(),
+                plans, avgdl, k)
+        else:
+            # collect while toks is persisted and hand back a local frame
+            # — one action instead of localCheckpoint + caller's collect
+            rows = _score_mem_topk(toks, plans, avgdl, k,
+                                   materialize=False).collect()
         return spark.createDataFrame(
             rows, schema="qid string, url string, score double")
     finally:
@@ -531,13 +601,23 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
             return empty
 
         # ---- mem side: all plans in one pass, per-query top-k (collected
-        # while toks is still persisted — no checkpoint action needed)
+        # while toks is still persisted — no checkpoint action needed);
+        # under the local gate the pass is one bounded collect + driver
+        # scoring (bit-identical — see _score_mem_topk_local)
         mem_hits: dict = {}
         if n_mem:
-            for r in _score_mem_topk(toks, plans, avgdl, k,
-                                     materialize=False).collect():
-                mem_hits.setdefault(r["qid"], []).append(
-                    (r["url"], float(r["score"])))
+            vol_mem = sum(n for n, _s in per_term.values())
+            if 0 < vol_mem <= _mem_local_gate():
+                recs = _score_mem_topk_local(
+                    toks.filter(F.col("term").isNotNull()).collect(),
+                    plans, avgdl, k)
+            else:
+                recs = [(r["qid"], r["url"], r["score"])
+                        for r in _score_mem_topk(
+                            toks, plans, avgdl, k,
+                            materialize=False).collect()]
+            for qid, url, s in recs:
+                mem_hits.setdefault(qid, []).append((url, float(s)))
     finally:
         toks.unpersist()
 
