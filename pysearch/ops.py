@@ -89,11 +89,18 @@ SELECT term, count(DISTINCT doc_id) AS df FROM tok
 GROUP BY term ORDER BY df DESC, term LIMIT 50
 """)
 def a2_term_df_top50(spark, sf_dir):
+    """df per term == docs containing it: dedupe terms WITHIN each doc
+    array-natively (array_distinct — map-side, free) so the aggregate is
+    a plain partially-aggregated count; the countDistinct form paid a
+    second (term, doc_id) exchange for the same integers."""
     from pyspark.sql import functions as F
 
     return (
-        _tokens(spark, sf_dir)
-        .groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(
+            "array_distinct(filter(split(text, ' '), x -> x != ''))"
+        )).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("df"))
         .orderBy(F.desc("df"), "term").limit(50)
     )
 
@@ -1892,6 +1899,60 @@ def dd_bigram_jaccard(spark, sf_dir):
     )
 
 
+def _simhash_map(nbits: int, nhex: int, dedup_hv: bool, out_col: str):
+    """mapInPandas fold computing the n-bit SimHash PER DOC from the raw
+    text — simhash is a pure per-doc function (distinct terms -> md5 bit
+    source -> ±1 bit sums -> sign word), so no (doc, term) row ever needs
+    to exist, let alone shuffle.  ``dedup_hv`` mirrors the two oracles'
+    distinct placement: dd_simhash dedups TERMS then hashes (a within-doc
+    32-bit hv collision counts twice), dd_simhash_band_pairs dedups the
+    60-bit hv values themselves.  Arithmetic is the same numpy fold the
+    r5 shuffle form ran (±1 bit matrix, add.reduceat per doc segment)."""
+    import numpy as np
+
+    def fold(batches):
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        # per-task term -> hv memo: Zipf-head terms repeat across the
+        # task's docs, so ~#tokens md5 calls collapse to ~#distinct-terms
+        # (bounded by the task's input, which is already in memory)
+        memo: dict = {}
+
+        def hv_of(t):
+            h = memo.get(t)
+            if h is None:
+                h = memo[t] = int(md5(t.encode()).hexdigest()[:nhex], 16)
+            return h
+
+        for pdf in batches:
+            ids, hvs, bounds = [], [], [0]
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = {t for t in text.split(" ") if t}
+                if not toks:
+                    continue
+                h = (hv_of(t) for t in toks)
+                hvs.extend(set(h) if dedup_hv else h)
+                ids.append(doc_id)
+                bounds.append(len(hvs))
+            if not ids:
+                continue
+            hv = np.asarray(hvs, dtype=np.uint64)
+            bits = ((hv[:, None] >> np.arange(nbits, dtype=np.uint64)) & 1
+                    ).astype(np.int64) * 2 - 1
+            sums = np.add.reduceat(bits, bounds[:-1], axis=0)
+            sh = ((sums > 0).astype(np.int64)
+                  * (1 << np.arange(nbits, dtype=np.int64))).sum(axis=1)
+            yield pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                                out_col: sh})
+
+    return fold
+
+
 @op("dd_simhash", f"""
 {_TOK_CTE},
 terms AS (SELECT DISTINCT doc_id, term FROM tok),
@@ -1907,49 +1968,17 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 def dd_simhash(spark, sf_dir):
     """32-bit SimHash per doc over distinct terms (portable md5 bit source).
 
-    Spark plan: ONE narrow shuffle of (doc_id, hv) rows (repartition by
-    doc_id co-locates each doc), then the whole 32-bit ±1 fold runs
-    vectorized in numpy inside mapInPandas.  Chosen by measurement
-    (tools/simhash_ab.py, same-session A/B/C at sf0.1): this beats both the
-    32-conditional-sum codegen aggregate (r2 version, median 2.02s) and the
-    32x explode+sum form (r1 version, 2.00s) at 1.44s, with identical
-    values; an r6 A/B additionally rejected a groupBy(doc).collect_set
-    one-exchange form (arrow array overhead outweighed the saved exchange
-    at sf0.1).  Scale shape: shuffle volume is one 12-byte row per distinct
-    (doc, term); per-partition state is 32 int64 per doc in the partition,
-    bounded by the shuffle partition count."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    terms = _tokens(spark, sf_dir).distinct()
-    th = terms.select("doc_id", F.expr(_HEX_SPARK.format(x="term")).alias("hv"))
-
-    def fold(batches):
-        from collections import defaultdict
-
-        acc = defaultdict(lambda: np.zeros(32, dtype=np.int64))
-        for pdf in batches:
-            ids = pdf["doc_id"].to_numpy()
-            hv = pdf["hv"].to_numpy(dtype=np.uint32)
-            bits = ((hv[:, None] >> np.arange(32, dtype=np.uint32)) & 1
-                    ).astype(np.int64) * 2 - 1
-            order = np.argsort(ids, kind="stable")
-            ids_s, bits_s = ids[order], bits[order]
-            uniq, start = np.unique(ids_s, return_index=True)
-            sums = np.add.reduceat(bits_s, start, axis=0)
-            for d, s in zip(uniq, sums):
-                acc[int(d)] += s
-        if acc:
-            docs = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-            mat = np.stack([acc[int(d)] for d in docs])
-            sh = ((mat > 0).astype(np.int64)
-                  * (1 << np.arange(32, dtype=np.int64))).sum(axis=1)
-            yield pd.DataFrame({"doc_id": docs, "simhash": sh})
-
+    Spark plan: MAP-ONLY — one documents scan through a mapInPandas fold
+    (_simhash_map); simhash is per-doc, so the r5 plan's (doc_id, term)
+    distinct exchange + repartition("doc_id") moved data for nothing.
+    Measured 1.2 s -> 0.06 s at sf0.1 with byte-identical output (this
+    round's A/B; earlier A/Bs at tools/simhash_ab.py rejected the
+    32-conditional-sum codegen aggregate, the 32x explode+sum form, and a
+    groupBy(doc).collect_set form)."""
     return (
-        th.repartition("doc_id")
-        .mapInPandas(fold, schema="doc_id long, simhash long")
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .mapInPandas(_simhash_map(32, 8, False, "simhash"),
+                     schema="doc_id long, simhash long")
         .orderBy("doc_id")
     )
 
@@ -1985,47 +2014,19 @@ def dd_simhash_band_pairs(spark, sf_dir):
     4 x 15-bit bands; docs sharing any band become candidates; candidates
     are verified with an exact popcount hamming distance and the 50 closest
     pairs returned (deterministic: both engines enumerate the identical
-    banded candidate set).  Shuffle shape: terms are hashed BEFORE the
-    distinct, so the dedup shuffle carries (long, long) rows — the
-    map-side partial aggregate collapses Zipf-head term repeats before any
-    data moves, and no term string is ever shuffled (distinct-by-hv ==
-    distinct-by-term up to 60-bit within-doc collisions, ~1e-13 for 400-term
-    docs; the oracle mirrors the same semantics so the comparison is exact
-    either way).  The band self-join then groups by a (band, 15-bit key) —
-    ~131k buckets — so candidate volume is sum-of-squares over buckets,
-    never n^2."""
-    import numpy as np
-    import pandas as pd
+    banded candidate set).  The simhash stage is MAP-ONLY (_simhash_map —
+    simhash is per-doc, so the r5 (doc_id, hv) distinct exchange moved
+    data for nothing; within-doc dedup is by the 60-bit hv, mirroring the
+    oracle's DISTINCT placement).  The band self-join then groups by a
+    (band, 15-bit key) — ~131k buckets — so candidate volume is
+    sum-of-squares over buckets, never n^2."""
     from pyspark.sql import functions as F
 
-    th = _tokens(spark, sf_dir).select(
-        "doc_id",
-        F.expr("cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint)").alias("hv"),
-    ).distinct()
-
-    def fold(batches):
-        from collections import defaultdict
-
-        acc = defaultdict(lambda: np.zeros(60, dtype=np.int64))
-        for pdf in batches:
-            ids = pdf["doc_id"].to_numpy()
-            hv = pdf["hv"].to_numpy(dtype=np.uint64)
-            bits = ((hv[:, None] >> np.arange(60, dtype=np.uint64)) & 1
-                    ).astype(np.int64) * 2 - 1
-            order = np.argsort(ids, kind="stable")
-            ids_s, bits_s = ids[order], bits[order]
-            uniq, start = np.unique(ids_s, return_index=True)
-            sums = np.add.reduceat(bits_s, start, axis=0)
-            for d, s in zip(uniq, sums):
-                acc[int(d)] += s
-        if acc:
-            docs = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-            mat = np.stack([acc[int(d)] for d in docs])
-            sh = ((mat > 0).astype(np.int64)
-                  * (1 << np.arange(60, dtype=np.int64))).sum(axis=1)
-            yield pd.DataFrame({"doc_id": docs, "h": sh})
-
-    sh = th.repartition("doc_id").mapInPandas(fold, schema="doc_id long, h long")
+    sh = (
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        .mapInPandas(_simhash_map(60, 15, True, "h"),
+                     schema="doc_id long, h long")
+    )
     bands = sh.select(
         "doc_id", "h", F.explode(F.expr("sequence(0, 3)")).alias("band")
     ).withColumn("key", F.expr("(h >> (15 * band)) & 32767"))

@@ -391,6 +391,16 @@ class Searcher:
                     grp["doc_id"].to_numpy(np.int64))
         # partition-column literal type for bucket pruning filters
         self._bucket_is_str = dict(self.postings.dtypes).get("term_bucket") == "string"
+        # postings commit dirs frozen against the SAME generation map as
+        # the Spark frames above: the driver-direct arrow fetch
+        # (_read_blocks_arrow) reads exactly the files this load reads,
+        # including the time-travel pinned-commit view
+        from pysearch.lineage import _has_parquet
+
+        self._postings_commit_dirs = [
+            d for d in self.layout.list_commits(path["postings"])
+            if _has_parquet(d)
+        ]
 
     def stale(self) -> bool:
         """True when the on-disk index changed since this Searcher loaded
@@ -539,14 +549,50 @@ class Searcher:
                 and vol <= self.local_max_postings
                 and not (prune and vol > self.prune_min_postings))
 
-    def _collect_blocks(self, blocks_df, positions: bool = False):
-        """One scan-only job: fetch the candidate blocks' packed payloads
-        to the driver (bounded by the local_max_postings gate), CRC-verified
-        exactly like the distributed scorers."""
+    def _read_blocks_arrow(self, case_id: str, terms, cols):
+        """Driver-direct parquet read of the candidate blocks: same commit
+        dirs, partition pruning (term_bucket hive dirs), filters, and
+        columns as the Spark scan-only fetch — minus the Spark job's fixed
+        scheduling latency.  Kernel inputs are order-insensitive (the
+        per-segment scorers re-group rows by term; pinned by the
+        partitioning-invariance goldens), so file-listing order differences
+        vs the Spark scan cannot change results."""
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        part = ds.partitioning(
+            pa.schema([("term_bucket", pa.int32())]), flavor="hive")
+        flt = ((ds.field("case_id") == case_id)
+               & ds.field("term_bucket").isin([int(b) for b in buckets])
+               & ds.field("term").isin(list(terms)))
+        frames = [
+            ds.dataset(d, format="parquet", partitioning=part)
+            .to_table(columns=list(cols), filter=flt).to_pandas()
+            for d in self._postings_commit_dirs
+        ]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame(columns=list(cols))
+        return (frames[0] if len(frames) == 1
+                else pd.concat(frames, ignore_index=True))
+
+    def _collect_blocks(self, blocks_df, positions: bool = False,
+                        spec=None):
+        """One scan-only fetch of the candidate blocks' packed payloads to
+        the driver (bounded by the local_max_postings gate), CRC-verified
+        exactly like the distributed scorers.  ``spec=(case_id, terms)``
+        routes the fetch through the driver-direct arrow read — no Spark
+        job at all; without a spec (or with a persisted postings cache,
+        which lives in executor memory) the Spark scan-only job runs."""
         import zlib
 
         cols = self._LOCAL_COLS_POS if positions else self._LOCAL_COLS
-        pdf = blocks_df.select(*cols).toPandas()
+        if (spec is not None and not self.cache_postings
+                and os.environ.get("PYSEARCH_LOCAL_ARROW", "1") != "0"):
+            pdf = self._read_blocks_arrow(spec[0], spec[1], cols)
+        else:
+            pdf = blocks_df.select(*cols).toPandas()
         for ib, tb, db, crc in zip(pdf["doc_ids_bin"], pdf["tfs_bin"],
                                    pdf["dls_bin"], pdf["crc32"]):
             got = zlib.crc32(ib) ^ zlib.crc32(tb) ^ zlib.crc32(db)
@@ -575,12 +621,13 @@ class Searcher:
                             exclude: Optional[np.ndarray] = None,
                             qterms: Optional[List[str]] = None,
                             window: Optional[int] = None,
-                            must_terms=None, not_terms=None) -> pd.DataFrame:
+                            must_terms=None, not_terms=None,
+                            spec=None) -> pd.DataFrame:
         """Driver-local counterpart of _score_blocks /
         _score_blocks_phrase / _score_blocks_boolean: same per-segment
         kernels, same (score desc, doc_id asc) merge."""
         phrase = qterms is not None
-        pdf = self._collect_blocks(blocks_df, positions=phrase)
+        pdf = self._collect_blocks(blocks_df, positions=phrase, spec=spec)
         ids_all: List[np.ndarray] = []
         scores_all: List[np.ndarray] = []
         for _seg, g in pdf.groupby("segment_id", sort=False):
@@ -609,12 +656,13 @@ class Searcher:
 
     def _many_pass_local(self, blocks_df, plans: Dict[str, tuple],
                          avgdl: float, k: int, mode: str,
-                         excl: Optional[np.ndarray]) -> pd.DataFrame:
+                         excl: Optional[np.ndarray],
+                         spec=None) -> pd.DataFrame:
         """Driver-local counterpart of _many_pass: shared decode per
         segment via the multi-plan kernels, per-query merge in the same
         (qid asc, score desc, doc_id asc) order."""
         phrase = mode in ("phrase", "near")
-        pdf = self._collect_blocks(blocks_df, positions=phrase)
+        pdf = self._collect_blocks(blocks_df, positions=phrase, spec=spec)
         per_ids: Dict[str, List[np.ndarray]] = {}
         per_scores: Dict[str, List[np.ndarray]] = {}
         for _seg, g in pdf.groupby("segment_id", sort=False):
@@ -858,7 +906,8 @@ class Searcher:
                 pdf = self._score_blocks_local(
                     blocks, idfs, qtf, avgdl, k_fetch, exclude=excl,
                     qterms=terms,
-                    window=window if mode == "near" else None)
+                    window=window if mode == "near" else None,
+                    spec=(case_id, live))
             else:
                 pdf = self._score_blocks_phrase(
                     blocks, idfs, terms, qtf, avgdl, k_fetch, exclude=excl,
@@ -868,7 +917,8 @@ class Searcher:
 
         if self._use_local(vol, prune=prune, allowed_df=allowed):
             pdf = self._score_blocks_local(blocks, idfs, qtf, avgdl,
-                                           k_fetch, require, exclude=excl)
+                                           k_fetch, require, exclude=excl,
+                                           spec=(case_id, live))
             return pdf.iloc[offset:offset + k].reset_index(drop=True)
 
         # pruning pays for itself only when there is real volume to skip;
@@ -943,7 +993,8 @@ class Searcher:
         )
         if self._use_local(sum(dfs[t] for t in live), allowed_df=allowed):
             # same one-scan fetch + per-segment count kernel, in-process
-            pdf = self._collect_blocks(blocks, positions=qterms is not None)
+            pdf = self._collect_blocks(blocks, positions=qterms is not None,
+                                       spec=(case_id, live))
             total = 0
             for _seg, g in pdf.groupby("segment_id", sort=False):
                 if qterms is not None:
@@ -1083,7 +1134,8 @@ class Searcher:
                            allowed_df=allowed):
             pdf = self._score_blocks_local(
                 blocks, idfs, qtf, avgdl, k + offset, exclude=excl,
-                must_terms=must_live, not_terms=not_live)
+                must_terms=must_live, not_terms=not_live,
+                spec=(case_id, scan_terms))
         else:
             pdf = self._score_blocks_boolean(
                 blocks, idfs, qtf, avgdl, k + offset, must_terms=must_live,
@@ -1319,7 +1371,8 @@ class Searcher:
         if self._use_local(sum(dfs.values()), prune=prune,
                            allowed_df=allowed):
             pdf = self._score_blocks_local(blocks, idfs, qtf, avgdl,
-                                           k_fetch, 0, exclude=excl)
+                                           k_fetch, 0, exclude=excl,
+                                           spec=(case_id, list(expanded)))
             pdf = pdf.iloc[offset:offset + k].reset_index(drop=True)
             return (pdf, expanded) if return_expansion else pdf
         p1_pdf = None
@@ -1482,7 +1535,8 @@ class Searcher:
         excl = self._tombstones.get(case_id)
         if self._use_local(sum(dfs_all[t] for t in sel), prune=prune):
             pdf = self._score_blocks_local(blocks, idfs, qtf, avgdl, k, 0,
-                                           exclude=excl)
+                                           exclude=excl,
+                                           spec=(case_id, sel))
             return (pdf, sel) if return_terms else pdf
         p1_pdf = None
         if prune and sum(dfs_all[t] for t in sel) > self.prune_min_postings:
@@ -1680,7 +1734,7 @@ class Searcher:
         excl = self._tombstones.get(case_id)
         if local and not prune:
             return self._many_pass_local(blocks, plans, avgdl, k, mode,
-                                         excl)
+                                         excl, spec=(case_id, all_terms))
         p1_pdf = None
         if prune and mode in ("any", "all"):
             blocks, p1_pdf = self._prune_many_blocks(blocks, plans, avgdl,
