@@ -63,9 +63,10 @@ LOCAL_MAX_VOCAB = 200_000  # term_stats rows under which the per-case
 # identical by construction: the local Levenshtein is the classic DP
 # (matching F.levenshtein / DuckDB levenshtein exactly), weights use the
 # same float64 arithmetic, ranking the same (w desc, df desc, term asc)
-# order (pinned by test).  Regexp clauses always keep the Spark path —
-# Java-regex (rlike) and Python-re dialects differ (e.g. \\w), and silent
-# divergence is worse than one job.  PYSEARCH_LOCAL_MAX_VOCAB overrides
+# order (pinned by test).  Regexp clauses are evaluated against the same
+# cached vocabulary by the SAME JVM java.util.regex engine rlike runs (one
+# py4j stream-filter call — never Python re, whose dialect differs on
+# corners like \\w, and no Spark job).  PYSEARCH_LOCAL_MAX_VOCAB overrides
 # (0 disables).  Staleness: the cache lives on the Searcher and every
 # refresh/_load drops it.
 
@@ -1190,14 +1191,18 @@ class Searcher:
             qrows.append((anchored, 0, float(b), "r"))
         # vocabulary-local rewrite (see LOCAL_MAX_VOCAB): fuzzy/prefix
         # clauses expand driver-side over the cached {term: df} map with
-        # the same arithmetic and ranking; regexp clauses keep the Spark
-        # job (rlike is Java-regex — a Python-re rewrite could silently
-        # diverge on dialect corners like \w)
-        if not any(kind == "r" for _q, _d, _b, kind in qrows):
-            vocab = self._local_vocab(case_id)
-            if vocab is not None:
-                return self._expand_fuzzy_local(vocab, qrows,
-                                                max_expansions)
+        # the same arithmetic and ranking; regexp clauses are evaluated
+        # against the same vocabulary by the SAME JVM java.util.regex
+        # engine rlike runs (one py4j stream-filter call, no Spark job,
+        # no Python-re dialect risk — see _regexp_vocab_jvm)
+        vocab = self._local_vocab(case_id)
+        if vocab is not None:
+            rx_matches = {
+                q: self._regexp_vocab_jvm(list(vocab), q)
+                for q, _d, _b, kind in qrows if kind == "r"
+            }
+            return self._expand_fuzzy_local(vocab, qrows, max_expansions,
+                                            rx_matches)
         conds = [
             (F.length("term") >= len(q) - d) & (F.length("term") <= len(q) + d)
             & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
@@ -1244,19 +1249,48 @@ class Searcher:
         )
         return {r["term"]: (float(r["w"]), int(r["df"])) for r in rows}
 
+    def _regexp_vocab_jvm(self, terms: List[str], anchored: str) -> List[str]:
+        """Evaluate one regexp clause against the vocabulary with the SAME
+        JVM ``java.util.regex`` engine ``rlike`` runs — one py4j
+        stream-filter round trip (Pattern.asPredicate() is
+        ``matcher(s).find()``, exactly RLike's semantics), so the dialect
+        cannot diverge from the Spark-job path.  Analyzed terms cannot
+        contain a newline (every analyzer splits on whitespace), so the
+        newline join/split is lossless."""
+        if not terms:
+            return []
+        jvm = self.spark._jvm
+        pat = jvm.java.util.regex.Pattern.compile(anchored)
+        nl = jvm.java.util.regex.Pattern.compile(
+            "\n", 16)  # 16 = Pattern.LITERAL
+        matched = (
+            nl.splitAsStream("\n".join(terms))
+            .filter(pat.asPredicate())
+            .collect(jvm.java.util.stream.Collectors.joining("\n"))
+        )
+        return [t for t in matched.split("\n") if t] if matched else []
+
     @staticmethod
     def _expand_fuzzy_local(vocab: dict, qrows,
-                            max_expansions: int
+                            max_expansions: int,
+                            rx_matches: Optional[dict] = None
                             ) -> "Dict[str, Tuple[float, int]]":
         """Driver-side MultiTermQuery rewrite over a cached vocabulary —
         value-identical to the Spark job in :meth:`expand_fuzzy`: classic
         Levenshtein (``_lev_batch``), weight b * (1 - dist/min(len)) in
         the same float64 op order, per-clause (w desc, df desc, term asc)
-        cap, cross-clause max-weight dedup."""
+        cap, cross-clause max-weight dedup.  ``rx_matches`` maps a regexp
+        clause's anchored pattern to its JVM-evaluated vocabulary matches
+        (_regexp_vocab_jvm)."""
         terms = list(vocab)
         out: Dict[str, Tuple[float, int]] = {}
         for q, d, b, kind in qrows:
-            if kind == "f":
+            if kind == "r":
+                if b <= 0:
+                    continue
+                sel = [(b * 1.0, vocab[t], t)
+                       for t in (rx_matches or {}).get(q, ())]
+            elif kind == "f":
                 cand = [t for t in terms if abs(len(t) - len(q)) <= d]
                 dists = _lev_batch(q, cand)
                 sel = []

@@ -115,10 +115,15 @@ def test_vocab_local_expansion_matches_spark(two_paths):
         a = s_local.expand_fuzzy("7", fuzzy, prefixes=prefixes)
         b = s_dist.expand_fuzzy("7", fuzzy, prefixes=prefixes)
         assert a == b, (a, b)
-    # regexp clauses always use the Spark path — both searchers agree
-    a = s_local.expand_fuzzy("7", {}, regexps={"cor.*ia": 1.0})
-    b = s_dist.expand_fuzzy("7", {}, regexps={"cor.*ia": 1.0})
-    assert a == b and a
+    # regexp clauses: the local path evaluates them against the cached
+    # vocabulary with the JVM java.util.regex engine (the same engine
+    # rlike runs), so both searchers must agree exactly — including on
+    # dialect-sensitive patterns (\w, alternation, bounded repeats)
+    for rx in ("cor.*ia", r"\w+ia", "so(ft|rt)\\w*", "c[a-z]{3,9}a"):
+        a = s_local.expand_fuzzy("7", {}, regexps={rx: 1.0})
+        b = s_dist.expand_fuzzy("7", {}, regexps={rx: 1.0})
+        assert a == b, (rx, a, b)
+    assert s_local.expand_fuzzy("7", {}, regexps={"cor.*ia": 1.0})
     qa = sorted(map(tuple, s_local.suggest(
         ["cornucopi", "softwore"], case_id="7").collect()))
     qb = sorted(map(tuple, s_dist.suggest(
