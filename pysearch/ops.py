@@ -1364,6 +1364,63 @@ def f11_json_props(spark, sf_dir):
 
 _N_MINHASH = 8
 
+def _minhash_sigs_map(spark, sf_dir, pred=None):
+    """(doc_id, hash_id, min_hash) MinHash signatures computed MAP-ONLY:
+    a signature is a pure per-doc function (min over the doc's distinct
+    terms of md5('{hash_id}|{term}')), so no (doc, term, hash_id) row
+    ever needs to shuffle — the r5 form exploded 16x per distinct term
+    and paid a (doc_id, hash_id) groupBy exchange for the same minima.
+    ``pred`` pushes a documents filter BELOW the python map (mapInPandas
+    blocks predicate pushdown), so bounded consumers (the doc_id < 60
+    pairs demo) only hash their slice.  A per-task term -> 16-vector memo
+    collapses Zipf-head repeats like _simhash_map's."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    def fold(batches):
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        memo: dict = {}
+
+        def vecs(t):
+            v = memo.get(t)
+            if v is None:
+                v = memo[t] = np.array(
+                    [int(md5(f"{i}|{t}".encode()).hexdigest()[:8], 16)
+                     for i in range(_N_MINHASH)], dtype=np.int64)
+            return v
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = {t for t in text.split(" ") if t}
+                if not toks:
+                    continue
+                ids.append(doc_id)
+                sigs.append(np.minimum.reduce([vecs(t) for t in toks]))
+            if ids:
+                n = len(ids)
+                yield pd.DataFrame({
+                    "doc_id": np.repeat(
+                        np.asarray(ids, dtype=np.int64), _N_MINHASH),
+                    "hash_id": np.tile(
+                        np.arange(_N_MINHASH, dtype=np.int32), n),
+                    "min_hash": np.concatenate(sigs),
+                })
+
+    d = _t(spark, sf_dir, "documents")
+    if pred is not None:
+        d = d.filter(pred)
+    return d.select("doc_id", "text").mapInPandas(
+        fold, schema="doc_id long, hash_id int, min_hash long")
+
+
 @op("dd_minhash_sigs", f"""
 {_TOK_CTE},
 terms AS (SELECT DISTINCT doc_id, term FROM tok),
@@ -1375,20 +1432,9 @@ GROUP BY doc_id, hash_id ORDER BY doc_id, hash_id
 """)
 def dd_minhash_sigs(spark, sf_dir):
     """MinHash signatures: portable md5-derived hash family; the LSH
-    band-bucket join in dd_minhash_pairs consumes these."""
-    from pyspark.sql import functions as F
-
-    terms = _tokens(spark, sf_dir).distinct()
-    h = terms.withColumn(
-        "hash_id", F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1)))
-    ).withColumn(
-        "hv",
-        F.expr(_HEX_SPARK.format(x="concat(cast(hash_id as string), '|', term)")),
-    )
-    return (
-        h.groupBy("doc_id", "hash_id").agg(F.min("hv").alias("min_hash"))
-        .orderBy("doc_id", "hash_id")
-    )
+    band-bucket join in dd_minhash_pairs consumes these.  MAP-ONLY — see
+    _minhash_sigs_map; only the declared output sort exchanges."""
+    return _minhash_sigs_map(spark, sf_dir).orderBy("doc_id", "hash_id")
 
 
 # shared CTE body: MinHash signatures -> banded candidate pairs (bounded to
@@ -1432,10 +1478,15 @@ FROM pairs WHERE n_match >= 4 ORDER BY a, b
 """)
 def dd_minhash_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs: band join on (hash_id, min_hash) buckets
-    (band size 1), estimated Jaccard = matching-signature fraction."""
+    (band size 1), estimated Jaccard = matching-signature fraction.
+
+    The doc_id < 60 demo bound is passed BELOW the signature map
+    (mapInPandas blocks predicate pushdown), so only the bounded slice is
+    ever hashed — and the sigs op's declared output sort is not paid
+    here."""
     from pyspark.sql import functions as F
 
-    sig = dd_minhash_sigs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    sig = _minhash_sigs_map(spark, sf_dir, pred=F.col("doc_id") < 60)
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (
