@@ -532,6 +532,45 @@ def _make_block_builder(n_buckets: int, analyzer: str = "en",
     return build_blocks
 
 
+# commit batches at or under this many block rows get their per-segment
+# lineage metrics aggregated driver-side from a pyarrow read of the four
+# narrow metadata columns (row count comes from the parquet footers — no
+# job); bigger batches keep the distributed aggregate.  ~40 bytes/row in
+# flight, so the default bounds the driver read to ~200 MB.
+_METRICS_LOCAL_MAX_BLOCKS = 5_000_000
+
+
+def _segment_metrics_local(commit_dir: str):
+    """Per-(case, segment) block metrics from a driver-side pyarrow read
+    of the commit's metadata columns, or None above the row gate /
+    with PYSEARCH_LOCAL_ARROW=0.  Same sums as the distributed
+    groupBy (integer arithmetic)."""
+    from collections import namedtuple
+
+    if os.environ.get("PYSEARCH_LOCAL_ARROW", "1") == "0":
+        return None
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(commit_dir, format="parquet",
+                         partitioning="hive")
+    if dataset.count_rows() > _METRICS_LOCAL_MAX_BLOCKS:
+        return None
+    pdf = dataset.to_table(
+        columns=["case_id", "segment_id", "n", "n_bytes"]).to_pandas()
+    agg = (
+        pdf.groupby(["case_id", "segment_id"], sort=False)
+        .agg(n_blocks=("n", "size"), n_postings=("n", "sum"),
+             bytes=("n_bytes", "sum"))
+        .reset_index()
+    )
+    Row = namedtuple("SegMetrics",
+                     ["case_id", "segment_id", "n_blocks", "n_postings",
+                      "bytes"])
+    return [Row(str(r.case_id), int(r.segment_id), int(r.n_blocks),
+                int(r.n_postings), int(r.bytes))
+            for r in agg.itertuples(index=False)]
+
+
 def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
                          resume: bool = False,
                          max_segments: int | None = None,
@@ -632,17 +671,24 @@ def build_postings_stage(spark, layout: IndexLayout, n_buckets: int,
         commit_dir = os.path.join(layout.postings, f"commit-{batch:05d}")
         if _has_parquet(commit_dir):
             # n_bytes is precomputed at pack time, so this verification
-            # scan is metadata-only — payload columns are never re-read
-            written = spark.read.parquet(commit_dir)
-            seg_metrics = (
-                written.groupBy("case_id", "segment_id")
-                .agg(
-                    F.count("*").alias("n_blocks"),
-                    F.sum("n").alias("n_postings"),
-                    F.sum("n_bytes").alias("bytes"),
+            # scan is metadata-only — payload columns are never re-read.
+            # Under _METRICS_LOCAL_MAX_BLOCKS rows (known from the parquet
+            # footers, no job) the four narrow columns are read driver-side
+            # with pyarrow and aggregated in pandas — identical sums, no
+            # Spark job; above the gate (or with PYSEARCH_LOCAL_ARROW=0)
+            # the distributed aggregate runs as before.
+            seg_metrics = _segment_metrics_local(commit_dir)
+            if seg_metrics is None:
+                written = spark.read.parquet(commit_dir)
+                seg_metrics = (
+                    written.groupBy("case_id", "segment_id")
+                    .agg(
+                        F.count("*").alias("n_blocks"),
+                        F.sum("n").alias("n_postings"),
+                        F.sum("n_bytes").alias("bytes"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
             rows = [
                 {
                     "stage": "postings",

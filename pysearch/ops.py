@@ -237,6 +237,54 @@ def _get_searcher(spark, index_dir: str, at_version=None):
     return s
 
 
+# id(Searcher) + its load signature -> (engine doc_id, source doc_id)
+# pandas map; see _engine_catalog_local
+_CATALOG_CACHE: dict = {}
+
+# engine catalogs at or under this many docs may be driver-cached as an
+# (engine doc_id <-> source doc_id) map — index METADATA in the same class
+# as the Searcher's term-df cache (~16 bytes/row packed; 1M rows ≈ tens of
+# MB with urls during the one collect).  Above the gate every engine-backed
+# op keeps its r5 distributed joins; PYSEARCH_LOCAL_MAX_CATALOG overrides,
+# 0 disables.
+LOCAL_MAX_CATALOG = 1_000_000
+
+
+def _catalog_gate() -> int:
+    import os
+
+    return int(os.environ.get("PYSEARCH_LOCAL_MAX_CATALOG",
+                              LOCAL_MAX_CATALOG))
+
+
+def _engine_catalog_local(s):
+    """Driver-cached (doc_id, src_id) map of an engine index catalog, or
+    None above the LOCAL_MAX_CATALOG gate.  The gate is decided from the
+    Searcher's already-loaded corpus stats (no job); the one bounded
+    collect is cached per (Searcher, load signature), so an index refresh
+    (append/compaction/delete) re-reads it.  src_id is parsed from the
+    ``doc://docs/%09d`` url the ops build their engine corpora with."""
+    import numpy as np
+
+    gate = _catalog_gate()
+    if gate <= 0:
+        return None
+    n_docs = sum(n for n, _a, _d in s._corpus.values())
+    if n_docs > gate:
+        return None
+    key = (id(s), s._manifest_sig)
+    cat = _CATALOG_CACHE.get(key)
+    if cat is None:
+        pdf = s.docs.select("doc_id", "url").toPandas()
+        cat = {
+            "doc_id": pdf["doc_id"].to_numpy(np.int64),
+            "src_id": pdf["url"].str.slice(len("doc://docs/")).astype(
+                np.int64).to_numpy(),
+        }
+        _CATALOG_CACHE[key] = cat
+    return cat
+
+
 def _source_fingerprint(docs) -> str:
     """Content fingerprint of the engine source table: count + an
     order-insensitive row hash.  One full scan — callers cache the result
@@ -323,7 +371,8 @@ def _ensure_engine_index(spark, sf_dir):
 
 def _search_to_source_ids(spark, index_dir, mode: str, terms=None,
                           at_version=None, window=None, filter_source=None,
-                          offset: int = 0):
+                          offset: int = 0, filter_source_ids=None,
+                          exclude_source_ids=None):
     """Run the query through the engine at ``index_dir`` and map engine
     doc_ids back to the source table's doc_id via the catalog url (robust
     even when content dedupe dropped duplicate texts).  ``at_version``
@@ -331,11 +380,47 @@ def _search_to_source_ids(spark, index_dir, mode: str, terms=None,
     ``window`` is the mode="near" proximity window; ``filter_source`` is a
     DataFrame of SOURCE doc_ids to admit (filter context) — mapped to
     engine doc_ids via the catalog url (a distributed semi-join; the set
-    never reaches the driver)."""
+    never reaches the driver).
+
+    ``filter_source_ids`` / ``exclude_source_ids`` are the driver-RESIDENT
+    filter forms (numpy arrays of SOURCE ids to admit / to drop): under
+    the LOCAL_MAX_CATALOG gate they map to engine ids through the cached
+    catalog and feed the engine's driver-side filter path (no distributed
+    job for the whole filtered query); above the gate they convert to the
+    same distributed semi-join as ``filter_source``.  Both id<->url
+    mapping directions use the cached catalog when available, replacing a
+    broadcast-join job per op invocation with an O(hits) array lookup."""
+    import numpy as np
     from pyspark.sql import functions as F
 
     s = _get_searcher(spark, index_dir, at_version=at_version)
+    cat = _engine_catalog_local(s)
     fd = None
+    if exclude_source_ids is not None:
+        # allowed = every indexed doc NOT in the (bounded) drop set —
+        # exact complement of filter_source over the engine catalog
+        if cat is not None:
+            fd = cat["doc_id"][~np.isin(cat["src_id"],
+                                        np.unique(exclude_source_ids))]
+        else:
+            import pandas as pd
+
+            drop = spark.createDataFrame(
+                pd.DataFrame({"doc_id": np.unique(exclude_source_ids)}),
+                schema="doc_id long")
+            urls = drop.select(F.format_string(
+                "doc://docs/%09d", F.col("doc_id")).alias("url"))
+            fd = s.docs.join(urls, "url", "left_anti").select("doc_id")
+    elif filter_source_ids is not None:
+        if cat is not None:
+            fd = cat["doc_id"][np.isin(cat["src_id"],
+                                       np.unique(filter_source_ids))]
+        else:
+            import pandas as pd
+
+            filter_source = spark.createDataFrame(
+                pd.DataFrame({"doc_id": np.unique(filter_source_ids)}),
+                schema="doc_id long")
     if filter_source is not None:
         urls = filter_source.select(
             F.format_string("doc://docs/%09d", F.col("doc_id")).alias("url"))
@@ -343,6 +428,18 @@ def _search_to_source_ids(spark, index_dir, mode: str, terms=None,
     hits = s.search_ids(" ".join(terms or _BM25_TERMS), k=10, case_id="0",
                         mode=mode, window=window, filter_docs=fd,
                         offset=offset)
+    if cat is not None:
+        # engine ids -> source ids driver-side (O(hits) searchsorted over
+        # the cached map; catalog doc_ids are the per-case url rank, so
+        # sorting by doc_id is free of ties)
+        order = np.argsort(cat["doc_id"], kind="stable")
+        eng_sorted, src_sorted = cat["doc_id"][order], cat["src_id"][order]
+        pos = np.searchsorted(eng_sorted, hits["doc_id"].to_numpy(np.int64))
+        out = hits.assign(
+            doc_id=src_sorted[pos],
+            score_r=hits["score"].round(4))[["doc_id", "score_r"]]
+        return spark.createDataFrame(out,
+                                     schema="doc_id long, score_r double")
     hits_df = spark.createDataFrame(
         hits.assign(score_r=hits["score"].round(4))[["doc_id", "score_r"]],
         schema="doc_id long, score_r double",
@@ -674,11 +771,22 @@ def t1_engine_filter_lang_top10(spark, sf_dir):
     filtered scores are bit-identical to unfiltered ones — value-checked
     against a DuckDB BM25 with the same corpus-wide stats and a lang gate
     on the final candidates."""
+    import numpy as np
     from pyspark.sql import functions as F
 
-    index_dir, _fp = _ensure_engine_index(spark, sf_dir)
+    index_dir, fp = _ensure_engine_index(spark, sf_dir)
     en = _t(spark, sf_dir, "documents").filter(
         F.col("lang") == "en").select("doc_id")
+    # the source row count rides in the fingerprint: when the corpus is
+    # small enough for the driver-cached catalog map, collect the allowed
+    # ids in ONE column-pruned scan and run the whole filtered query on
+    # the engine's driver-side filter path; above the gate the r5
+    # distributed semi-join + cogroup runs unchanged
+    n_src = int(fp.split(":", 1)[0])
+    if 0 < n_src <= _catalog_gate():
+        ids = en.toPandas()["doc_id"].to_numpy(np.int64)
+        return _search_to_source_ids(spark, index_dir, mode="any",
+                                     filter_source_ids=ids)
     return _search_to_source_ids(spark, index_dir, mode="any",
                                  filter_source=en)
 
@@ -1558,7 +1666,11 @@ def dup_clusters(edges, max_iters: int = 32,
             e.unpersist()
         spark = edges.sparkSession
         if not len(pdf):
-            return spark.createDataFrame([], "doc_id long, cluster_id long")
+            out = spark.createDataFrame([], "doc_id long, cluster_id long")
+            out._pysearch_local = pdf.astype(
+                {"a": np.int64, "b": np.int64}).rename(
+                columns={"a": "doc_id", "b": "cluster_id"})
+            return out
         a = pdf["a"].to_numpy(np.int64)
         b = pdf["b"].to_numpy(np.int64)
         nodes = np.unique(np.concatenate([a, b]))
@@ -1589,9 +1701,14 @@ def dup_clusters(edges, max_iters: int = 32,
             labels[i] = min_label[r]
         import pandas as pd
 
-        return spark.createDataFrame(
-            pd.DataFrame({"doc_id": nodes, "cluster_id": labels}),
-            "doc_id long, cluster_id long")
+        lpdf = pd.DataFrame({"doc_id": nodes, "cluster_id": labels})
+        out = spark.createDataFrame(lpdf, "doc_id long, cluster_id long")
+        # the labels are already driver-resident: expose them so composed
+        # consumers (t1_engine_filter_survivors_top10) can skip re-deriving
+        # the set distributively — an annotation, not a result cache (each
+        # invocation recomputes from the edges)
+        out._pysearch_local = lpdf
+        return out
 
     und = (
         e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
@@ -1761,6 +1878,18 @@ def t1_engine_filter_survivors_top10(spark, sf_dir):
     index_dir, _fp = _ensure_engine_index(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents")
     clusters = dup_clusters(dd_minhash_pairs(spark, sf_dir).select("a", "b"))
+    local = getattr(clusters, "_pysearch_local", None)
+    if local is not None:
+        # the union-find gate solved the components driver-side, so the
+        # non-canonical member set is already a bounded array — admit
+        # "everything but the drop set" through the engine's driver-side
+        # filter path (survivors = all docs minus non-canonical members,
+        # exactly the anti-join's complement); the distributed shape below
+        # runs unchanged when the edge list exceeded the gate
+        drop_ids = local["doc_id"][local["doc_id"] != local["cluster_id"]]
+        return _search_to_source_ids(
+            spark, index_dir, mode="any",
+            exclude_source_ids=drop_ids.to_numpy())
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
         .select("doc_id")
     surv = docs.select("doc_id").join(drop, "doc_id", "left_anti")

@@ -487,6 +487,33 @@ class Searcher:
         )
 
     @staticmethod
+    def _split_filter_docs(filter_docs):
+        """Normalize ``filter_docs``: a distributed DataFrame stays one
+        (returned first); a driver-RESIDENT id collection (numpy array,
+        list, pandas Series — the caller's explicit "this set is small"
+        declaration, the broadcast-build-side analog) comes back as a
+        sorted unique int64 array (returned second).  A driver-side set
+        composes with the driver-local scoring path — the whole filtered
+        query then runs without any Spark job — and falls back to the
+        distributed cogroup via ``_ids_df`` when the query itself is too
+        big for the local path, with identical results either way (pinned
+        by test)."""
+        if filter_docs is None:
+            return None, None
+        from pyspark.sql import DataFrame
+
+        if isinstance(filter_docs, DataFrame):
+            return filter_docs, None
+        ids = np.unique(np.asarray(list(filter_docs), dtype=np.int64))
+        return None, ids
+
+    def _ids_df(self, ids: np.ndarray):
+        """Driver-side id array -> single-column DataFrame (the
+        distributed-path fallback for a driver-resident filter set)."""
+        return self.spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids}), schema="doc_id long")
+
+    @staticmethod
     def _cogroup_score(blocks_sel, allowed_df, score_fn, out_schema):
         """Run ``score_fn(key, blocks_pdf, allow_or_None)`` per segment:
         plain groupBy when no filter context, cogroup with the allowed doc
@@ -623,10 +650,17 @@ class Searcher:
                             qterms: Optional[List[str]] = None,
                             window: Optional[int] = None,
                             must_terms=None, not_terms=None,
-                            spec=None) -> pd.DataFrame:
+                            spec=None,
+                            allow: Optional[np.ndarray] = None
+                            ) -> pd.DataFrame:
         """Driver-local counterpart of _score_blocks /
         _score_blocks_phrase / _score_blocks_boolean: same per-segment
-        kernels, same (score desc, doc_id asc) merge."""
+        kernels, same (score desc, doc_id asc) merge.  ``allow`` is a
+        driver-resident filter context (sorted unique doc_ids) — passed
+        whole to every segment's kernel, where membership testing gives
+        exactly the per-segment slice the distributed cogroup hands over
+        (segment_id is a pure function of doc_id, so out-of-segment ids
+        in the array can never match that segment's postings)."""
         phrase = qterms is not None
         pdf = self._collect_blocks(blocks_df, positions=phrase, spec=spec)
         ids_all: List[np.ndarray] = []
@@ -637,7 +671,7 @@ class Searcher:
                                 g["tfs_bin"], g["dls_bin"], g["pos_bin"]))
                 ids, scores = sc.score_segment_blocks_phrase(
                     rows, idfs, qterms, qtf, avgdl, k, exclude=exclude,
-                    window=window)
+                    window=window, allow=allow)
             else:
                 rows = list(zip(g["term"], g["n"], g["doc_ids_bin"],
                                 g["tfs_bin"], g["dls_bin"]))
@@ -645,11 +679,12 @@ class Searcher:
                     ids, scores = sc.score_segment_blocks_boolean(
                         rows, idfs, qtf, avgdl, k,
                         must_terms=must_terms or (),
-                        not_terms=not_terms or (), exclude=exclude)
+                        not_terms=not_terms or (), exclude=exclude,
+                        allow=allow)
                 else:
                     ids, scores = sc.score_segment_blocks(
                         rows, idfs, qtf, avgdl, k, require_terms=require,
-                        exclude=exclude)
+                        exclude=exclude, allow=allow)
             if ids.size:
                 ids_all.append(ids)
                 scores_all.append(scores)
@@ -837,11 +872,18 @@ class Searcher:
         doc_id); ``filter_docs`` — any DataFrame with a doc_id column
         (dedup survivors, a quality cut, an allowlist).  Only allowed docs
         can match; BM25 stats (idf, avgdl) stay CORPUS-wide, exactly like
-        a Lucene filter clause.  The allowed set stays distributed end to
-        end: one segment_id shuffle, cogrouped with the posting blocks —
-        no driver collect, no broadcast — and WAND/block-max pruning stays
-        lossless because phase-1 θ is established from FILTERED scores
-        while block bounds remain valid upper bounds a fortiori.
+        a Lucene filter clause.  A DataFrame allowed set stays distributed
+        end to end: one segment_id shuffle, cogrouped with the posting
+        blocks — no driver collect, no broadcast — and WAND/block-max
+        pruning stays lossless because phase-1 θ is established from
+        FILTERED scores while block bounds remain valid upper bounds a
+        fortiori.  ``filter_docs`` may instead be a driver-RESIDENT id
+        collection (numpy array / list) when the caller already holds the
+        set in bounded memory — the broadcast-hint analog: it composes
+        with the driver-local scoring path (the filtered query then runs
+        with no distributed job), and converts to the same cogroup when
+        the query is too big for that path — results identical either
+        way (pinned by test).
 
         ``offset`` paginates the deterministic total order (Lucene
         searchAfter shape): ranks [offset, offset+k) are returned, at
@@ -900,6 +942,11 @@ class Searcher:
         )
 
         excl = self._tombstones.get(case_id)
+        filter_docs, filter_ids = self._split_filter_docs(filter_docs)
+        if filter_ids is not None and filter is not None:
+            # predicate + driver-side set: intersect distributed (rare
+            # combination; correctness over the local shortcut)
+            filter_docs, filter_ids = self._ids_df(filter_ids), None
         allowed = self._allowed_df(case_id, filter, filter_docs)
         vol = sum(dfs[t] for t in live)
         if mode in ("phrase", "near"):
@@ -908,8 +955,11 @@ class Searcher:
                     blocks, idfs, qtf, avgdl, k_fetch, exclude=excl,
                     qterms=terms,
                     window=window if mode == "near" else None,
-                    spec=(case_id, live))
+                    spec=(case_id, live), allow=filter_ids)
             else:
+                if filter_ids is not None:
+                    allowed = self._allowed_df(
+                        case_id, None, self._ids_df(filter_ids))
                 pdf = self._score_blocks_phrase(
                     blocks, idfs, terms, qtf, avgdl, k_fetch, exclude=excl,
                     window=window if mode == "near" else None,
@@ -919,8 +969,13 @@ class Searcher:
         if self._use_local(vol, prune=prune, allowed_df=allowed):
             pdf = self._score_blocks_local(blocks, idfs, qtf, avgdl,
                                            k_fetch, require, exclude=excl,
-                                           spec=(case_id, live))
+                                           spec=(case_id, live),
+                                           allow=filter_ids)
             return pdf.iloc[offset:offset + k].reset_index(drop=True)
+        if filter_ids is not None:
+            # too big for the local path: the driver-side set joins the
+            # distributed cogroup exactly like a DataFrame filter_docs
+            allowed = self._allowed_df(case_id, None, self._ids_df(filter_ids))
 
         # pruning pays for itself only when there is real volume to skip;
         # df is already known, so gate on total candidate postings
@@ -978,9 +1033,12 @@ class Searcher:
         if not live or (mode != "any" and len(live) < len(set(terms))):
             return 0
         excl = self._tombstones.get(case_id)
+        filter_docs, filter_ids = self._split_filter_docs(filter_docs)
+        if filter_ids is not None and filter is not None:
+            filter_docs, filter_ids = self._ids_df(filter_ids), None
         allowed = self._allowed_df(case_id, filter, filter_docs)
         if (len(live) == 1 and mode in ("any", "all") and excl is None
-                and allowed is None):
+                and allowed is None and filter_ids is None):
             return int(dfs[live[0]])  # metadata-only: count == df
 
         require = len(live) if mode == "all" else 0
@@ -1006,9 +1064,12 @@ class Searcher:
                     rows = list(zip(g["term"], g["n"], g["doc_ids_bin"],
                                     g["tfs_bin"], g["dls_bin"]))
                 total += sc.count_segment_docs(rows, live, require=require,
-                                               exclude=excl, allow=None,
+                                               exclude=excl,
+                                               allow=filter_ids,
                                                qterms=qterms, window=win)
             return total
+        if filter_ids is not None:
+            allowed = self._allowed_df(case_id, None, self._ids_df(filter_ids))
 
         cols = ["segment_id", "term", "n", "doc_ids_bin", "tfs_bin",
                 "dls_bin", "crc32"]
@@ -1130,14 +1191,20 @@ class Searcher:
             & F.col("term").isin(scan_terms)
         )
         excl = self._tombstones.get(case_id)
+        filter_docs, filter_ids = self._split_filter_docs(filter_docs)
+        if filter_ids is not None and filter is not None:
+            filter_docs, filter_ids = self._ids_df(filter_ids), None
         allowed = self._allowed_df(case_id, filter, filter_docs)
         if self._use_local(sum(dfs[t] for t in scan_terms),
                            allowed_df=allowed):
             pdf = self._score_blocks_local(
                 blocks, idfs, qtf, avgdl, k + offset, exclude=excl,
                 must_terms=must_live, not_terms=not_live,
-                spec=(case_id, scan_terms))
+                spec=(case_id, scan_terms), allow=filter_ids)
         else:
+            if filter_ids is not None:
+                allowed = self._allowed_df(
+                    case_id, None, self._ids_df(filter_ids))
             pdf = self._score_blocks_boolean(
                 blocks, idfs, qtf, avgdl, k + offset, must_terms=must_live,
                 not_terms=not_live, exclude=excl, allowed_df=allowed)
@@ -1400,15 +1467,21 @@ class Searcher:
             & F.col("term").isin(list(expanded))
         )
         excl = self._tombstones.get(case_id)
+        filter_docs, filter_ids = self._split_filter_docs(filter_docs)
+        if filter_ids is not None and filter is not None:
+            filter_docs, filter_ids = self._ids_df(filter_ids), None
         allowed = self._allowed_df(case_id, filter, filter_docs)
         k_fetch = k + offset
         if self._use_local(sum(dfs.values()), prune=prune,
                            allowed_df=allowed):
             pdf = self._score_blocks_local(blocks, idfs, qtf, avgdl,
                                            k_fetch, 0, exclude=excl,
-                                           spec=(case_id, list(expanded)))
+                                           spec=(case_id, list(expanded)),
+                                           allow=filter_ids)
             pdf = pdf.iloc[offset:offset + k].reset_index(drop=True)
             return (pdf, expanded) if return_expansion else pdf
+        if filter_ids is not None:
+            allowed = self._allowed_df(case_id, None, self._ids_df(filter_ids))
         p1_pdf = None
         if prune and sum(dfs.values()) > self.prune_min_postings:
             blocks, p1_pdf, allowed = self._prune_blocks(

@@ -90,3 +90,35 @@ def test_count_and_batch_identical_with_arrow_on_off(searcher, monkeypatch):
                               k=5, case_id="7")
     assert c_on == c_off > 0
     assert m_on.equals(m_off)
+
+
+def test_segment_metrics_local_matches_spark(spark, searcher):
+    """The driver-side pyarrow lineage-metrics aggregate must produce the
+    same per-(case, segment) sums as the distributed groupBy it replaces."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from pysearch.build import _segment_metrics_local
+
+    commit_dir = searcher._postings_commit_dirs[0]
+    local = _segment_metrics_local(commit_dir)
+    assert local is not None and len(local) > 0
+    spark_rows = (
+        spark.read.parquet(commit_dir)
+        .groupBy("case_id", "segment_id")
+        .agg(F.count("*").alias("n_blocks"), F.sum("n").alias("n_postings"),
+             F.sum("n_bytes").alias("bytes"))
+        .collect()
+    )
+    a = sorted((str(r.case_id), int(r.segment_id), int(r.n_blocks),
+                int(r.n_postings), int(r.bytes)) for r in local)
+    b = sorted((str(r.case_id), int(r.segment_id), int(r.n_blocks),
+                int(r.n_postings), int(r.bytes)) for r in spark_rows)
+    assert a == b
+    # env kill-switch falls back to the distributed path
+    _os.environ["PYSEARCH_LOCAL_ARROW"] = "0"
+    try:
+        assert _segment_metrics_local(commit_dir) is None
+    finally:
+        del _os.environ["PYSEARCH_LOCAL_ARROW"]

@@ -135,6 +135,73 @@ def test_vocab_local_expansion_matches_spark(two_paths):
                           mode="fuzzy"))
 
 
+def test_driver_side_filter_matches_dataframe_filter(two_paths):
+    """A driver-RESIDENT filter set (numpy array / list via filter_docs)
+    must produce bit-identical results to the same set as a distributed
+    DataFrame, on both the local path and the forced-distributed path,
+    across modes, boolean, fuzzy, count, and offset."""
+    import numpy as np
+
+    s_local, s_dist = two_paths
+    ids = np.arange(1, 1200, 2, dtype=np.int64)  # odd doc_ids
+    fd = s_local.docs.filter("case_id = '7' and doc_id % 2 = 1") \
+        .select("doc_id")
+    q = "a cornucopia of"
+    for mode, kw in [("any", {}), ("all", {}), ("phrase", {}),
+                     ("near", {"window": 3})]:
+        _eq(s_local.search_ids(q, k=10, case_id="7", mode=mode,
+                               filter_docs=ids, **kw),
+            s_dist.search_ids(q, k=10, case_id="7", mode=mode,
+                              filter_docs=fd, **kw))
+        # array filter on the forced-distributed searcher: converts to
+        # the cogroup path, same results
+        _eq(s_dist.search_ids(q, k=10, case_id="7", mode=mode,
+                              filter_docs=ids, **kw),
+            s_dist.search_ids(q, k=10, case_id="7", mode=mode,
+                              filter_docs=fd, **kw))
+    _eq(s_local.search_ids("+cornucopia -software of", k=10, case_id="7",
+                           mode="boolean", filter_docs=ids),
+        s_dist.search_ids("+cornucopia -software of", k=10, case_id="7",
+                          mode="boolean", filter_docs=fd))
+    _eq(s_local.search_ids("cornucopi~1 softw*", k=10, case_id="7",
+                           mode="fuzzy", filter_docs=list(ids)),
+        s_dist.search_ids("cornucopi~1 softw*", k=10, case_id="7",
+                          mode="fuzzy", filter_docs=fd))
+    _eq(s_local.search_ids(q, k=10, case_id="7", offset=5,
+                           filter_docs=ids),
+        s_dist.search_ids(q, k=10, case_id="7", offset=5, filter_docs=fd))
+    assert (s_local.count(q, case_id="7", filter_docs=ids)
+            == s_dist.count(q, case_id="7", filter_docs=fd))
+    # filter predicate + driver-side set intersect exactly like two
+    # DataFrame contexts
+    _eq(s_local.search_ids(q, k=10, case_id="7", filter="doc_id <= 600",
+                           filter_docs=ids),
+        s_dist.search_ids(q, k=10, case_id="7", filter="doc_id <= 600",
+                          filter_docs=fd))
+    # empty driver-side set: no hits, no error
+    assert s_local.search_ids(q, k=10, case_id="7",
+                              filter_docs=np.array([], dtype=np.int64)).empty
+
+
+def test_driver_side_filter_under_forced_pruning(spark, pos_index):
+    """Forced block-max pruning (prune_min_postings=0) outranks the local
+    gate; a driver-side filter set must then flow into the pruned
+    distributed path with θ from filtered scores — identical results."""
+    import numpy as np
+
+    s_a = Searcher(spark, pos_index)
+    s_a.prune_min_postings = 0  # force pruning
+    s_b = Searcher(spark, pos_index)
+    s_b.local_max_postings = 0  # plain distributed, no local path
+    ids = np.arange(1, 1200, 3, dtype=np.int64)
+    fd = s_b.docs.filter("case_id = '7' and (doc_id - 1) % 3 = 0") \
+        .select("doc_id")
+    _eq(s_a.search_ids("a cornucopia of", k=10, case_id="7",
+                       filter_docs=ids),
+        s_b.search_ids("a cornucopia of", k=10, case_id="7",
+                       filter_docs=fd))
+
+
 def test_dup_clusters_local_matches_distributed(spark):
     from pysearch.ops import dup_clusters
 
