@@ -687,15 +687,25 @@ def t1_engine_facet_lang(spark, sf_dir):
     against the DuckDB BM25 top-10 aggregated the same way."""
     from pyspark.sql import functions as F
 
-    hits = _engine_search(spark, sf_dir, mode="any")
+    # hits are at most k=10 rows by construction: push them into the docs
+    # scan as a literal IN predicate (row-group skipping; at real layouts
+    # doc_id partition pruning) and run the k-row facet aggregate driver-
+    # side — one pruned scan job instead of scan + broadcast join +
+    # aggregate + sort.  Both framings aggregate the SAME joined rows, so
+    # the values are unchanged (oracle-checked).
+    hits_pdf = _engine_search(spark, sf_dir, mode="any").toPandas()
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return (
-        docs.join(F.broadcast(hits), "doc_id")
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_hits"),
-             F.max("score_r").alias("top_score_r"))
-        .orderBy("lang")
+    lang_pdf = docs.filter(F.col("doc_id").isin(
+        [int(x) for x in hits_pdf["doc_id"]])).toPandas()
+    agg = (
+        hits_pdf.merge(lang_pdf, on="doc_id")
+        .groupby("lang")
+        .agg(n_hits=("doc_id", "size"), top_score_r=("score_r", "max"))
+        .reset_index()
+        .sort_values("lang", kind="stable")
     )
+    return spark.createDataFrame(
+        agg, schema="lang string, n_hits long, top_score_r double")
 
 
 # pagination oracle: the SAME deterministic total order, ranks 11..20

@@ -70,6 +70,14 @@ LOCAL_MAX_VOCAB = 200_000  # term_stats rows under which the per-case
 # (0 disables).  Staleness: the cache lives on the Searcher and every
 # refresh/_load drops it.
 
+LOCAL_MAX_CATALOG = 1_000_000  # catalog rows (per case) under which the
+# case's (url, content_hash) key columns may be fetched ONCE per Searcher
+# load — index METADATA in the same class as the term-df cache — so the
+# NRT hybrid's already-indexed anti-joins become driver-side NOT-IN
+# filters (two broadcast-build jobs per hybrid query removed).  Above the
+# gate the distributed anti-joins run unchanged.
+# PYSEARCH_LOCAL_MAX_CATALOG overrides (0 disables).
+
 
 def _lev_batch(q: str, cands) -> "np.ndarray":
     """Classic Levenshtein distance from ``q`` to every candidate term,
@@ -308,12 +316,17 @@ class Searcher:
         # it); dropped on every (re)load so a refreshed Searcher re-reads
         self._vocab_cache: Dict[str, Optional[dict]] = {}
         self._term_stats_rows: Optional[int] = None
+        # per-case (urls, content_hashes) under the LOCAL_MAX_CATALOG gate
+        # (None above it); dropped on every (re)load like the vocab cache
+        self._catalog_keys_cache: Dict[str, Optional[tuple]] = {}
         if not hasattr(self, "prune_min_postings"):
             self.prune_min_postings = PRUNE_MIN_POSTINGS  # tests: 0 forces
             self.local_max_postings = int(os.environ.get(
                 "PYSEARCH_LOCAL_MAX_POSTINGS", LOCAL_MAX_POSTINGS))
             self.local_max_vocab = int(os.environ.get(
                 "PYSEARCH_LOCAL_MAX_VOCAB", LOCAL_MAX_VOCAB))
+            self.local_max_catalog = int(os.environ.get(
+                "PYSEARCH_LOCAL_MAX_CATALOG", LOCAL_MAX_CATALOG))
             # diagnostics: when True, _prune_blocks records candidate-vs-
             # scored block counts (extra metadata jobs; test-only)
             self.count_scored_blocks = False
@@ -760,6 +773,37 @@ class Searcher:
                 )
                 out = {r["term"]: int(r["df"]) for r in rows}
         self._vocab_cache[case_id] = out
+        return out
+
+    def _catalog_keys(self, case_id: str) -> Optional[tuple]:
+        """The case's catalog key columns as two LOCAL-relation DataFrames
+        ``(url_df, content_hash_df)`` when the catalog fits the
+        LOCAL_MAX_CATALOG gate, else None.  Gate decided from the
+        already-loaded corpus stats (no job); one bounded two-column
+        collect per load, cached per case — index metadata exactly like
+        the term-df cache.  Lets the NRT hybrid's already-indexed
+        anti-joins build their broadcast side from an in-memory relation
+        instead of re-scanning the docs table per hybrid query.  (Local
+        relations, not ``isin`` literal lists: Column.isin pays a py4j
+        round trip per element, which is seconds at catalog sizes.)"""
+        if case_id in self._catalog_keys_cache:
+            return self._catalog_keys_cache[case_id]
+        out = None
+        n_docs = self._corpus.get(case_id, (0,))[0]
+        if 0 < self.local_max_catalog and n_docs <= self.local_max_catalog:
+            from pyspark.sql import functions as F
+
+            pdf = (
+                self.docs.filter(F.col("case_id") == case_id)
+                .select("url", "content_hash").toPandas()
+            )
+            out = (
+                self.spark.createDataFrame(pdf[["url"]],
+                                           schema="url string"),
+                self.spark.createDataFrame(pdf[["content_hash"]],
+                                           schema="content_hash string"),
+            )
+        self._catalog_keys_cache[case_id] = out
         return out
 
     def _term_dfs(self, case_id: str, terms: List[str]) -> Dict[str, int]:

@@ -567,9 +567,20 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
         # cannot affect it (they would append elsewhere)
         src = src.filter(F.col("case_id").cast("string") == case_id)
     df = _shape_batch_text(src)
-    existing = searcher.docs.filter(F.col("case_id") == case_id)
-    df = df.join(existing.select("url"), "url", "left_anti")
-    df = df.join(existing.select("content_hash"), "content_hash", "left_anti")
+    keys = searcher._catalog_keys(case_id)
+    if keys is not None:
+        # catalog under the LOCAL_MAX_CATALOG gate: the "already indexed"
+        # anti-joins keep their shape but build their broadcast side from
+        # the cached in-memory key relations — no docs-table scan job per
+        # hybrid query; same surviving rows
+        url_df, hash_df = keys
+        df = df.join(F.broadcast(url_df), "url", "left_anti")
+        df = df.join(F.broadcast(hash_df), "content_hash", "left_anti")
+    else:
+        existing = searcher.docs.filter(F.col("case_id") == case_id)
+        df = df.join(existing.select("url"), "url", "left_anti")
+        df = df.join(existing.select("content_hash"), "content_hash",
+                     "left_anti")
     df = _dedupe_batch(df)
     toks = df.mapInPandas(
         _tok_query_tfs(an, set(union_terms), phrase_seqs),

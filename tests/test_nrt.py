@@ -85,6 +85,35 @@ def test_nrt_matches_append_then_search(spark, tmp_path, mode):
         assert tops & base_urls, "no index doc ranked"
 
 
+def test_nrt_catalog_keys_filter_matches_anti_join(spark, tmp_path):
+    """The driver-side NOT-IN form of the already-indexed anti-joins
+    (catalog under the LOCAL_MAX_CATALOG gate) must keep the hybrid
+    bit-identical to the distributed anti-join form (gate forced off).
+    The arrival batch deliberately contains url- and content-dup rows of
+    the index, so the anti-joins have real work to do."""
+    from pysearch.build import build_index
+    from pysearch.query import Searcher
+    from pysearch.streaming import search_with_arrivals
+
+    _full, base, arrivals = _split_corpus(spark)
+    ix = str(tmp_path / "nrt_ix_keys")
+    build_index(spark, base, ix, segment_size=16, store_positions=True)
+    queries = {"q0": "in the realm of", "q1": "realm"}
+
+    s_on = Searcher(spark, ix)
+    assert s_on._catalog_keys("6") is not None
+    res_on = search_with_arrivals(s_on, arrivals, queries, k=10,
+                                  case_id="6")
+    s_off = Searcher(spark, ix)
+    s_off.local_max_catalog = 0  # force the distributed anti-joins
+    assert s_off._catalog_keys("6") is None
+    res_off = search_with_arrivals(s_off, arrivals, queries, k=10,
+                                   case_id="6")
+    assert res_on.reset_index(drop=True).equals(
+        res_off.reset_index(drop=True))
+    assert len(res_on) > 0
+
+
 def test_nrt_stats_shift_vs_index_only(spark, tmp_path):
     """The combined stats must actually bite: with arrivals present, even
     an index doc's score changes (n_docs/avgdl/df all moved), so hybrid
