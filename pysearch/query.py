@@ -73,10 +73,10 @@ LOCAL_MAX_VOCAB = 200_000  # term_stats rows under which the per-case
 LOCAL_MAX_CATALOG = 1_000_000  # catalog rows (per case) under which the
 # case's (url, content_hash) key columns may be fetched ONCE per Searcher
 # load — index METADATA in the same class as the term-df cache — so the
-# NRT hybrid's already-indexed anti-joins become driver-side NOT-IN
-# filters (two broadcast-build jobs per hybrid query removed).  Above the
-# gate the distributed anti-joins run unchanged.
-# PYSEARCH_LOCAL_MAX_CATALOG overrides (0 disables).
+# NRT hybrid's already-indexed anti-joins build their broadcast sides
+# from cached in-memory relations (two docs-scan build jobs per hybrid
+# query removed).  Above the gate the distributed anti-joins run
+# unchanged.  PYSEARCH_LOCAL_MAX_CATALOG overrides (0 disables).
 
 
 def _lev_batch(q: str, cands) -> "np.ndarray":

@@ -86,9 +86,9 @@ def test_nrt_matches_append_then_search(spark, tmp_path, mode):
 
 
 def test_nrt_catalog_keys_filter_matches_anti_join(spark, tmp_path):
-    """The driver-side NOT-IN form of the already-indexed anti-joins
+    """The cached local-relation form of the already-indexed anti-joins
     (catalog under the LOCAL_MAX_CATALOG gate) must keep the hybrid
-    bit-identical to the distributed anti-join form (gate forced off).
+    bit-identical to the docs-scan anti-join form (gate forced off).
     The arrival batch deliberately contains url- and content-dup rows of
     the index, so the anti-joins have real work to do."""
     from pysearch.build import build_index
