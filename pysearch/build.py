@@ -297,15 +297,15 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     # partially aggregates map-side and needs no per-partition sort); url
     # dedupe costs nothing extra — it happens inside the assignment pass
     # where duplicate urls land adjacent (see _assign_doc_ids)
+    # persisted: the range partitioner's SAMPLE job and the offsets job in
+    # _assign_doc_ids both consume winners — uncached, the dedupe
+    # aggregate ran twice (once under the sampler, once for real)
     winners = (
         proj.groupBy("case_id", "content_hash")
         .agg(F.min("url").alias("url"))
         .select("case_id", "url", "content_hash")
-    )
+    ).persist()
     _dbg("docs: plan built, assigning ids", t0)
-    id_map, pinned, counts = _assign_doc_ids(spark, winners, n_partitions,
-                                             base=base)
-    _dbg("docs: ids assigned (offsets collected)", t0)
 
     # exact-duplicate input rows (same url AND content) would multiply
     # through the id join.  Detect them on the projection (text-free) and
@@ -314,10 +314,21 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
     # (case,url,hash) are identical by the content-hash contract, so the
     # dropDuplicates is value-deterministic.  ONE aggregate job yields both
     # the duplicate-key existence check and the quarantine-accounting input
-    # count (previously two separate actions over the cached projection).
+    # count (previously two separate actions over the cached projection) —
+    # submitted CONCURRENTLY with the id-assignment jobs (guide §2.6: both
+    # depend only on the cached projection; first-computation of shared
+    # cache partitions is serialized safely by BlockManager block locks).
+    from concurrent.futures import ThreadPoolExecutor
+
     key_counts = proj.groupBy("case_id", "url", "content_hash").count()
-    stat = key_counts.agg(F.sum("count").alias("n_input"),
-                          F.max("count").alias("mx")).collect()[0]
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        f_stat = _ex.submit(
+            lambda: key_counts.agg(F.sum("count").alias("n_input"),
+                                   F.max("count").alias("mx")).collect()[0])
+        id_map, pinned, counts = _assign_doc_ids(spark, winners,
+                                                 n_partitions, base=base)
+        stat = f_stat.result()
+    _dbg("docs: ids assigned (offsets collected)", t0)
     n_input = int(stat["n_input"] or 0)
     if int(stat["mx"] or 0) > 1:
         dup_keys = key_counts.filter(F.col("count") > 1).select(
@@ -365,6 +376,7 @@ def build_docs_stage(spark, webtext_df, layout: IndexLayout, segment_size: int,
         docs.write.mode("overwrite").partitionBy("case_id").parquet(staging)
         _dbg("docs: docs table written (cache materialized)", t0)
         pinned.unpersist()
+        winners.unpersist()
         proj.unpersist()
         # doc_map catalog (reference file_list.json analog) from the same
         # cached partitions — text column dropped, so the write is tiny

@@ -1824,10 +1824,27 @@ def dd_dedup_survivors(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     clusters = dup_clusters(dd_minhash_pairs(spark, sf_dir).select("a", "b"))
-    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
-        .select("doc_id")
+    local = getattr(clusters, "_pysearch_local", None)
+    if local is not None:
+        # the union-find gate solved the labels driver-side: the survivor
+        # count is |documents| − |drop| exactly (drop ids are distinct
+        # documents doc_ids, which are unique), with |documents| from the
+        # parquet footers — the anti-join executes once for the result
+        # rows instead of twice (count job + collect)
+        import pyarrow.dataset as pads
+
+        drop_pdf = local[local["doc_id"] != local["cluster_id"]]
+        n = (pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
+             - len(drop_pdf))
+        drop = spark.createDataFrame(drop_pdf[["doc_id"]],
+                                     schema="doc_id long")
+    else:
+        drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+            .select("doc_id")
+        n = None
     kept = docs.select("doc_id").join(drop, "doc_id", "left_anti")
-    n = kept.count()
+    if n is None:
+        n = kept.count()
     return kept.select("doc_id", F.lit(n).cast("long")
                        .alias("n_survivors")).orderBy("doc_id")
 

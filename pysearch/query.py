@@ -70,6 +70,16 @@ LOCAL_MAX_VOCAB = 200_000  # term_stats rows under which the per-case
 # (0 disables).  Staleness: the cache lives on the Searcher and every
 # refresh/_load drops it.
 
+LOCAL_BATCH_FACTOR = 4  # the batched paths (search_ids_many, boolean
+# batch, the NRT hybrid's index side) may score a whole query log
+# driver-side when every plan's own candidate volume clears the
+# single-query gate AND the summed volume stays under
+# LOCAL_BATCH_FACTOR * LOCAL_MAX_POSTINGS — the measured crossover where
+# single-threaded driver scoring overtakes the distributed batch scan's
+# fixed cost (see Searcher._use_local_batch).
+# PYSEARCH_LOCAL_BATCH_FACTOR overrides (0 disables the batched local
+# path outright; single queries keep their own gate).
+
 LOCAL_MAX_CATALOG = 1_000_000  # catalog rows (per case) under which the
 # case's (url, content_hash) key columns may be fetched ONCE per Searcher
 # load — index METADATA in the same class as the term-df cache — so the
@@ -327,6 +337,8 @@ class Searcher:
                 "PYSEARCH_LOCAL_MAX_VOCAB", LOCAL_MAX_VOCAB))
             self.local_max_catalog = int(os.environ.get(
                 "PYSEARCH_LOCAL_MAX_CATALOG", LOCAL_MAX_CATALOG))
+            self.local_batch_factor = int(os.environ.get(
+                "PYSEARCH_LOCAL_BATCH_FACTOR", LOCAL_BATCH_FACTOR))
             # diagnostics: when True, _prune_blocks records candidate-vs-
             # scored block counts (extra metadata jobs; test-only)
             self.count_scored_blocks = False
@@ -589,6 +601,27 @@ class Searcher:
                 and 0 < self.local_max_postings
                 and vol <= self.local_max_postings
                 and not (prune and vol > self.prune_min_postings))
+
+    def _use_local_batch(self, vols) -> bool:
+        """Batch variant of _use_local (``vols``: each plan's own
+        candidate-postings volume).  The shared decode amortizes the scan
+        across plans, so the batch may run driver-side when (a) EVERY
+        plan clears the single-query gate — the per-query loop the caller
+        could have written would already run each of them driver-side,
+        and the batch does strictly less decode work than that loop —
+        and (b) the total driver work (Σ per-plan volumes, an upper bound
+        of shared decode + per-plan scoring) stays under
+        LOCAL_BATCH_FACTOR × the gate, the measured crossover where
+        single-threaded driver scoring overtakes the distributed batch
+        scan's fixed cost (0.81 s local vs 1.19 s distributed at
+        Σ=1.68M postings / 20 plans on the bench query log, results
+        asserted identical).  Above either bound the distributed
+        shared-decode scan runs — the scale shape for big logs."""
+        if not vols or self.local_max_postings <= 0:
+            return False
+        factor = getattr(self, "local_batch_factor", LOCAL_BATCH_FACTOR)
+        return (max(vols) <= self.local_max_postings
+                and sum(vols) <= factor * self.local_max_postings)
 
     def _read_blocks_arrow(self, case_id: str, terms, cols):
         """Driver-direct parquet read of the candidate blocks: same commit
@@ -1764,12 +1797,12 @@ class Searcher:
         n_docs, avgdl, _sum_dl = self._corpus[case_id]
 
         if mode == "boolean":
-            plans, vol = self._boolean_plans(queries, case_id, n_docs)
+            plans, vols = self._boolean_plans(queries, case_id, n_docs)
             if not plans:
                 return empty
             return self._score_many_blocks(
                 plans, avgdl, case_id, k, mode, prune=False,
-                local=self._use_local(vol * len(plans)))
+                local=self._use_local_batch(vols))
 
         parsed = {qid: parse_boosts(q) for qid, q in queries.items()}
         analyzed = {qid: self._analyze_query(q)
@@ -1795,22 +1828,20 @@ class Searcher:
                               len(live) if mode == "all" else 0)
         if not plans:
             return empty
-        # the batch gate scales with the query count: the shared decode
-        # already amortizes the scan across plans, so the AVERAGE per-query
-        # candidate volume must clear the same bar as the single-query path
-        # before the extra bound/θ jobs can pay for themselves.  Volume is
-        # summed over the SURVIVING plans' terms — a dropped query's terms
-        # are never scanned, so they must not tip the gate
+        # volume is summed over the SURVIVING plans' terms — a dropped
+        # query's terms are never scanned, so they must not tip the gates
         plan_terms = {t for p in plans.values() for t in p[0]}
         vol = sum(dfs[t] for t in plan_terms)
         do_prune = (prune and mode in ("any", "all")
                     and vol > self.prune_min_postings * len(plans))
-        # the driver-local batch path scores every plan single-threaded
-        # over the shared decode, so its gate charges vol ONCE PER PLAN —
+        # the driver-local batch gate (see _use_local_batch): every plan
+        # must clear the single-query gate on its own volume AND the
+        # summed per-plan volume must stay under the measured crossover —
         # a large query log stays on the distributed shared-decode scan
+        vols = [sum(dfs[t] for t in p[0]) for p in plans.values()]
         return self._score_many_blocks(
             plans, avgdl, case_id, k, mode, prune=do_prune,
-            local=(not do_prune) and self._use_local(vol * len(plans)))
+            local=(not do_prune) and self._use_local_batch(vols))
 
     def _boolean_plans(self, queries: Dict[str, str], case_id: str,
                        n_docs: int) -> Dict[str, tuple]:
@@ -1820,9 +1851,9 @@ class Searcher:
         Clause semantics are search_ids_boolean's: a query with a
         corpus-absent MUST term or no live positive clause drops (it
         yields no rows); absent should terms drop; absent must_not terms
-        are no-ops.  Returns (plans, candidate_postings_volume) — the
-        volume over the surviving plans' scanned terms feeds the
-        driver-local fast-path gate."""
+        are no-ops.  Returns (plans, per_plan_volumes) — each surviving
+        plan's own scanned-postings volume feeds the driver-local batch
+        gate (_use_local_batch)."""
         parts: Dict[str, tuple] = {}
         union: set = set()
         for qid, q in queries.items():
@@ -1852,9 +1883,9 @@ class Searcher:
                 {t: sc.idf(n_docs, dfs[t]) for t in live}, rb, None)
             plans[qid] = (idfs, dict(Counter(pos)), tuple(must_live),
                           tuple(t for t in not_terms if t in dfs))
-        scan = {t for p in plans.values() for t in p[0]} \
-            | {t for p in plans.values() for t in p[3]}
-        return plans, sum(dfs[t] for t in scan)
+        vols = [sum(dfs[t] for t in set(p[0]) | set(p[3]))
+                for p in plans.values()]
+        return plans, vols
 
     def _score_many_blocks(self, plans: Dict[str, tuple], avgdl: float,
                            case_id: str, k: int, mode: str,

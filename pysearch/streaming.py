@@ -661,10 +661,11 @@ def search_with_arrivals(searcher, batch_df, queries: dict, k: int = 10,
             prune and mode in ("any", "all")
             and vol_idx > searcher.prune_min_postings * len(idx_plans)
         )
+        vols = [sum(dfs_idx.get(t, 0) for t in p[0])
+                for p in idx_plans.values()]
         many = searcher._score_many_blocks(
             idx_plans, avgdl, case_id, k, mode, prune=do_prune,
-            local=(not do_prune)
-            and searcher._use_local(vol_idx * len(idx_plans)))
+            local=(not do_prune) and searcher._use_local_batch(vols))
         for r in many.itertuples(index=False):
             idx_hits.setdefault(r.qid, []).append(
                 (int(r.doc_id), float(r.score)))

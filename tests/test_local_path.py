@@ -183,6 +183,34 @@ def test_driver_side_filter_matches_dataframe_filter(two_paths):
                               filter_docs=np.array([], dtype=np.int64)).empty
 
 
+def test_batched_local_gate_both_sides(spark, pos_index):
+    """The batched local gate (_use_local_batch: every plan under the
+    single-query gate AND Σ volumes under factor × gate) must be
+    bit-identical to the distributed shared-decode scan on both sides,
+    including boolean batches; factor=0 disables the batched local path."""
+    import numpy as np
+
+    s_on = Searcher(spark, pos_index)
+    s_off = Searcher(spark, pos_index)
+    s_off.local_batch_factor = 0  # batches always distributed
+    qs = {f"q{i}": q for i, q in enumerate(QUERIES)}
+    for mode, kw in [("any", {}), ("all", {}), ("phrase", {}),
+                     ("near", {"window": 3})]:
+        a = s_on.search_ids_many(qs, k=10, case_id="7", mode=mode, **kw)
+        b = s_off.search_ids_many(qs, k=10, case_id="7", mode=mode, **kw)
+        _eq(a, b)
+    qb = {"b0": "+cornucopia -software of", "b1": "+be person who"}
+    _eq(s_on.search_ids_many(qb, k=10, case_id="7", mode="boolean"),
+        s_off.search_ids_many(qb, k=10, case_id="7", mode="boolean"))
+    # a plan over the single-query gate keeps the whole batch distributed
+    s_tiny = Searcher(spark, pos_index)
+    s_tiny.local_max_postings = 1
+    vols = [10, 1]
+    assert not s_tiny._use_local_batch(vols)
+    assert s_on._use_local_batch([100, 100])
+    assert not s_off._use_local_batch([100, 100])
+
+
 def test_driver_side_filter_under_forced_pruning(spark, pos_index):
     """Forced block-max pruning (prune_min_postings=0) outranks the local
     gate; a driver-side filter set must then flow into the pruned
